@@ -1,0 +1,312 @@
+"""Workload statistics (reference: ``code/python/stats.py``).
+
+The reference loops per query with N+1 Mongo sub-queries; every analytic
+here is one set-based DataFrame DAG (SURVEY.md §3 EP3): a broadcast-able
+equi-join of ``queries`` onto ``operators``/``fragments`` followed by a
+single hash aggregation. At 100 TB the corpus tables shuffle once on
+``query_id`` (or not at all when ``queries`` broadcasts); no per-row
+driver round-trips exist anywhere.
+
+Python-2 semantics preserved from the reference: ms/s/MB rescaling uses
+integer floor division (``stats.py:103,149,157``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import IDIV, corpus_fragments, corpus_operators, corpus_queries, with_corpus
+
+# statement classes the stats pass analyzes (stats.py:18-20)
+STMT_TYPES = ("SelectStmt", "InsertStmt", "UnionStmt")
+_STMT_IN = "('SelectStmt', 'InsertStmt', 'UnionStmt')"
+
+
+def _filtered_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 tag filter + P2 membership filter (stats.py:18-20)."""
+    q = corpus_queries(spark, sf_dir)
+    return q.filter((F.col("tag") == "tpch") & F.col("sql_type").isin(*STMT_TYPES))
+
+
+def op_time_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-query operator time rollup (stats.py:58-61):
+    ``$match(query_id) -> $group(by name, sum(avg_time))`` re-expressed as
+    one grouped aggregation over the J1 join."""
+    q = _filtered_queries(spark, sf_dir).select("query_id")
+    ops = corpus_operators(spark, sf_dir)
+    return (
+        ops.join(q, "query_id")
+        .groupBy("query_id", "name")
+        .agg(F.sum("avg_time").alias("sum_time"))
+    )
+
+
+def codegen_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-query grand sums of fragment CodeGen / HdfsTableSink time
+    (stats.py:63-71), reading the nested counter maps like the reference
+    reads ``avg_code_gen.TotalTime``."""
+    q = _filtered_queries(spark, sf_dir).select("query_id")
+    frags = corpus_fragments(spark, sf_dir)
+    return (
+        frags.join(q, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.element_at("avg_code_gen", F.lit("TotalTime"))).alias("code_gen_time"),
+            F.sum(F.element_at("avg_hdfs_table_sink", F.lit("TotalTime"))).alias("hdfs_table_sink_time"),
+        )
+    )
+
+
+def join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-query join census (stats.py:117-142): four Mongo count()
+    round-trips per query become one conditional-aggregation pass."""
+    q = _filtered_queries(spark, sf_dir).select("query_id")
+    ops = corpus_operators(spark, sf_dir)
+    is_join = F.col("name").isin("HASH JOIN", "CROSS JOIN")
+    return (
+        q.join(ops, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(is_join, 1)).alias("num_joins"),
+            F.count(F.when(is_join & (F.col("join_impl") == "BROADCAST"), 1)).alias("num_broadcast_joins"),
+            F.count(F.when(is_join & (F.col("join_impl") == "PARTITIONED"), 1)).alias("num_partitioned_joins"),
+            F.count(
+                F.when((F.col("name") == "HASH JOIN") & (F.col("join_type") == "INNER JOIN"), 1)
+            ).alias("num_inner_joins"),
+        )
+    )
+
+
+def distinct_scan_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — distinct tables scanned per query (profile_analyzer.py:305),
+    checked against the stored ``num_tables``."""
+    q = _filtered_queries(spark, sf_dir).select("query_id", "num_tables")
+    ops = corpus_operators(spark, sf_dir)
+    scans = ops.filter(F.col("name") == "SCAN HDFS")
+    return (
+        q.join(scans, "query_id", "left")
+        .groupBy("query_id", "num_tables")
+        .agg(F.count_distinct("table_name").alias("num_tables_computed"))
+    )
+
+
+def scan_size_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — summed SCAN HDFS bytes per query, 0 when none (stats.py:144-151);
+    MB via py2 floor division (``size / 1024 / 1024``)."""
+    q = _filtered_queries(spark, sf_dir).select("query_id")
+    ops = corpus_operators(spark, sf_dir)
+    scan_sums = (
+        ops.filter(F.col("name") == "SCAN HDFS")
+        .groupBy("query_id")
+        .agg(F.sum("size").alias("scan_bytes"))
+    )
+    return (
+        q.join(scan_sums, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("scan_bytes", F.lit(0)).alias("scan_bytes"),
+            F.expr(
+                "CAST(FLOOR(COALESCE(scan_bytes, 0) / CAST(1048576 AS DOUBLE)) AS BIGINT)"
+            ).alias("scan_mb"),
+        )
+    )
+
+
+# (metric name, per-query expression) — inputs to the A6 distribution sweep
+_A6_METRICS = (
+    "num_joins", "num_broadcast_joins", "num_partitioned_joins", "num_inner_joins",
+    "num_tables", "num_hdfs_scans", "num_output_columns", "num_from_subqueries",
+    "num_group_by_columns", "num_order_by_columns", "num_limits", "scan_mb",
+    "runtime_s",
+)
+
+
+def _per_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _filtered_queries(spark, sf_dir)
+    jc = join_counts(spark, sf_dir)
+    sz = scan_size_per_query(spark, sf_dir).select("query_id", "scan_mb")
+    return (
+        q.select(
+            "query_id", "num_tables", "num_hdfs_scans", "num_output_columns",
+            "num_from_subqueries", "num_group_by_columns", "num_order_by_columns",
+            "num_limits",
+            F.expr("CAST(FLOOR(runtime / CAST(1000000000 AS DOUBLE)) AS BIGINT)").alias("runtime_s"),
+        )
+        .join(jc, "query_id")
+        .join(sz, "query_id")
+    )
+
+
+def workload_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — min/max/avg of every workload distribution the reference plots
+    (stats.py:174-344), as (metric, min, max, avg) rows.
+
+    avg is written explicitly as sum/count so Spark and the oracle evaluate
+    the identical double expression."""
+    m = _per_query_metrics(spark, sf_dir)
+    stacked = m.select(
+        "query_id",
+        F.expr(
+            "stack({n}, {args}) AS (metric, value)".format(
+                n=len(_A6_METRICS),
+                args=", ".join(f"'{c}', {c}" for c in _A6_METRICS),
+            )
+        ),
+    )
+    return stacked.groupBy("metric").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum("value").cast("double") / F.count("value")).alias("avg_value"),
+    )
+
+
+def rollup_by_sql_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — per-statement-class rollup (stats.py:407-411): group all tagged
+    queries by sql_type; runtime total in ms via py2 floor division."""
+    q = corpus_queries(spark, sf_dir).filter(F.col("tag") == "tpch")
+    return (
+        q.groupBy("sql_type")
+        .agg(F.sum("runtime").alias("total_runtime"), F.count("*").alias("num_queries"))
+        .select(
+            "sql_type",
+            F.expr("CAST(FLOOR(total_runtime / CAST(1000000 AS DOUBLE)) AS BIGINT)").alias("total_runtime_ms"),
+            "num_queries",
+        )
+    )
+
+
+def query_num_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — num_hosts = max over the query's operators
+    (profile_analyzer.py:303); output kept alongside the stored value so the
+    invariant is visible."""
+    q = corpus_queries(spark, sf_dir).filter(F.col("sql_type") != "DdlStmt")
+    ops = corpus_operators(spark, sf_dir)
+    return (
+        ops.groupBy("query_id")
+        .agg(F.max("num_hosts").alias("max_op_num_hosts"))
+        .join(q.select("query_id", "num_hosts"), "query_id")
+    )
+
+
+def operator_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — straggler detection (stats.py:43-46): diff_time = max - avg,
+    expressed as a share of query runtime, thresholded at 1%."""
+    q = _filtered_queries(spark, sf_dir).select("query_id", "runtime")
+    ops = corpus_operators(spark, sf_dir)
+    return (
+        ops.join(q, "query_id")
+        .withColumn("diff_time", F.col("max_time") - F.col("avg_time"))
+        .withColumn("diff_time_pct", F.round(F.col("diff_time") / F.col("runtime").cast("double"), 9))
+        .filter(F.col("diff_time_pct") >= 0.01)
+        .select("query_id", "id", "name", "diff_time", "diff_time_pct")
+    )
+
+
+# ---------------------------------------------------------------- oracles --
+_FQ = f"SELECT * FROM iwa_queries WHERE tag = 'tpch' AND sql_type IN {_STMT_IN}"
+
+_A6_PER_QUERY = f"""
+fq AS ({_FQ}),
+jc AS (
+  SELECT fq.query_id,
+         COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') THEN 1 END) AS num_joins,
+         COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') AND o.join_impl = 'BROADCAST' THEN 1 END) AS num_broadcast_joins,
+         COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') AND o.join_impl = 'PARTITIONED' THEN 1 END) AS num_partitioned_joins,
+         COUNT(CASE WHEN o.name = 'HASH JOIN' AND o.join_type = 'INNER JOIN' THEN 1 END) AS num_inner_joins
+  FROM fq LEFT JOIN iwa_operators o ON fq.query_id = o.query_id
+  GROUP BY fq.query_id
+),
+sz AS (
+  SELECT fq.query_id,
+         COALESCE(s.scan_bytes, 0) AS scan_bytes,
+         {IDIV('COALESCE(s.scan_bytes, 0)', 1048576)} AS scan_mb
+  FROM fq LEFT JOIN (
+    SELECT query_id, CAST(SUM(size) AS BIGINT) AS scan_bytes
+    FROM iwa_operators WHERE name = 'SCAN HDFS' GROUP BY query_id
+  ) s ON fq.query_id = s.query_id
+),
+pq AS (
+  SELECT fq.query_id, fq.num_tables, fq.num_hdfs_scans, fq.num_output_columns,
+         fq.num_from_subqueries, fq.num_group_by_columns, fq.num_order_by_columns,
+         fq.num_limits, {IDIV('fq.runtime', 1000000000)} AS runtime_s,
+         jc.num_joins, jc.num_broadcast_joins, jc.num_partitioned_joins,
+         jc.num_inner_joins, sz.scan_mb
+  FROM fq JOIN jc ON fq.query_id = jc.query_id JOIN sz ON fq.query_id = sz.query_id
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "a1_op_time_by_name": with_corpus(f"""
+        SELECT o.query_id, o.name, CAST(SUM(o.avg_time) AS BIGINT) AS sum_time
+        FROM iwa_operators o JOIN ({_FQ}) q ON o.query_id = q.query_id
+        GROUP BY o.query_id, o.name"""),
+    "a2_codegen_sink_totals": with_corpus(f"""
+        SELECT f.query_id,
+               CAST(SUM(f.avg_code_gen_total) AS DOUBLE) AS code_gen_time,
+               CAST(SUM(f.avg_hdfs_table_sink_total) AS DOUBLE) AS hdfs_table_sink_time
+        FROM iwa_fragments f JOIN ({_FQ}) q ON f.query_id = q.query_id
+        GROUP BY f.query_id"""),
+    "a3_join_counts": with_corpus(f"""
+        , fq AS ({_FQ})
+        SELECT fq.query_id,
+               COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') THEN 1 END) AS num_joins,
+               COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') AND o.join_impl = 'BROADCAST' THEN 1 END) AS num_broadcast_joins,
+               COUNT(CASE WHEN o.name IN ('HASH JOIN', 'CROSS JOIN') AND o.join_impl = 'PARTITIONED' THEN 1 END) AS num_partitioned_joins,
+               COUNT(CASE WHEN o.name = 'HASH JOIN' AND o.join_type = 'INNER JOIN' THEN 1 END) AS num_inner_joins
+        FROM fq LEFT JOIN iwa_operators o ON fq.query_id = o.query_id
+        GROUP BY fq.query_id"""),
+    "a4_distinct_scan_tables": with_corpus(f"""
+        SELECT q.query_id, q.num_tables,
+               COUNT(DISTINCT o.table_name) AS num_tables_computed
+        FROM ({_FQ}) q
+        LEFT JOIN (SELECT * FROM iwa_operators WHERE name = 'SCAN HDFS') o
+          ON q.query_id = o.query_id
+        GROUP BY q.query_id, q.num_tables"""),
+    "a5_scan_size_per_query": with_corpus(f"""
+        SELECT q.query_id,
+               COALESCE(s.scan_bytes, 0) AS scan_bytes,
+               {IDIV('COALESCE(s.scan_bytes, 0)', 1048576)} AS scan_mb
+        FROM ({_FQ}) q
+        LEFT JOIN (
+          SELECT query_id, CAST(SUM(size) AS BIGINT) AS scan_bytes
+          FROM iwa_operators WHERE name = 'SCAN HDFS' GROUP BY query_id
+        ) s ON q.query_id = s.query_id"""),
+    "a6_workload_distributions": with_corpus(
+        ",\n" + _A6_PER_QUERY.strip() + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{m}' AS metric, MIN({m}) AS min_value, MAX({m}) AS max_value,"
+            f" CAST(SUM({m}) AS DOUBLE) / COUNT({m}) AS avg_value FROM pq"
+            for m in _A6_METRICS
+        )
+    ),
+    "a15_rollup_by_sql_type": with_corpus(f"""
+        SELECT sql_type,
+               {IDIV('SUM(runtime)', 1000000)} AS total_runtime_ms,
+               COUNT(*) AS num_queries
+        FROM iwa_queries WHERE tag = 'tpch' GROUP BY sql_type"""),
+    "a17_query_num_hosts": with_corpus("""
+        SELECT o.query_id, MAX(o.num_hosts) AS max_op_num_hosts, q.num_hosts
+        FROM iwa_operators o
+        JOIN (SELECT * FROM iwa_queries WHERE sql_type <> 'DdlStmt') q
+          ON o.query_id = q.query_id
+        GROUP BY o.query_id, q.num_hosts"""),
+    "p5_operator_skew": with_corpus(f"""
+        SELECT o.query_id, o.id, o.name,
+               o.max_time - o.avg_time AS diff_time,
+               ROUND((o.max_time - o.avg_time) / CAST(q.runtime AS DOUBLE), 9) AS diff_time_pct
+        FROM iwa_operators o JOIN ({_FQ}) q ON o.query_id = q.query_id
+        WHERE ROUND((o.max_time - o.avg_time) / CAST(q.runtime AS DOUBLE), 9) >= 0.01"""),
+}
+
+SPARK_QUERIES = {
+    "a1_op_time_by_name": op_time_by_name,
+    "a2_codegen_sink_totals": codegen_sink_totals,
+    "a3_join_counts": join_counts,
+    "a4_distinct_scan_tables": distinct_scan_tables,
+    "a5_scan_size_per_query": scan_size_per_query,
+    "a6_workload_distributions": workload_distributions,
+    "a15_rollup_by_sql_type": rollup_by_sql_type,
+    "a17_query_num_hosts": query_num_hosts,
+    "p5_operator_skew": operator_skew,
+}
