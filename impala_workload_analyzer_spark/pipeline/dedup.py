@@ -1,0 +1,274 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Cross-engine-deterministic hashing: token/shingle hashes are the first 15
+hex chars of md5 (60 bits, identical in Spark via ``conv`` and DuckDB via
+``'0x'||…`` cast), so even the LSH band buckets are oracle-checkable —
+no reliance on engine-internal hash functions.
+
+Scale design (the point of these operators):
+- exact dedup: one shuffle on the digest; at 100 TB put the digest in the
+  ingest path and dedup becomes a groupBy on a pre-partitioned column.
+- MinHash-LSH: candidate generation is |bands| rows per doc joined on
+  (band_idx, band_key) — linear, no all-pairs blowup; only candidates pay
+  the exact-Jaccard verification join. Band-key skew (boilerplate docs)
+  is the known hot spot -> AQE skew-join or a frequency cap on buckets.
+- SimHash: 64-bit signature per doc; near-dup = signature bucket (or
+  Hamming-ball probing across rotated keys at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# 60-bit md5-prefix hash — portable across Spark (conv) and DuckDB (0x cast)
+_SPARK_H = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_P = 2147483647  # Mersenne prime 2^31-1 for the minhash universal family
+_N_HASHES = 16
+_BAND_SIZE = 2  # 8 bands of 2 -> candidates at jaccard ~0.5+
+# deterministic (a, b) coefficients, odd a, fixed seed-free construction
+_COEFFS = [(2 * i + 1, 7919 * (i + 1) % _P) for i in range(1, _N_HASHES + 1)]
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def _words(spark_side: bool) -> str:
+    if spark_side:
+        return "split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ')"
+    return "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd1 — exact duplicate groups by md5(text): canonical (min) doc_id,
+    member count. One shuffle on the digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("num_docs"))
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (docs with >= 3 words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_words(True)).alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+_DUCK_SHINGLES = f"""
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, {_words(False)} AS w FROM documents)
+  WHERE len(w) >= 3
+)
+"""
+
+
+def _pair_jaccard(shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for every pair sharing >= 1 shingle (a < b)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd2 — all-pairs word-3-gram Jaccard >= 0.5 (shared-shingle candidate
+    join). The exact baseline the LSH variant approximates; at scale the
+    shared-shingle join is bounded by shingle document-frequency (cap hot
+    shingles), not |docs|^2."""
+    pairs = _pair_jaccard(_shingles_df(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3 — MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    signature[i] = min over shingles of (a_i * (h(shingle) mod p) + b_i)
+    mod p; 8 bands x 2 rows; candidates join on band key; survivors keep
+    jaccard >= 0.5. Fixed coefficients, md5-based h -> fully deterministic
+    and oracle-checked (pyspark.ml's MinHashLSH would be seed-dependent)."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hx") + F.lit(b)) % _P).alias(f"h{i}")
+            for i, (a, b) in enumerate(_COEFFS)
+        ]
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.concat_ws(
+                            "_", *[F.col(f"h{j * _BAND_SIZE + k}") for k in range(_BAND_SIZE)]
+                        ).alias("band_key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_key")
+    cands = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _pair_jaccard(_shingles_df(spark, sf_dir)).join(cands, ["doc_a", "doc_b"])
+    return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd4 — 60-bit SimHash per document: bit j of the signature is the
+    sign of sum over token occurrences of (bit j of h(token) ? +1 : -1).
+    Near-dup buckets = equal signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_words(True))).alias("tok")
+    ).withColumn("h", F.expr(_SPARK_H.format(x="tok")))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 59)")).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(F.lit(0))).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+_DUCK_JACCARD = f"""
+, {_DUCK_SHINGLES.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+_DUCK_MINHASH_SIG = (
+    "sig AS (\n  SELECT doc_id, "
+    + ", ".join(
+        f"MIN(({a} * hx + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_COEFFS)
+    )
+    + f"\n  FROM (SELECT doc_id, {_DUCK_H.format(x='shingle')} % {_P} AS hx FROM shingles)"
+    + "\n  GROUP BY doc_id\n)"
+)
+
+_DUCK_BANDS = (
+    "bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {j} AS band_idx, CAST(h{a} AS STRING) || '_' || CAST(h{b} AS STRING) AS band_key FROM sig".format(
+            j=j, a=2 * j, b=2 * j + 1
+        )
+        for j in range(_N_HASHES // _BAND_SIZE)
+    )
+    + "\n)"
+)
+
+ORACLES = {
+    "dd1_exact_dedup": """
+        SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS num_docs
+        FROM documents GROUP BY md5(text)""",
+    "dd2_ngram_jaccard_pairs": f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD}
+        SELECT doc_a, doc_b, ROUND(jaccard, 9) AS jaccard
+        FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}""",
+    "dd3_minhash_lsh_pairs": f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        {_DUCK_MINHASH_SIG},
+        {_DUCK_BANDS},
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        )
+        SELECT j.doc_a, j.doc_b, ROUND(j.jaccard, 9) AS jaccard
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= {_JACCARD_THRESHOLD}""",
+    "dd4_simhash_signatures": f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_H.format(x='tok')} AS h
+          FROM (SELECT doc_id, unnest({_words(False)}) AS tok FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id""",
+}
+
+SPARK_QUERIES = {
+    "dd1_exact_dedup": exact_dedup,
+    "dd2_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dd4_simhash_signatures": simhash_signatures,
+}
