@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf"}.
+
+Timing protocol: one shared SparkSession (JVM warm-up excluded via a
+throwaway count), then each query is planned + executed + fully drained
+with ``df.count()`` — collect() would bottleneck on driver
+serialization, which is not what we're measuring. Each query runs
+``$SPARK_GRAFT_BENCH_REPS`` times (default 1) keeping the best.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headliners: one per operator family — TPC-H scan/agg/join shapes, the
+# corpus analytics (window, join-audit, time-share), and the
+# training-data pipeline ops (dedup, similarity, text).
+HEADLINERS = (
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "w1_concurrency_sweep",
+    "w3_top_customers_per_nation",
+    "a9_join_audit_rollup",
+    "a13_avg_time_pct_per_operator",
+    "a6_workload_distributions",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh_pairs",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from impala_workload_analyzer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINERS if n in qs]
+    extra = [n for n in HEADLINERS if n not in qs]
+    if extra:
+        print(f"WARN missing headliners: {extra}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
