@@ -1,0 +1,69 @@
+"""F1-F3 unit parsers: exact reference cases (profile_analyzer.py:341-403)
+and pp->parse round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_workload_analyzer_spark.functions import units
+
+
+def _apply(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    return [r[0] for r in df.select(fn(F.col("s"))).collect()]
+
+
+def test_pp_size_to_bytes(spark):
+    # profile_analyzer.py:341-360: 1024-based, specials '0' and '-1.00 B'
+    cases = {
+        "278.73 KB": int(278.73 * 1024),
+        "1.00 GB": 1024**3,
+        "2.50 MB": int(2.5 * 1024**2),
+        "512 B": 512,
+        "0": 0,
+        "-1.00 B": -1,
+    }
+    got = _apply(spark, units.pp_size_to_bytes, list(cases))
+    assert got == list(cases.values())
+
+
+def test_pp_number_to_units(spark):
+    # profile_analyzer.py:362-380: DECIMAL units B=1e9 M=1e6 K=1e3
+    cases = {"2.85K": 2850, "1.20M": 1200000, "3B": 3000000000, "42": 42, "-1": -1}
+    got = _apply(spark, units.pp_number_to_units, list(cases))
+    assert got == list(cases.values())
+
+
+def test_pp_time_to_ns(spark):
+    # profile_analyzer.py:382-403: compound additive h/m/s/ms/us/ns
+    cases = {
+        "795.202us": 795202,
+        "1h2m": 3600 * 10**9 + 2 * 60 * 10**9,
+        "250ms": 250 * 10**6,
+        "1.5s": 1500000000,
+        "30ns": 30,
+        "1m30s": 90 * 10**9,
+    }
+    got = _apply(spark, units.pp_time_to_ns, list(cases))
+    assert got == list(cases.values())
+
+
+def test_size_roundtrip(spark):
+    """parse(pp(x)) == x within formatter precision (2 decimals)."""
+    xs = [0, 1, 1023, 1024, 10**6, 5 * 1024**2, 3 * 1024**3]
+    df = spark.createDataFrame([(x,) for x in xs], ["b"])
+    rows = df.select(
+        "b", units.pp_size_to_bytes(units.pp_bytes(F.col("b"))).alias("rt")
+    ).collect()
+    for r in rows:
+        unit = max(1, 1024 ** min(3, max(0, (r["b"].bit_length() - 1) // 10)))
+        assert abs(r["rt"] - r["b"]) <= unit * 0.005 + 1, r
+
+
+def test_cluster_id_is_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(["b:22000", "a:22000"],), (["a:22000", "b:22000"],)], ["hosts"]
+    )
+    vals = [r[0] for r in df.select(units.cluster_id(F.col("hosts"))).collect()]
+    assert vals[0] == vals[1]
+    assert len(vals[0]) == 32
