@@ -1,0 +1,232 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``:
+token stats, quality scoring, stopword-profile language-ID, and winnowing
+fingerprints.
+
+All four are pure column expressions / set-based joins — JVM-side,
+whole-stage-codegen, no Python in the hot path — and every one has an exact
+DuckDB oracle (same normalization, same 60-bit md5 hashes as
+``pipeline.dedup``).
+
+Scale notes (100 TB):
+- tx1/tx2 are embarrassingly parallel projections — no shuffle at all; they
+  belong fused into the ingest scan (Catalyst pipelines them for free).
+- tx3 joins an exploded token stream against a ~dozen-row profile dim:
+  broadcast join, then one groupBy(doc_id) — a single shuffle keyed by
+  doc_id, no skew (docs are bounded length).
+- tx4 is per-doc array math (no shuffle); the winnowed fingerprint explode
+  multiplies rows by ~doc_len/w, which is the intended index shape for a
+  downstream near-dup join on fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# normalized text: lowercase, whitespace collapsed to single spaces
+_SPARK_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# BPE-ish pre-tokenizer over the normalized text: letter runs, single
+# digits, single non-alnum marks (GPT-2-style coarse approximation)
+_BPE_PAT = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+# stopword-profile language-ID dimension: (lang, marker word)
+_PROFILE = [
+    ("en", "the"), ("en", "a"), ("en", "of"),
+    ("es", "el"), ("es", "la"), ("es", "los"),
+    ("fr", "le"), ("fr", "les"), ("fr", "une"),
+    ("de", "der"), ("de", "die"), ("de", "das"),
+    ("zh", "的"), ("zh", "是"), ("zh", "了"),
+]
+_LANGS = sorted({lang for lang, _ in _PROFILE})
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+_K = 5  # fingerprint word-k-gram size
+_W = 4  # winnowing window (in k-gram positions)
+
+_SPARK_H = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _with_norm(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("norm", F.expr(_SPARK_NORM)).withColumn(
+        "words", F.split("norm", " ")
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx1 — per-document token accounting: chars, whitespace tokens,
+    distinct tokens, BPE-ish subword count, mean token length."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("norm").alias("n_chars"),
+        F.size("words").alias("n_tokens"),
+        F.size(F.array_distinct("words")).alias("n_distinct_tokens"),
+        F.expr(f"size(regexp_extract_all(norm, '{_BPE_PAT}', 0))").alias("n_bpe_tokens"),
+        (
+            F.length(F.regexp_replace("norm", " ", "")).cast("double")
+            / F.size("words").cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx2 — heuristic quality signals: length, punctuation ratio, stopword
+    ratio, type-token ratio; ``keep`` = all thresholds pass (the classic
+    pre-training corpus filter shape)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        F.length("norm").alias("n_chars"),
+        F.size("words").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("norm", "[a-z0-9 ]", "")).cast("double")
+            / F.length("norm").cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.expr(f"size(filter(words, w -> array_contains(array({stop_arr}), w)))").cast("double")
+            / F.size("words").cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.array_distinct("words")).cast("double") / F.size("words").cast("double")
+        ).alias("type_token_ratio"),
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("type_token_ratio") >= 0.2),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx3 — stopword-profile language identification: explode tokens, hit a
+    tiny (lang, marker) dim (broadcast), argmax hits per doc with a
+    deterministic (hits desc, lang asc) tie-break; zero-hit docs fall back to
+    the alphabetically-first profile language (A12-style zero-fill)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    profile = spark.createDataFrame(_PROFILE, ["pred_lang", "word"])
+    toks = docs.select("doc_id", "lang", F.explode("words").alias("word"))
+    hits = (
+        toks.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "pred_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    langs = spark.createDataFrame([(l,) for l in _LANGS], ["pred_lang"])
+    grid = docs.select("doc_id", "lang").crossJoin(F.broadcast(langs))
+    filled = grid.join(hits, ["doc_id", "pred_lang"], "left").fillna(0, ["hits"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("pred_lang"))
+    return (
+        filled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "pred_lang", "hits")
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx4 — winnowing document fingerprints (Schleimer et al. 2003 shape):
+    60-bit hashes of word-5-grams, distinct min per sliding window of 4
+    positions. Output is the (doc_id, fingerprint) index a near-dup join
+    would consume."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    kgram = "concat_ws(' ', slice(words, i, %d))" % _K
+    return (
+        docs.filter(F.size("words") >= _K + _W - 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(words) - {_K - 1}),"
+                f" i -> {_SPARK_H.format(x=kgram)})"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(h) - {_W - 1}),"
+                    f" i -> array_min(slice(h, i, {_W}))))"
+                )
+            ).alias("fingerprint"),
+        )
+    )
+
+
+_DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
+
+_PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
+_LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
+_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+ORACLES = {
+    "tx1_token_stats": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_NORM} AS norm, {_DUCK_WORDS} AS words FROM documents)
+        SELECT doc_id,
+               length(norm) AS n_chars,
+               len(words) AS n_tokens,
+               len(list_distinct(words)) AS n_distinct_tokens,
+               len(regexp_extract_all(norm, '{_BPE_PAT}')) AS n_bpe_tokens,
+               CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE) AS mean_token_len
+        FROM d""",
+    "tx2_quality_score": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_NORM} AS norm, {_DUCK_WORDS} AS words FROM documents),
+        s AS (
+          SELECT doc_id,
+                 length(norm) AS n_chars,
+                 len(words) AS n_tokens,
+                 CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(norm) AS DOUBLE) AS punct_ratio,
+                 CAST(len(list_filter(words, w -> list_contains([{_STOP_LIST}], w))) AS DOUBLE)
+                   / CAST(len(words) AS DOUBLE) AS stopword_ratio,
+                 CAST(len(list_distinct(words)) AS DOUBLE)
+                   / CAST(len(words) AS DOUBLE) AS type_token_ratio
+          FROM d)
+        SELECT *,
+               (n_tokens >= 10 AND punct_ratio <= 0.2 AND type_token_ratio >= 0.2) AS keep
+        FROM s""",
+    "tx3_language_id": f"""
+        WITH d AS (SELECT doc_id, lang, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT doc_id, lang, unnest(words) AS word FROM d),
+        profile(pred_lang, word) AS (VALUES {_PROFILE_VALUES}),
+        hits AS (
+          SELECT doc_id, pred_lang, COUNT(*) AS hits
+          FROM toks JOIN profile USING (word)
+          GROUP BY doc_id, pred_lang),
+        langs(pred_lang) AS (VALUES {_LANG_VALUES}),
+        filled AS (
+          SELECT d.doc_id, d.lang, langs.pred_lang, COALESCE(hits.hits, 0) AS hits
+          FROM (SELECT DISTINCT doc_id, lang FROM d) d
+          CROSS JOIN langs
+          LEFT JOIN hits ON hits.doc_id = d.doc_id AND hits.pred_lang = langs.pred_lang),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY hits DESC, pred_lang ASC) AS rn
+          FROM filled)
+        SELECT doc_id, lang, pred_lang, hits FROM ranked WHERE rn = 1""",
+    "tx4_winnow_fingerprints": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(words) - {_K - 2}),
+                   i -> {_DUCK_H.format(x=f"array_to_string(words[i:i+{_K - 1}], ' ')")}) AS h
+          FROM d WHERE len(words) >= {_K + _W - 1})
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(h) - {_W - 2}),
+                 i -> list_min(h[i:i+{_W - 1}])))) AS fingerprint
+        FROM g""",
+}
+
+SPARK_QUERIES = {
+    "tx1_token_stats": token_stats,
+    "tx2_quality_score": quality_score,
+    "tx3_language_id": language_id,
+    "tx4_winnow_fingerprints": winnow_fingerprints,
+}
