@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+brute-force cosine top-k as the exact baseline, a random-hyperplane
+LSH-bucketed variant as the scale path, and per-label centroids (the IVF
+coarse-quantizer building block).
+
+Cross-engine float determinism: both sides compute the dot product as a
+strictly sequential left fold over CAST(float AS DOUBLE) products — Spark's
+``aggregate`` and DuckDB's ``list_reduce`` — so the similarity values are
+bit-identical; ranking additionally rounds to 9 decimals with a vec_id
+tie-break so top-k membership can never diverge on last-bit noise.
+
+Scale notes (100 TB):
+- sim1 broadcasts the (small) query batch against the full corpus: map-side
+  cosine, one shuffle keyed by query for the top-k — the right baseline
+  shape, linear in corpus size.
+- sim2 buckets both sides by the 4-bit hyperplane signature first: the join
+  explodes only within buckets (corpus/16 per probe on average) — the
+  classic LSH-ANN trade of recall for a 16x candidate cut; more planes or
+  multi-probe raise precision/recall at the same join shape.
+- sim3 is a posexplode + groupBy(label, pos) partial-agg — one shuffle of
+  dim x labels rows; centroids then broadcast for IVF assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+_TOP_K = 5
+_QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query batch
+_N_PLANES = 4
+_DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    """Deterministic integer hyperplane weights in [-3, 3]."""
+    return [((i * 31 + j * 17 + i * j) % 7) - 3 for i in range(_DIM)]
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _spark_plane_bits(vec: str) -> str:
+    """4-bit LSH signature: sign of <vec, plane_j> for j in 0..3."""
+    terms = []
+    for j in range(_N_PLANES):
+        w = "array(" + ", ".join(str(c) for c in _plane(j)) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {w}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _duck_plane_bits(vec: str) -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        w = "[" + ", ".join(str(c) for c in _plane(j)) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({w})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", F.expr(f"sqrt({_spark_dot('embedding', 'embedding')})"))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim1 — exact cosine top-k: deterministic query batch (vec_id %
+    {mod} == 0) broadcast against the corpus; rank by rounded similarity
+    with vec_id tie-break."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim")
+    )
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim2 — LSH-bucketed ANN: 4 random-hyperplane sign bits bucket the
+    corpus; each probe scans only its own bucket, then exact cosine + top-k.
+    Recall < 1 by design — the scale path sim1 is the oracle for."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_spark_plane_bits("embedding"))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket"),
+    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    pairs = emb.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim", "bucket")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim3 — per-label mean vector (the IVF coarse quantizer): posexplode ->
+    groupBy(label, pos) partial agg -> reassemble ordered array; components
+    rounded to 6 decimals to absorb partial-agg accumulation-order noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).groupBy(
+        "label", "pos"
+    ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias(
+                "centroid"
+            ),
+            F.count("*").alias("dim"),
+        )
+        .select("label", "dim", F.explode("centroid").alias("component"))
+    )
+
+
+ORACLES = {
+    "sim1_brute_force_topk": f"""
+        WITH e AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {_TOP_K}""",
+    "sim2_lsh_topk": f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 {_duck_plane_bits('embedding')} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, rank, sim, bucket FROM ranked WHERE rank <= {_TOP_K}""",
+    "sim3_label_centroids": """
+        WITH comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1)
+        SELECT label, COUNT(*) OVER (PARTITION BY label) AS dim, c AS component
+        FROM comp""",
+}
+
+SPARK_QUERIES = {
+    "sim1_brute_force_topk": brute_force_topk,
+    "sim2_lsh_topk": lsh_topk,
+    "sim3_label_centroids": label_centroids,
+}
