@@ -20,7 +20,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as raw INT64 nanoseconds
+    (``nanosAsLong``) and rebuild a microsecond TimestampType column with
+    exact integer division (DuckDB's reader truncates ns -> us the same
+    way). Set at call time so it also works on a caller-owned session."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,112 @@
+"""Structured Streaming analogs of the batch event analytics.
+
+``st1_streaming_tumbling`` runs a REAL streaming job — file source ->
+windowed aggregation -> memory sink, ``availableNow`` trigger — and is
+checked against the SAME DuckDB oracle as the batch ``ev1_tumbling_hourly``:
+with a finite, in-order source and complete output mode, the streaming and
+batch results must be identical. That equivalence is the test.
+
+``st2_streaming_sessions`` exercises the watermark + ``session_window``
+operator (the engine-native form of ev3's gaps-and-islands) in append mode.
+Watermarked append emits only windows the watermark has passed; with
+``availableNow`` the final batch's windows stay pending, so the row set is
+checked for internal consistency (rows-only driver check) rather than
+oracle equality — the batch twin ev3 carries the exact-value gate.
+
+Scale notes: the same plans run unchanged against a Kafka/Kinesis source at
+cluster scale; state-store size is bounded by (windows x types) for st1 and
+by open sessions for st2 — both keyed shuffles, no driver state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GAP = "30 minutes"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming file source requires a directory; the fixture is a
+    single parquet file, so expose it through a symlink dir (repo-local,
+    gitignored). At cluster scale this is simply the landing directory new
+    files arrive in."""
+    path = os.path.join(sf_dir, "events.parquet")
+    link_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".stream_src",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events-000.parquet")
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.load_events
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(link_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    )
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st1 — streaming 1-hour tumbling count/sum per event_type; complete
+    mode so every window is emitted at end-of-stream (same oracle as ev1)."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    _run_to_memory(agg, "st1_out", "complete")
+    return spark.table("st1_out").select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st2 — watermarked session windows per user (gap 30 min), append mode:
+    the engine-native stateful-session operator. Emitted rows are the
+    watermark-finalized prefix of ev3's sessions."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    _run_to_memory(agg, "st2_out", "append")
+    return spark.table("st2_out").select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+# st1 shares ev1's oracle text (batch/stream equivalence IS the check);
+# st2 is rows-only by design (watermark semantics are not SQL-expressible).
+from ..pipeline.events_analytics import _EV1_ORACLE  # noqa: E402
+
+ORACLES = {"st1_streaming_tumbling": _EV1_ORACLE}
+
+SPARK_QUERIES = {
+    "st1_streaming_tumbling": streaming_tumbling,
+    "st2_streaming_sessions": streaming_sessions,
+}
