@@ -1,0 +1,543 @@
+"""Profile-log ingest (SURVEY.md §2.1 S1-S10): log lines -> typed tables.
+
+Pipeline, all distributed:
+- S1  ``spark.read.text`` over the tag-partitioned log dir; 3rd
+      space-separated field is the payload (analyze_profiles.py:14-16).
+- S2  base64 + zlib decode inside ``mapInPandas`` (analyze_profiles.py:17).
+- S3  status gate: drop unless State FINISHED / Status OK
+      (profile_analyzer.py:24-26).
+- S4  type dispatch QUERY/DML vs DDL (profile_analyzer.py:29-37).
+- S5  ExecSummary regex parse — 10 fields/row, 3 header lines skipped
+      (profile_analyzer.py:59-76).
+- S6  stateful indentation parse of the Plan tree — fragment membership,
+      parent edges, join children RIGHT CHILD FIRST
+      (profile_analyzer.py:78-193). Kept as plain per-profile Python inside
+      ``mapInPandas``: inherently sequential per profile, embarrassingly
+      parallel across profiles.
+- S7  counter harvest: averaged vs per-instance sections
+      (profile_analyzer.py:195-270).
+- S8  ``dropDuplicates(['query_id','id'])`` replaces the reference's unique
+      Mongo index (profile_analyzer.py:15-21).
+- S10 cascade delete by tag as a left-anti join
+      (delete_queries_with_tag.py:5-9).
+
+Correctness gate: the renderer (``profile_render``) derives profile text
+from the corpus, so every parse output is oracle-checked as
+``parse(render(corpus)) == corpus`` with the expected values re-derived in
+DuckDB from the same corpus CTEs.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus.corpus_sql import with_corpus
+from .profile_render import ensure_profiles
+
+# --- faithful ports of the pretty-print parsers (profile_analyzer.py:341-403)
+
+_SIZE_RE = re.compile(
+    r"^((?P<GB>[0-9.]+) ?GB)?((?P<MB>[0-9.]+) ?MB)?((?P<KB>[0-9.]+) ?KB)?"
+    r"((?P<B>-?[0-9.]+) ?B)?(0)?$"
+)
+_NUM_RE = re.compile(
+    r"^((?P<B>[0-9.]+)B)?((?P<M>[0-9.]+)M)?((?P<K>[0-9.]+)K)?((?P<S>-?[0-9.]+))?$"
+)
+_TIME_RE = re.compile(
+    r"^((?P<h>[0-9.]+)h)?((?P<m>[0-9.]+)m)?((?P<s>[0-9.]+)s)?((?P<ms>[0-9.]+)ms)?"
+    r"((?P<us>[0-9.]+)us)?((?P<ns>[0-9.]+)ns)?$"
+)
+
+
+def _pp_size(s: str) -> int:
+    g = _SIZE_RE.match(s).groupdict()
+    total = 0.0
+    for key, mult in (("GB", 1024**3), ("MB", 1024**2), ("KB", 1024), ("B", 1)):
+        if g[key] is not None:
+            total += float(g[key]) * mult
+    return int(total)
+
+
+def _pp_number(s: str) -> int:
+    g = _NUM_RE.match(s).groupdict()
+    total = 0.0
+    for key, mult in (("B", 10**9), ("M", 10**6), ("K", 10**3), ("S", 1)):
+        if g[key] is not None:
+            total += float(g[key]) * mult
+    return int(total)
+
+
+def _pp_time(s: str) -> int:
+    g = _TIME_RE.match(s).groupdict()
+    total = 0.0
+    for key, mult in (
+        ("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
+        ("ms", 10**6), ("us", 10**3), ("ns", 1),
+    ):
+        if g[key] is not None:
+            total += float(g[key]) * mult
+    return int(total)
+
+
+_EXEC_RE = re.compile(
+    r"^[^0-9]*(?P<id>[0-9]+):(?P<name>[A-Z\- ]+?)\s+(?P<num_hosts>[0-9]+)\s+"
+    r"(?P<avg_time>[0-9.hmsun]+)\s+(?P<max_time>[0-9.hmsun]+)\s+"
+    r"(?P<num_rows>[0-9.BMK]+)\s+(?P<est_num_rows>[0-9.\-BMK]+)\s+"
+    r"(?P<peak_mem>[0-9.]+( [GMKB]+)?)\s+(?P<est_peak_mem>[0-9.\-]+( [GMKB]+)?)\s+"
+    r"(?P<detail>.*)$"
+)
+_FRAG_RE = re.compile(r"^F(?P<id>[0-9]+):PLAN FRAGMENT \[.+\]\s*$")
+_SINK_RE = re.compile(
+    r"^\s+DATASTREAM SINK \[FRAGMENT=F(?P<fragment_id>[0-9]+), "
+    r"EXCHANGE=(?P<exchange_id>[0-9]+), (?P<detail>.*)\]\s*$"
+)
+_OP_RE = re.compile(
+    r"^\s+(?P<indent>[|\- ]+)?(?P<id>[0-9]+):(?P<name>[A-Z\- ]+?)"
+    r"(\s+\[(?P<detail>.+)\])?\s*$"
+)
+_CARD_RE = re.compile(
+    r"^\s+[| ]+tuple-ids=(?P<tuple_ids>[0-9,N]+) row-size=(?P<row_size>[0-9.]+[GMKB]+) "
+    r"cardinality=(?P<cardinality>[0-9]+|unavailable)\s*$"
+)
+_SCAN_RE = re.compile(
+    r"^\s+partitions=(?P<partitions>[0-9]+/[0-9]+) files=(?P<files>[0-9]+) "
+    r"size=(?P<size>[0-9.]+[GMKB]+)\s*$"
+)
+_AVG_FRAG_HDR = re.compile(r"^Averaged Fragment F(?P<id>[0-9]+)$")
+_COORD_FRAG_HDR = re.compile(r"^Coordinator Fragment F(?P<id>[0-9]+)$")
+_INST_FRAG_HDR = re.compile(r"^Fragment F(?P<id>[0-9]+)$")
+_NODE_RE = re.compile(r"^  (?P<name>.+_NODE) \(id=(?P<id>[0-9]+)\): (?P<counters>.*)$")
+_SUBSYS_RE = re.compile(r"^  (?P<name>CodeGen|HdfsTableSink): (?P<counters>.*)$")
+_INFO_RE = re.compile(r"^    (?P<key>[A-Za-z]+): (?P<value>.*)$")
+_HOST_RE = re.compile(r"(?P<host>[^() ]+:[0-9]+)")
+_VERSION_RE = re.compile(
+    r"^impalad version (?P<impala_version>[^ ]+) (?P<impala_flag>[^ ]+) "
+    r"\(build (?P<impala_build>[0-9a-zA-Z]+)\)$"
+)
+
+
+def _counter_val(v: str):
+    return float(v) if "." in v else int(v)
+
+
+def _sections(text: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    current: list[str] | None = None
+    for line in text.split("\n"):
+        m = re.match(r"^=== (.+) ===$", line)
+        if m:
+            current = out.setdefault(m.group(1), [])
+        elif current is not None:
+            current.append(line)
+    return out
+
+
+def _micros(ts: str) -> int:
+    dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f000")
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) + 0
+
+
+def parse_profile(text: str, tag: str):
+    """One profile -> (query_row | None, operator_rows, fragment_rows).
+
+    Mirrors ProfileAnalyzer.analyze / analyzeQuery / analyzeDDL
+    (profile_analyzer.py:23-313) over our sectioned text serialization of
+    the thrift info strings.
+    """
+    sections = _sections(text)
+    info = {}
+    for line in sections.get("Summary", ()):
+        if ": " in line:
+            key, val = line.split(": ", 1)
+            info[key] = val
+        elif line.endswith(":"):
+            info[line[:-1]] = ""
+    # S3 status gate (profile_analyzer.py:24-26)
+    if info.get("Query State") != "FINISHED" or info.get("Query Status") != "OK":
+        return None, [], []
+    qtype = info["Query Type"]
+    timeline = [int(x) for x in info["Query Timeline"].split(",")]
+    vm = _VERSION_RE.match(info["Impala Version"])
+    query = {
+        "tag": tag,
+        "query_id": info["Query Id"],
+        "query_type": qtype,
+        "sql_stmt": info["Sql Statement"],
+        "runtime": timeline[-1],
+        "start_time": _micros(info["Start Time"]),
+        "end_time": _micros(info["End Time"]),
+        "impala_version": vm.group("impala_version"),
+        "impala_flag": vm.group("impala_flag"),
+        "impala_build": vm.group("impala_build"),
+        "plan_time": None, "fragment_start_time": None,
+        "num_hdfs_scans": None, "num_tables": None,
+    }
+
+    if qtype == "DDL":  # analyzeDDL (profile_analyzer.py:39-48)
+        hosts = [info["Coordinator"]]
+        query["cluster"] = hashlib.md5(" ".join(hosts).encode()).hexdigest()
+        query["num_hosts"] = len(hosts)
+        return query, [], []
+    if qtype not in ("QUERY", "DML"):
+        return None, [], []
+    if "ExecSummary" not in sections:  # e.g. GET_SCHEMAS (profile_analyzer.py:51-53)
+        return None, [], []
+
+    # S5 ExecSummary (profile_analyzer.py:59-76); 3 header lines skipped
+    operators: dict[int, dict] = {}
+    for line in sections["ExecSummary"][3:]:
+        m = _EXEC_RE.match(line)
+        if not m:
+            continue
+        op = {
+            "id": int(m.group("id")),
+            "query_id": query["query_id"],
+            "name": m.group("name"),
+            "num_hosts": int(m.group("num_hosts")),
+            "avg_time": _pp_time(m.group("avg_time")),
+            "max_time": _pp_time(m.group("max_time")),
+            "num_rows": _pp_number(m.group("num_rows")),
+            "est_num_rows": _pp_number(m.group("est_num_rows")),
+            "peak_mem": _pp_size(m.group("peak_mem")),
+            "est_peak_mem": _pp_size(m.group("est_peak_mem")),
+            "detail": m.group("detail").strip(),
+        }
+        operators[op["id"]] = op
+
+    # S6 Plan tree (profile_analyzer.py:78-193)
+    fragments: dict[int, dict] = {}
+    fragment: dict | None = None
+    curr: dict | None = None
+    parent_ops: dict[int, dict | None] = {0: None}
+    for line in sections["Plan"]:
+        m = _FRAG_RE.match(line)
+        if m:
+            fragment = {"id": int(m.group("id")), "query_id": query["query_id"],
+                        "exchange_id": None}
+            fragments[fragment["id"]] = fragment
+            curr = None
+            parent_ops = {0: None}
+            continue
+        m = _SINK_RE.match(line)
+        if m:
+            fragment["exchange_id"] = int(m.group("exchange_id"))
+            continue
+        m = _OP_RE.match(line)
+        if m:
+            curr = operators[int(m.group("id"))]
+            indent = m.group("indent")
+            if indent is None:
+                parent = parent_ops[0]
+            elif indent.endswith("--"):
+                width = len(indent)
+                parent_indent = 0
+                for key in parent_ops:
+                    if key < width:
+                        parent_indent = max(parent_indent, key)
+                parent = parent_ops[parent_indent]
+            else:
+                parent = parent_ops[len(indent)]
+            curr["fragment_id"] = fragment["id"]
+            curr["parent_id"] = None if parent is None else parent["id"]
+            if parent is not None and parent["name"] in ("HASH JOIN", "CROSS JOIN"):
+                # right child is listed first (profile_analyzer.py:136-141)
+                if "right_child_id" not in parent:
+                    parent["right_child_id"] = curr["id"]
+                else:
+                    parent["left_child_id"] = curr["id"]
+            detail = m.group("detail")
+            name = m.group("name")
+            if name == "SCAN HDFS":
+                curr["table"] = re.split(" |,", detail)[0]
+            elif name == "HASH JOIN":
+                curr["join_type"] = re.split(", ", detail)[0]
+                curr["join_impl"] = re.split(", ", detail)[1]
+            elif name == "CROSS JOIN":
+                curr["join_impl"] = detail
+            elif name == "AGGREGATE":
+                if detail is None:
+                    curr["agg_type"] = "PRE"
+                else:
+                    assert detail == "FINALIZE"
+                    curr["agg_type"] = "POST"
+            parent_ops[0 if indent is None else len(indent)] = curr
+            continue
+        m = _CARD_RE.match(line)
+        if m:
+            card = m.group("cardinality")
+            curr["cardinality"] = -1 if card == "unavailable" else int(card)
+            curr["row_size"] = _pp_size(m.group("row_size"))
+            continue
+        m = _SCAN_RE.match(line)
+        if m:
+            curr["size"] = _pp_size(m.group("size"))
+            continue
+
+    # S7 counter harvest (profile_analyzer.py:195-270)
+    is_averaged = False
+    curr_frag: dict | None = None
+    curr_node_op: dict | None = None
+    for line in sections.get("Counters", ()):
+        for hdr, avg in ((_AVG_FRAG_HDR, True), (_COORD_FRAG_HDR, False),
+                         (_INST_FRAG_HDR, False)):
+            m = hdr.match(line)
+            if m:
+                is_averaged = avg
+                curr_frag = fragments[int(m.group("id"))]
+                curr_node_op = None
+                break
+        else:
+            m = _NODE_RE.match(line)
+            if m:
+                op = operators[int(m.group("id"))]
+                curr_node_op = op
+                pairs = [kv.split("=", 1) for kv in m.group("counters").split(", ")]
+                if is_averaged:
+                    op["avg_counters"] = {k: _counter_val(v) for k, v in pairs}
+                else:
+                    counters = op.setdefault("counters", {})
+                    for k, v in pairs:
+                        counters.setdefault(k, []).append(_counter_val(v))
+                continue
+            m = _SUBSYS_RE.match(line)
+            if m:
+                which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
+                    m.group("name")
+                ]
+                pairs = [kv.split("=", 1) for kv in m.group("counters").split(", ")]
+                if is_averaged:
+                    curr_frag["avg_" + which] = {k: _counter_val(v) for k, v in pairs}
+                else:
+                    store = curr_frag.setdefault(which, {})
+                    for k, v in pairs:
+                        store.setdefault(k, []).append(_counter_val(v))
+                continue
+            m = _INFO_RE.match(line)
+            if m and curr_node_op is not None:
+                curr_node_op.setdefault("info", {}).setdefault(
+                    m.group("key"), []
+                ).append(m.group("value"))
+
+    # query-level rollups (profile_analyzer.py:284-308)
+    if "Per Node Peak Memory Usage" in info:
+        hosts = _HOST_RE.findall(info["Per Node Peak Memory Usage"])
+    else:
+        hosts = [info["Coordinator"]]
+    hosts.sort()
+    scans = [o for o in operators.values() if o["name"] == "SCAN HDFS"]
+    query.update({
+        "plan_time": timeline[1],
+        "fragment_start_time": timeline[3] - timeline[1],
+        "cluster": hashlib.md5(" ".join(hosts).encode()).hexdigest(),
+        "num_hosts": max(o["num_hosts"] for o in operators.values()),
+        "num_hdfs_scans": len(scans),
+        "num_tables": len({o["table"] for o in scans}),
+    })
+    assert len(hosts) >= query["num_hosts"]
+    return query, list(operators.values()), list(fragments.values())
+
+
+# --- Spark plumbing ---------------------------------------------------------
+
+_L, _S, _D = T.LongType(), T.StringType(), T.DoubleType()
+
+
+def _schema(fields: list[tuple[str, T.DataType]]) -> T.StructType:
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+OP_SCHEMA = _schema(
+    [("tag", _S), ("query_id", _S), ("id", _L), ("name", _S), ("num_hosts", _L),
+     ("avg_time", _L), ("max_time", _L), ("num_rows", _L), ("est_num_rows", _L),
+     ("peak_mem", _L), ("est_peak_mem", _L), ("detail", _S), ("fragment_id", _L),
+     ("parent_id", _L), ("left_child_id", _L), ("right_child_id", _L),
+     ("table_name", _S), ("join_type", _S), ("join_impl", _S), ("agg_type", _S),
+     ("cardinality", _L), ("row_size", _L), ("size", _L), ("rows_returned", _L),
+     ("rr_i1", _L), ("rr_i2", _L), ("tt_i1", _L), ("tt_i2", _L)]
+)
+FRAG_SCHEMA = _schema(
+    [("tag", _S), ("query_id", _S), ("id", _L), ("exchange_id", _L),
+     ("avg_code_gen_total", _D), ("avg_hdfs_table_sink_total", _D),
+     ("cg_i1", _L), ("cg_i2", _L), ("sink_i1", _L), ("sink_i2", _L)]
+)
+QUERY_SCHEMA = _schema(
+    [("tag", _S), ("query_id", _S), ("query_type", _S), ("sql_stmt", _S),
+     ("runtime", _L), ("plan_time", _L), ("fragment_start_time", _L),
+     ("start_time", _L), ("end_time", _L), ("cluster", _S), ("num_hosts", _L),
+     ("num_hdfs_scans", _L), ("num_tables", _L), ("impala_version", _S),
+     ("impala_flag", _S), ("impala_build", _S)]
+)
+
+
+def _decoded_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: read log lines; payload is the 3rd space-separated field."""
+    path = ensure_profiles(spark, sf_dir)
+    return spark.read.text(path).select(
+        F.split("value", " ").getItem(2).alias("blob"),
+        F.col("tag").cast("string").alias("tag"),
+    )
+
+
+def _op_row(tag: str, o: dict) -> tuple:
+    avg = o.get("avg_counters", {})
+    cnt = o.get("counters", {})
+    rr = cnt.get("RowsReturned", [None, None])
+    tt = cnt.get("TotalTime", [None, None])
+    return (
+        tag, o["query_id"], o["id"], o["name"], o["num_hosts"], o["avg_time"],
+        o["max_time"], o["num_rows"], o["est_num_rows"], o["peak_mem"],
+        o["est_peak_mem"], o["detail"], o.get("fragment_id"), o.get("parent_id"),
+        o.get("left_child_id"), o.get("right_child_id"), o.get("table"),
+        o.get("join_type"), o.get("join_impl"), o.get("agg_type"),
+        o.get("cardinality"), o.get("row_size"), o.get("size"),
+        None if "RowsReturned" not in avg else int(avg["RowsReturned"]),
+        rr[0], rr[1], tt[0], tt[1],
+    )
+
+
+def _frag_row(tag: str, fr: dict) -> tuple:
+    cg = fr.get("code_gen", {}).get("TotalTime", [None, None])
+    sink = fr.get("hdfs_table_sink", {}).get("TotalTime", [None, None])
+    return (
+        tag, fr["query_id"], fr["id"], fr.get("exchange_id"),
+        fr.get("avg_code_gen", {}).get("TotalTime"),
+        fr.get("avg_hdfs_table_sink", {}).get("TotalTime"),
+        cg[0], cg[1], sink[0], sink[1],
+    )
+
+
+def _query_row(q: dict) -> tuple:
+    return tuple(q[f.name] for f in QUERY_SCHEMA.fields)
+
+
+def _parse_table(spark: SparkSession, sf_dir: str, which: str,
+                 schema: T.StructType) -> DataFrame:
+    lines = _decoded_lines(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob, tag in zip(pdf["blob"], pdf["tag"]):
+                text = zlib.decompress(base64.b64decode(blob)).decode("utf-8")
+                query, ops, frags = parse_profile(text, tag)
+                if query is None:
+                    continue
+                if which == "operators":
+                    rows.extend(_op_row(tag, o) for o in ops)
+                elif which == "fragments":
+                    rows.extend(_frag_row(tag, fr) for fr in frags)
+                else:
+                    rows.append(_query_row(query))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    out = lines.mapInPandas(run, schema=schema)
+    if which in ("operators", "fragments"):
+        # S8: replaces the unique (query_id, id) index (profile_analyzer.py:15-21)
+        out = out.dropDuplicates(["query_id", "id"])
+    else:
+        out = out.dropDuplicates(["query_id"])
+    return out
+
+
+def parsed_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ing1 — full ingest to the operators table (S1-S8)."""
+    return _parse_table(spark, sf_dir, "operators", OP_SCHEMA)
+
+
+def parsed_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ing2 — full ingest to the fragments table."""
+    return _parse_table(spark, sf_dir, "fragments", FRAG_SCHEMA)
+
+
+def parsed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ing3 — full ingest to the queries table (incl. DDL path + status
+    gate)."""
+    return _parse_table(spark, sf_dir, "queries", QUERY_SCHEMA)
+
+
+def delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ing4 — S10 cascade delete re-expressed as a left-anti join
+    (delete_queries_with_tag.py:5-9): drop the 'adhoc' workload, return the
+    surviving operators."""
+    doomed = parsed_queries(spark, sf_dir).filter(F.col("tag") == "adhoc").select(
+        "query_id"
+    )
+    return (
+        parsed_operators(spark, sf_dir)
+        .join(doomed, "query_id", "left_anti")
+        .select("query_id", "id", "name")
+    )
+
+
+# --- DuckDB oracles: expected parse output re-derived from the corpus -------
+
+_K = "CAST(query_id AS BIGINT)"
+_TAG = f"CASE WHEN {_K} % 2 = 0 THEN 'tpch' ELSE 'adhoc' END"
+
+_HOSTS_SORTED = (
+    "array_to_string(list_sort(list_transform(range(1, CAST(num_hosts AS BIGINT) + 1),"
+    " i -> 'host' || CAST(k % 8 AS VARCHAR) || '-' || CAST(i AS VARCHAR) || ':22000')), ' ')"
+)
+
+ORACLES = {
+    "ing1_parsed_operators": with_corpus(f"""
+        SELECT {_TAG} AS tag, query_id, id, name, num_hosts, avg_time, max_time,
+               num_rows, est_num_rows, peak_mem, est_peak_mem, detail,
+               fragment_id, parent_id, left_child_id, right_child_id,
+               table_name, join_type, join_impl, agg_type,
+               cardinality, row_size, size,
+               rows_returned, rr_i1, rr_i2, tt_i1, tt_i2
+        FROM iwa_operators WHERE {_K} % 41 <> 0"""),
+    "ing2_parsed_fragments": with_corpus(f"""
+        SELECT {_TAG} AS tag, query_id, id, exchange_id,
+               avg_code_gen_total, avg_hdfs_table_sink_total,
+               cg_i1, cg_i2, sink_i1, sink_i2
+        FROM iwa_fragments WHERE {_K} % 41 <> 0"""),
+    "ing3_parsed_queries": with_corpus(f"""
+        SELECT {_TAG} AS tag, query_id, query_type,
+               CASE sql_type
+                 WHEN 'DdlStmt' THEN 'CREATE TABLE t_' || CAST(k AS VARCHAR) || ' (i INT)'
+                 WHEN 'InsertStmt' THEN 'INSERT INTO t_' || CAST(k % 7 AS VARCHAR)
+                      || ' SELECT c1 FROM s WHERE id > ' || CAST(k AS VARCHAR)
+                 WHEN 'UnionStmt' THEN 'SELECT c1 FROM a WHERE id = ' || CAST(k AS VARCHAR)
+                      || ' UNION ALL SELECT c1 FROM b'
+                 ELSE 'SELECT c1, c2 FROM t WHERE id = ' || CAST(k AS VARCHAR)
+                      || ' ORDER BY c1 LIMIT 10'
+               END AS sql_stmt,
+               runtime,
+               CASE WHEN query_type = 'DDL' THEN NULL ELSE plan_time END AS plan_time,
+               CASE WHEN query_type = 'DDL' THEN NULL ELSE fragment_start_time END
+                 AS fragment_start_time,
+               start_time, end_time,
+               CASE WHEN query_type = 'DDL'
+                    THEN md5('host' || CAST(k % 8 AS VARCHAR) || '-1:22000')
+                    ELSE md5({_HOSTS_SORTED}) END AS cluster,
+               CASE WHEN query_type = 'DDL' THEN 1 ELSE num_hosts END AS num_hosts,
+               CASE WHEN query_type = 'DDL' THEN NULL ELSE num_hdfs_scans END
+                 AS num_hdfs_scans,
+               CASE WHEN query_type = 'DDL' THEN NULL ELSE num_tables END AS num_tables,
+               '2.' || CAST(k % 3 AS VARCHAR) || '.0' AS impala_version,
+               'RELEASE' AS impala_flag,
+               CAST(k % 2 AS VARCHAR) AS impala_build
+        FROM iwa_queries WHERE k % 41 <> 0"""),
+    "ing4_delete_by_tag": with_corpus(f"""
+        SELECT query_id, id, name
+        FROM iwa_operators WHERE {_K} % 41 <> 0 AND {_K} % 2 = 0"""),
+}
+
+SPARK_QUERIES = {
+    "ing1_parsed_operators": parsed_operators,
+    "ing2_parsed_fragments": parsed_fragments,
+    "ing3_parsed_queries": parsed_queries,
+    "ing4_delete_by_tag": delete_by_tag,
+}
