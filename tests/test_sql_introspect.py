@@ -1,0 +1,167 @@
+"""Table-driven parity tests for the SQL introspection layer, mirroring the
+reference visitor semantics (QueryAnalyzer.java / QueryStats.java /
+Parameterizer.java) clause by clause."""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_workload_analyzer_spark.sql_introspect.parser import (
+    classify_statement,
+    extract_sql_features,
+    parameterize_sql,
+)
+
+
+def stats(sql: str) -> dict:
+    return extract_sql_features(sql)["stats"]
+
+
+# --- Q2 classification -------------------------------------------------------
+
+@pytest.mark.parametrize("sql,expected", [
+    ("SELECT 1", "SelectStmt"),
+    ("SELECT 1 UNION ALL SELECT 2", "UnionStmt"),
+    ("WITH v AS (SELECT 1) SELECT * FROM v", "SelectStmt"),
+    ("INSERT INTO t SELECT 1", "InsertStmt"),
+    ("INSERT OVERWRITE t SELECT 1", "InsertStmt"),
+    ("CREATE TABLE t (i INT)", "CreateTableStmt"),
+    ("DROP TABLE t", "DropStmt"),
+    ("SHOW TABLES", "ShowStmt"),
+])
+def test_classification(sql, expected):
+    assert classify_statement(sql) == expected
+
+
+# --- Q3 per-clause attribution ------------------------------------------------
+
+def test_star_pins_output_columns_to_minus_one():
+    # QueryAnalyzer.java:93-99: * anywhere -> -1, sticky
+    assert stats("SELECT a, *, b FROM t")["num_output_columns"] == -1
+    assert stats("SELECT a, b FROM t")["num_output_columns"] == 2
+
+
+def test_union_output_columns_last_operand_wins():
+    # QueryAnalyzer.java:66-71: assignment per operand, merge skips it
+    s = stats("SELECT a, b FROM t UNION ALL SELECT * FROM u")
+    assert s["num_output_columns"] == -1
+    s = stats("SELECT * FROM t UNION ALL SELECT a FROM u")
+    assert s["num_output_columns"] == 1
+
+
+def test_where_operator_keyed_maps():
+    s = stats("SELECT 1 FROM t WHERE a = 1 AND b != 2 OR c < 3 AND d LIKE 'x%'")
+    assert s["num_where_binary_predicates"]["="] == 1
+    assert s["num_where_binary_predicates"]["!="] == 1
+    assert s["num_where_binary_predicates"]["<"] == 1
+    assert s["num_where_compound_predicates"]["AND"] == 2
+    assert s["num_where_compound_predicates"]["OR"] == 1
+    assert s["num_where_like_predicates"]["LIKE"] == 1
+
+
+def test_clause_attribution_is_disjoint():
+    s = stats("SELECT a = 1 FROM t JOIN u ON t.x = u.x "
+              "WHERE t.y > 2 GROUP BY a HAVING count(*) >= 3")
+    assert s["num_select_binary_predicates"]["="] == 1
+    assert s["num_on_binary_predicates"]["="] == 1
+    assert s["num_where_binary_predicates"][">"] == 1
+    assert s["num_having_binary_predicates"][">="] == 1
+    assert s["num_having_function_call_exprs"] == 1
+    assert s["num_group_by_columns"] == 1
+
+
+def test_between_children_visited():
+    # QueryAnalyzer.java:161-170: BETWEEN children manually populated, so
+    # nested exprs inside the bounds are visited
+    s = stats("SELECT 1 FROM t WHERE a BETWEEN f(1) AND g(2)")
+    assert s["num_where_between_predicates"] == 1
+    assert s["num_where_function_call_exprs"] == 2
+
+
+def test_in_subquery_counts_both():
+    s = stats("SELECT 1 FROM t WHERE a IN (SELECT b FROM u WHERE c = 1)")
+    assert s["num_where_in_predicates"] == 1
+    assert s["num_where_subqueries"] == 1
+    assert s["num_where_binary_predicates"]["="] == 1  # merged from subquery
+
+
+def test_analytic_also_counts_function_call():
+    # AnalyticExpr has the FunctionCallExpr as a child -> both visited
+    s = stats("SELECT rank() OVER (ORDER BY x) FROM t")
+    assert s["num_select_analytic_exprs"] == 1
+    assert s["num_select_function_call_exprs"] == 1
+
+
+def test_timestamp_arithmetic_distinct_from_arithmetic():
+    s = stats("SELECT 1 FROM t WHERE ts > now() - INTERVAL 3 DAY AND a + 1 = 2")
+    assert s["num_where_timestamp_arithmetic_exprs"] == 1
+    assert s["num_where_arithmetic_exprs"] == 1
+
+
+# --- Q4 subquery accounting ----------------------------------------------------
+
+def test_max_depth_subqueries():
+    # QueryAnalyzer.java:277-279: max-merge then +1 if this level has any
+    assert stats("SELECT 1 FROM t")["max_depth_subqueries"] == 0
+    assert stats("SELECT 1 FROM (SELECT 1 FROM t) v")["max_depth_subqueries"] == 1
+    deep = stats("SELECT 1 FROM (SELECT 1 FROM (SELECT 1 FROM t) a) b")
+    assert deep["max_depth_subqueries"] == 2
+    # two subqueries at the SAME level -> still depth 1
+    wide = stats("SELECT 1 FROM (SELECT 1) a, (SELECT 1) b "
+                 "WHERE x IN (SELECT y FROM u)")
+    assert wide["max_depth_subqueries"] == 1
+    assert wide["num_from_subqueries"] == 2
+    assert wide["num_where_subqueries"] == 1
+
+
+def test_with_views_counted_and_merged():
+    s = stats("WITH v AS (SELECT a FROM t WHERE a = 1), "
+              "w AS (SELECT b FROM u LIMIT 5) SELECT 1 FROM v")
+    assert s["num_with_subqueries"] == 2
+    assert s["num_where_binary_predicates"]["="] == 1
+    assert s["num_limits"] == 1
+    # with-views alone don't bump depth (only FROM/WHERE subqueries do)
+    assert s["max_depth_subqueries"] == 0
+
+
+def test_using_columns():
+    assert stats("SELECT 1 FROM a JOIN b USING (x, y, z)")["num_using_columns"] == 3
+
+
+# --- Q5 parameterization --------------------------------------------------------
+
+@pytest.mark.parametrize("sql,expected", [
+    ("SELECT a, b FROM t WHERE id = 42",
+     "SELECT ?, ? FROM ? WHERE ? = 1"),
+    ("SELECT a AS x FROM db.t tt WHERE tt.s = 'foo' AND flag = true",
+     "SELECT ? FROM ? WHERE ? = '?' AND ? = FALSE"),
+    ("SELECT * FROM t LIMIT 100 OFFSET 10",
+     "SELECT * FROM ? LIMIT 1 OFFSET 1"),
+    ("SELECT a FROM (SELECT a FROM t) sub",
+     "SELECT ? FROM (SELECT ? FROM ?) ?"),
+    ("WITH v AS (SELECT a FROM t) SELECT a FROM v ORDER BY a DESC",
+     "WITH ? AS (SELECT ? FROM ?) SELECT ? FROM ? ORDER BY ? DESC"),
+    ("SELECT a FROM t JOIN u USING (k) WHERE a IN (1, 2, 3)",
+     "SELECT ? FROM ? INNER JOIN ? USING (?) WHERE ? IN (1, 1, 1)"),
+    ("SELECT 1 UNION SELECT 2",
+     "SELECT 1 UNION SELECT 1"),
+])
+def test_parameterize(sql, expected):
+    assert parameterize_sql(sql) == expected
+
+
+def test_parameterize_idempotent():
+    sql = "SELECT a, b + 1 FROM t WHERE c = 'x' OR d < 3.5 ORDER BY a LIMIT 7"
+    once = parameterize_sql(sql)
+    assert parameterize_sql(once.replace("'?'", "'q'").replace("?", "x")) is not None
+    # re-parameterizing the template itself is a fixed point modulo the
+    # placeholder spelling: structure can't change
+    assert parameterize_sql(sql) == once
+
+
+def test_insert_not_parameterized():
+    # QueryAnalyzer.java:22-31 never calls the parameterizer for inserts
+    assert parameterize_sql("INSERT INTO t SELECT a FROM u") is None
+    feats = extract_sql_features("INSERT OVERWRITE t SELECT a FROM u")
+    assert feats["overwrite"] is True
+    assert feats["parameterized_stmt"] is None
