@@ -1,0 +1,179 @@
+"""KMeans workload clustering (SURVEY.md §2.10 M1-M3; reference
+``clustering.py:14-92``).
+
+Feature vector (F13, ``clustering.py:20-61``): 10 derived numerics per
+SELECT/UNION statement — table count, subquery totals and depth,
+group/order/limit counts, and the summed predicate / function / select-expr
+families. Computed here from the SAME mini-parser the enrichment pass uses
+(``sql_introspect``), joined with the ingested queries table — the full EP1
+-> EP2 -> EP3 lifecycle.
+
+M1 standardization: ``StandardScaler(withMean=True, withStd=True)``
+(``clustering.py:65``). M2 elbow sweep: WCSS from ``summary.trainingCost``;
+TSS computed exactly via the variance identity — for mean-centered data
+``sum(pdist^2)/n == sum(||x_i||^2)`` — replacing the reference's O(n^2)
+``scipy.pdist`` (``clustering.py:73``), which would never survive 100 TB.
+M3 final clustering: sizes + per-cluster mean of the UNSCALED features
+(``clustering.py:83-92``).
+
+Deviations (documented): k sweep 1..8 and final k=4 instead of 1..69/10 —
+the deterministic corpus has a handful of distinct statement shapes, and
+sklearn's n_init=20 restarts map to a fixed seed here (Spark KMeans is
+seeded, not restarted). Cluster ids are seed-dependent -> the KMeans
+queries are rows-only for the driver; the feature extraction itself is
+fully oracle-checked (m0).
+
+Scale: feature extraction is a stateless projection; KMeans is
+pyspark.ml's distributed Lloyd iterations — both shuffle-light. The elbow
+loop caches the assembled vectors once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus.corpus_sql import with_corpus
+from ..sources.profiles import parsed_queries
+from ..sql_introspect.parser import extract_sql_features
+
+_FEATURES = (
+    "num_tables", "num_subqueries", "max_depth_subqueries",
+    "num_group_by_columns", "num_order_by_columns", "num_limits",
+    "num_predicates", "num_where_fn_exprs", "num_select_exprs",
+    "num_select_predicates",
+)
+
+_SCHEMA = T.StructType(
+    [T.StructField("query_id", T.StringType())]
+    + [T.StructField(f, T.LongType()) for f in _FEATURES[1:]]
+)
+
+
+def cluster_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m0 — the 10-dim feature vector per SELECT/UNION query
+    (clustering.py:20-61), as columns."""
+    q = parsed_queries(spark, sf_dir).select("query_id", "sql_stmt", "num_tables")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for qid, stmt in zip(pdf["query_id"], pdf["sql_stmt"]):
+                feats = extract_sql_features(stmt)
+                if feats is None or feats["type"] not in ("SelectStmt", "UnionStmt"):
+                    continue  # P2: sql.type $in filter (clustering.py:14-16)
+                s = feats["stats"]
+                rows.append((
+                    qid,
+                    s["num_from_subqueries"] + s["num_where_subqueries"]
+                    + s["num_with_subqueries"],
+                    s["max_depth_subqueries"],
+                    s["num_group_by_columns"],
+                    s["num_order_by_columns"],
+                    s["num_limits"],
+                    s["num_where_in_predicates"] + s["num_where_between_predicates"]
+                    + s["num_where_exists_predicates"] + s["num_where_is_null_predicates"]
+                    + sum(s["num_where_binary_predicates"].values())
+                    + sum(s["num_where_like_predicates"].values())
+                    + sum(s["num_having_binary_predicates"].values())
+                    + s["num_using_columns"]
+                    + sum(s["num_on_binary_predicates"].values())
+                    + s["num_on_between_predicates"],
+                    s["num_where_function_call_exprs"] + s["num_where_case_exprs"]
+                    + s["num_where_arithmetic_exprs"] + s["num_where_cast_exprs"]
+                    + s["num_where_timestamp_arithmetic_exprs"]
+                    + s["num_having_function_call_exprs"]
+                    + s["num_on_function_call_exprs"],
+                    s["num_select_case_exprs"] + s["num_select_arithmetic_exprs"]
+                    + s["num_select_cast_exprs"] + s["num_select_function_call_exprs"]
+                    + s["num_select_analytic_exprs"],
+                    sum(s["num_select_binary_predicates"].values())
+                    + s["num_select_is_null_predicates"],
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in _SCHEMA.fields])
+
+    sql_feats = q.mapInPandas(run, schema=_SCHEMA)
+    return q.select("query_id", "num_tables").join(sql_feats, "query_id")
+
+
+def _assembled(spark: SparkSession, sf_dir: str):
+    from pyspark.ml.feature import StandardScaler, VectorAssembler  # noqa: PLC0415
+
+    df = cluster_features(spark, sf_dir)
+    vec = VectorAssembler(inputCols=list(_FEATURES), outputCol="raw").transform(df)
+    # M1 — z-score standardization (clustering.py:65)
+    scaler = StandardScaler(inputCol="raw", outputCol="features",
+                            withMean=True, withStd=True).fit(vec)
+    return scaler.transform(vec).cache()
+
+
+def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m2 — elbow sweep: per k, WCSS and %variance explained
+    (clustering.py:67-81); TSS via the exact variance identity."""
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
+
+    data = _assembled(spark, sf_dir)
+    tss = (
+        data.select(
+            F.aggregate(
+                vector_to_array("features"), F.lit(0.0), lambda a, x: a + x * x
+            ).alias("sq")
+        )
+        .agg(F.sum("sq"))
+        .collect()[0][0]
+    )
+    # k=1 analytically: one cluster at the mean -> WCSS == TSS for
+    # mean-centered data (Spark's KMeans requires k >= 2)
+    rows = [(1, float(tss), 0.0)]
+    for k in range(2, 9):
+        model = KMeans(k=k, maxIter=500, seed=42, featuresCol="features").fit(data)
+        wcss = model.summary.trainingCost
+        rows.append((k, float(wcss), float((tss - wcss) / tss * 100.0)))
+    data.unpersist()
+    return spark.createDataFrame(rows, ["k", "wcss", "pct_variance_explained"])
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m3 — final clustering: cluster sizes + per-cluster mean of the
+    unscaled features (clustering.py:83-92)."""
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+
+    data = _assembled(spark, sf_dir)
+    model = KMeans(k=4, maxIter=500, seed=42, featuresCol="features").fit(data)
+    out = (
+        model.transform(data)
+        .groupBy("prediction")
+        .agg(
+            F.count("*").alias("n_queries"),
+            *[F.round(F.avg(f), 8).alias(f"avg_{f}") for f in _FEATURES],
+        )
+    )
+    data.unpersist()
+    return out
+
+
+# m0 is fully oracle-checkable: expected features per corpus template
+ORACLES = {
+    "m0_cluster_features": with_corpus("""
+        SELECT query_id, num_tables,
+               0 AS num_subqueries, 0 AS max_depth_subqueries,
+               0 AS num_group_by_columns,
+               CASE sql_type WHEN 'SelectStmt' THEN 1 ELSE 0 END AS num_order_by_columns,
+               CASE sql_type WHEN 'SelectStmt' THEN 1 ELSE 0 END AS num_limits,
+               1 AS num_predicates,
+               0 AS num_where_fn_exprs, 0 AS num_select_exprs,
+               0 AS num_select_predicates
+        FROM iwa_queries
+        WHERE k % 41 <> 0 AND sql_type IN ('SelectStmt', 'UnionStmt')"""),
+}
+
+SPARK_QUERIES = {
+    "m0_cluster_features": cluster_features,
+    "m2_kmeans_elbow": kmeans_elbow,
+    "m3_kmeans_clusters": kmeans_clusters,
+}
