@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched ``mapInPandas``.
+
+No image/audio libraries exist in this container, so the DECODERS are
+deterministic fakes (clearly marked below) — but everything Spark-side is
+real and tested: the binary column type, the metadata struct, the UDF batch
+shape (N input rows -> M output rows for frame sampling), partitioning, and
+the oracle checks. Swapping ``_fake_decode_*`` for PIL/ffmpeg bodies changes
+no plumbing. ``decode_image_real`` shows the gated import pattern and raises
+``NotImplementedError`` in this environment.
+
+The media table is derived from ``documents``: payload = the utf-8 text
+bytes standing in for an encoded image; metadata (width/height/n_frames)
+derived deterministically so DuckDB can re-derive expected outputs.
+
+Scale: all three ops are stateless projections over the binary column —
+no shuffle; Arrow moves the bytes to Python in batches, which is exactly
+how a real decode pipeline feeds GPU/CPU feature extractors at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm0 — the media table: opaque binary payload + typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (16 + F.col("n_chars") % 64).alias("width"),
+            (16 + (F.col("n_chars") * 7) % 48).alias("height"),
+            (1 + F.col("n_chars") % 30).alias("n_frames"),
+            F.lit("fake/raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> tuple[int, float]:
+    """DETERMINISTIC FAKE image decode: (n_bytes, mean_luma) where luma is
+    derived from md5 so DuckDB can recompute it. A real decoder would
+    return pixel statistics here."""
+    digest = hashlib.md5(payload).hexdigest()
+    return len(payload), float(int(digest[:4], 16) % 256)
+
+
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm1 — decode + feature-extract: one output row per media row."""
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                n_bytes, luma = _fake_decode_features(bytes(payload))
+                rows.append((mid, meta["width"], meta["height"], n_bytes, luma))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes", "mean_luma"]
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id bigint, width bigint, height bigint, n_bytes bigint, "
+               "mean_luma double",
+    )
+
+
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm2 — frame sampling: N input rows -> M output rows (every 5th frame
+    of each payload's n_frames), the UDTF-shaped batch contract."""
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                for frame_idx in range(0, int(meta["n_frames"]), 5):
+                    # fake per-frame fingerprint a real pipeline would
+                    # replace with a decoded-frame embedding
+                    fp = int(hashlib.md5(f"{digest}:{frame_idx}".encode()).hexdigest()[:8], 16)
+                    rows.append((mid, frame_idx, fp))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_fp"])
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, frame_idx bigint, frame_fp bigint"
+    )
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - env has no codecs
+    """The real-decoder slot: gated import, explicit failure here."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "plug PIL/torchvision in here — no Spark-side changes needed"
+        ) from exc
+    return Image.open(payload)  # pragma: no cover
+
+
+ORACLES = {
+    "mm1_image_features": """
+        SELECT doc_id AS media_id,
+               16 + n_chars % 64 AS width,
+               16 + (n_chars * 7) % 48 AS height,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 256
+                    AS DOUBLE) AS mean_luma
+        FROM documents""",
+    "mm2_frame_samples": """
+        SELECT doc_id AS media_id,
+               frame_idx,
+               CAST(('0x' || substr(md5(md5(text) || ':' ||
+                     CAST(frame_idx AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_fp
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 30, 5)) AS frame_idx)
+        WHERE frame_idx < 1 + n_chars % 30""",
+}
+
+SPARK_QUERIES = {
+    "mm1_image_features": image_features,
+    "mm2_frame_samples": frame_samples,
+}

@@ -1,0 +1,195 @@
+"""Plan-tree navigation + ASCII rendering, set-based.
+
+The reference walks the tree with per-node Mongo lookups (N+1 ``find`` per
+node, ``draw_plan.py:6-37``): an operator's children are same-fragment rows
+with ``parent_id = id`` plus fragments whose ``exchange_id = id``; the root
+is the fragment with ``exchange_id NULL``.
+
+Spark-first re-expression: the edge set is ONE self-join plus one
+operators<->fragments join (J4); the downward closure (depth + path, which
+IS the ASCII render order) is computed by iterating a bounded number of
+joins — each iteration is a set-based step over ALL queries at once, not a
+per-node lookup. DuckDB oracles use WITH RECURSIVE over the same corpus:
+two very different engines, same fixpoint.
+
+Scale: each iteration is a broadcast-ready equi-join keyed by
+(query_id, parent); plan depth is bounded (Impala plans are short trees),
+so the loop is O(depth) Spark jobs over the whole corpus — the classic
+'recursive CTE via iterative DataFrame' pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import corpus_fragments, corpus_operators, with_corpus
+
+
+def plan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt1 — the full parent->child edge set of every plan tree:
+    same-fragment operator edges (parent_id) + EXCHANGE->child-fragment-root
+    edges (fragments.exchange_id), J4 set-based."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "fragment_id", "parent_id"
+    )
+    op_edges = (
+        ops.alias("c")
+        .join(
+            ops.alias("p"),
+            (F.col("c.query_id") == F.col("p.query_id"))
+            & (F.col("c.parent_id") == F.col("p.id"))
+            & (F.col("c.fragment_id") == F.col("p.fragment_id")),
+        )
+        .select(
+            F.col("c.query_id").alias("query_id"),
+            F.col("p.id").alias("parent_op"),
+            F.col("c.id").alias("child_op"),
+        )
+    )
+    # EXCHANGE -> root operators (parent_id NULL) of the fed fragment
+    frags = corpus_fragments(spark, sf_dir).select(
+        "query_id", F.col("id").alias("frag_id"), "exchange_id"
+    )
+    ex_edges = (
+        frags.filter(F.col("exchange_id").isNotNull())
+        .alias("f")
+        .join(
+            ops.filter(F.col("parent_id").isNull()).alias("r"),
+            (F.col("f.query_id") == F.col("r.query_id"))
+            & (F.col("f.frag_id") == F.col("r.fragment_id")),
+        )
+        .select(
+            F.col("f.query_id").alias("query_id"),
+            F.col("f.exchange_id").alias("parent_op"),
+            F.col("r.id").alias("child_op"),
+        )
+    )
+    return op_edges.unionByName(ex_edges)
+
+
+def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt2 — downward closure from each plan root: (op, depth, path). The
+    path string sorts into the reference's ASCII pre-order; rendered line =
+    2-space indent per level (draw_plan.py:6-37).
+
+    Execution strategy: a plan tree is tiny and wholly contained in one
+    query, so the recursion runs as plain Python per query group inside
+    ``applyInPandas`` — ONE shuffle keyed by query_id, arbitrary depth, no
+    driver-side iteration. (A per-level join loop was tried first: each
+    materialized level costs a full Spark action, and a lazy chained-join
+    union recomputes O(depth^2) — both 5-10x slower than one grouped walk.)
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "fragment_id", "parent_id"
+    )
+    # each operator row carries its fragment's exchange_id: one equi-join,
+    # then every query's whole tree is self-contained in its partition
+    frags = corpus_fragments(spark, sf_dir).select(
+        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
+    )
+    nodes = ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
+        32, "query_id"
+    )
+
+    out_schema = ("query_id string, id bigint, depth int, path string, "
+                  "line string")
+
+    def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate the partition (queries never span partitions after the
+        # repartition), then walk each query's tree with plain dict loops —
+        # no per-group pandas apply overhead
+        per_query: dict[str, list[tuple]] = {}
+        for pdf in batches:
+            for qid, oid, name, parent, eid in zip(
+                pdf["query_id"], pdf["id"], pdf["name"],
+                pdf["parent_id"], pdf["exchange_id"],
+            ):
+                per_query.setdefault(qid, []).append((int(oid), name, parent, eid))
+        rows = []
+        for qid, items in per_query.items():
+            names = {}
+            children: dict[int, list[int]] = {}
+            roots = []
+            for oid, name, parent, eid in items:
+                names[oid] = name
+                if not pd.isna(parent):
+                    children.setdefault(int(parent), []).append(oid)
+                elif not pd.isna(eid):  # fragment root feeding an EXCHANGE
+                    children.setdefault(int(eid), []).append(oid)
+                else:  # root fragment's root operator (draw_plan.py:36)
+                    roots.append(oid)
+
+            def rec(oid: int, depth: int, path: str) -> None:
+                rows.append((qid, oid, depth, path,
+                             "  " * depth + f"{oid}:{names[oid]}"))
+                for child in sorted(children.get(oid, ())):
+                    rec(child, depth + 1, path + ">" + f"{child:03d}")
+
+            for root in sorted(roots):
+                rec(root, 0, f"{root:03d}")
+        yield pd.DataFrame(rows, columns=["query_id", "id", "depth", "path", "line"])
+
+    return nodes.mapInPandas(walk_partition, schema=out_schema)
+
+
+ORACLES = {
+    "pt1_plan_edges": with_corpus("""
+        SELECT o.query_id, p.id AS parent_op, o.id AS child_op
+        FROM iwa_operators o
+        JOIN iwa_operators p
+          ON p.query_id = o.query_id AND p.id = o.parent_id
+         AND p.fragment_id = o.fragment_id
+        UNION ALL
+        SELECT f.query_id, f.exchange_id AS parent_op, o.id AS child_op
+        FROM iwa_fragments f
+        JOIN iwa_operators o
+          ON o.query_id = f.query_id AND o.fragment_id = f.id
+         AND o.parent_id IS NULL
+        WHERE f.exchange_id IS NOT NULL"""),
+    "pt2_plan_paths": with_corpus("""
+        , edges AS (
+          SELECT o.query_id, p.id AS parent_op, o.id
+          FROM iwa_operators o
+          JOIN iwa_operators p
+            ON p.query_id = o.query_id AND p.id = o.parent_id
+           AND p.fragment_id = o.fragment_id
+          UNION ALL
+          SELECT f.query_id, f.exchange_id AS parent_op, o.id
+          FROM iwa_fragments f
+          JOIN iwa_operators o
+            ON o.query_id = f.query_id AND o.fragment_id = f.id
+           AND o.parent_id IS NULL
+          WHERE f.exchange_id IS NOT NULL
+        ),
+        walk AS (
+          WITH RECURSIVE r AS (
+            SELECT o.query_id, o.id, 0 AS depth,
+                   lpad(CAST(o.id AS VARCHAR), 3, '0') AS path
+            FROM iwa_operators o
+            JOIN iwa_fragments f
+              ON f.query_id = o.query_id AND f.id = o.fragment_id
+             AND f.exchange_id IS NULL
+            WHERE o.parent_id IS NULL
+            UNION ALL
+            SELECT e.query_id, e.id, r.depth + 1,
+                   r.path || '>' || lpad(CAST(e.id AS VARCHAR), 3, '0')
+            FROM r JOIN edges e
+              ON e.query_id = r.query_id AND e.parent_op = r.id
+          )
+          SELECT * FROM r
+        )
+        SELECT w.query_id, w.id, w.depth, w.path,
+               repeat('  ', w.depth) || CAST(w.id AS VARCHAR) || ':' || o.name AS line
+        FROM walk w
+        JOIN iwa_operators o ON o.query_id = w.query_id AND o.id = w.id"""),
+}
+
+SPARK_QUERIES = {
+    "pt1_plan_edges": plan_edges,
+    "pt2_plan_paths": plan_paths,
+}

@@ -47,6 +47,7 @@ def _optional_modules():
         "impala_workload_analyzer_spark.pipeline.text",
         "impala_workload_analyzer_spark.pipeline.similarity",
         "impala_workload_analyzer_spark.pipeline.events_analytics",
+        "impala_workload_analyzer_spark.pipeline.multimodal",
         "impala_workload_analyzer_spark.streaming.stream_queries",
         "impala_workload_analyzer_spark.ml.clustering",
         "impala_workload_analyzer_spark.sources.profiles",
