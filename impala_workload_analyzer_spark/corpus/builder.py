@@ -29,7 +29,40 @@ def _orders_view(spark: SparkSession, sf_dir: str) -> None:
         .createOrReplaceTempView("orders")
 
 
-def corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_cache_dir(sf_dir: str) -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        repo_root, ".corpus_cache", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def ensure_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the three corpus tables as parquet, once per sf_dir.
+
+    This mirrors the reference architecture: ingest MATERIALIZES the
+    collections (profile_analyzer.py:278-313), analytics query them. A
+    lazily re-derived corpus made every analytic re-execute the 9-branch
+    UNION over orders (~1.35M generated rows at sf0.1) per query — column
+    pruning, predicate pushdown, and scan statistics all need a real table.
+    At cluster scale these writes are the ingest job's output, partitioned
+    by tag/date.
+    """
+    out = _corpus_cache_dir(sf_dir)
+    if all(
+        os.path.exists(os.path.join(out, t, "_SUCCESS"))
+        for t in ("queries", "operators", "fragments")
+    ):
+        return out
+    for name, df in (
+        ("queries", _derive_queries(spark, sf_dir)),
+        ("operators", _derive_operators(spark, sf_dir)),
+        ("fragments", _derive_fragments(spark, sf_dir)),
+    ):
+        df.write.mode("overwrite").parquet(os.path.join(out, name))
+    return out
+
+
+def _derive_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``queries`` table: one row per executed statement
     (profile_analyzer.py:293-336 + QueryAnalyzer.java:284-331 enrichment).
 
@@ -47,7 +80,7 @@ def corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("k", "c", "q_nh")
 
 
-def corpus_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derive_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``operators`` table: one row per plan node per query
     (profile_analyzer.py:59-270).
 
@@ -84,7 +117,7 @@ def corpus_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derive_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``fragments`` table: per plan fragment per query
     (profile_analyzer.py:88-111, 220-248). ``exchange_id`` NULL marks the
     root/coordinator fragment (draw_plan.py:36)."""
@@ -108,3 +141,18 @@ def corpus_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.create_map(F.lit("TotalTime"), F.array("sink_i1", "sink_i2")),
         )
     )
+
+
+def corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized ``queries`` table (parquet-backed)."""
+    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "queries"))
+
+
+def corpus_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized ``operators`` table (parquet-backed)."""
+    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "operators"))
+
+
+def corpus_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized ``fragments`` table (parquet-backed)."""
+    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "fragments"))

@@ -159,7 +159,33 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = _pair_jaccard(_shingles_df(spark, sf_dir)).join(cands, ["doc_a", "doc_b"])
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # whole point of LSH at scale: work is O(|candidates| x doc_len), never
+    # the all-pairs-sharing-a-shingle join the exact dd2 baseline pays
+    shingles = _shingles_df(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
     return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
