@@ -149,7 +149,45 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd5 — embedding-cosine near-duplicate pairs (the dedup-family
+    variant of sim2): bucket the WHOLE corpus by the 4-bit hyperplane
+    signature, compare only within buckets, keep cosine >= 0.4
+    (the synthetic embeddings max out at ~0.46 pairwise cosine, so the
+    threshold is set where the operator has real subjects). At scale
+    this is corpus^2/16 work instead of corpus^2, with recall traded for
+    it — the exact all-pairs twin is what the oracle mirrors bucket-wise."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_spark_plane_bits("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = pairs.withColumn(
+        "cosine", F.round(F.expr(_spark_dot("ea", "eb")) / (F.col("na") * F.col("nb")), 9)
+    )
+    return sim.filter(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
+
+
 ORACLES = {
+    "dd5_embedding_neardup": f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 {_duck_plane_bits('embedding')} AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ROUND({_duck_dot('a.embedding', 'b.embedding')}
+                       / (a.nrm * b.nrm), 9) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""",
     "sim1_brute_force_topk": f"""
         WITH e AS (
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
@@ -194,6 +232,7 @@ ORACLES = {
 }
 
 SPARK_QUERIES = {
+    "dd5_embedding_neardup": embedding_neardup_pairs,
     "sim1_brute_force_topk": brute_force_topk,
     "sim2_lsh_topk": lsh_topk,
     "sim3_label_centroids": label_centroids,

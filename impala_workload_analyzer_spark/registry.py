@@ -43,6 +43,7 @@ def _optional_modules():
     for dotted in (
         "impala_workload_analyzer_spark.tpch",
         "impala_workload_analyzer_spark.functions.unit_queries",
+        "impala_workload_analyzer_spark.functions.bitcast",
         "impala_workload_analyzer_spark.pipeline.dedup",
         "impala_workload_analyzer_spark.pipeline.text",
         "impala_workload_analyzer_spark.pipeline.similarity",
