@@ -227,9 +227,160 @@ def x1_region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (adapted: fixtures lack commit/receipt dates): EXISTS
+    semi-join — orders having a late-shipped line (l_shipdate >
+    o_orderdate), counted per priority. LeftSemi keeps orders unduplicated
+    without a distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-lineitem revenue per customer, 3 joins + agg +
+    top-20; nation broadcast, customer broadcast into the fact agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).alias("revenue_d"))
+        .select(
+            "c_custkey", "c_name", F.col("revenue_d").cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.desc("revenue_d"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join customers->orders, per-customer order
+    count (0 preserved), then the distribution of counts — two cascaded
+    aggregations."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: fact⋈part with conditional aggregation — promo revenue
+    share; part broadcast, single pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_DEC) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            * 100.0
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (adapted: fixtures lack phone codes; every customer has
+    SOME order, so the anti-join is scoped to a quarter): customers with
+    above-average balance and no RECENT orders — scalar-subquery threshold
+    + LEFT ANTI join, grouped by nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("avg_bal")
+    )
+    rich = cust.join(broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(_DEC)), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 _REV = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
 
 ORACLES = {
+    "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q10": f"""
+        SELECT c_custkey, c_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue, c_acctbal, n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY SUM({_REV}) DESC, c_custkey ASC
+        LIMIT 20""",
+    "tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q14": f"""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+               / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "tpch_q22": """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DOUBLE)) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1996-10-01'
+                          AND o_orderdate < TIMESTAMP '1997-01-01')
+        GROUP BY c_nationkey""",
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -307,8 +458,13 @@ ORACLES = {
 SPARK_QUERIES = {
     "tpch_q1": q1_pricing_summary,
     "tpch_q3": q3_shipping_priority,
+    "tpch_q4": q4_order_priority,
     "tpch_q5": q5_local_supplier_volume,
     "tpch_q6": q6_forecast_revenue,
+    "tpch_q10": q10_returned_items,
+    "tpch_q13": q13_customer_distribution,
+    "tpch_q14": q14_promo_effect,
+    "tpch_q22": q22_global_sales_opportunity,
     "w2b_nation_revenue_share": w2b_nation_revenue_share,
     "w3_top_customers_per_nation": w3_top_customers_per_nation,
     "o4_topn_orders": o4_topn_orders,

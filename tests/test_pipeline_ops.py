@@ -1,0 +1,55 @@
+"""Invariant tests for similarity, plan-tree, multimodal, and streaming
+operators at sf0.001."""
+
+from __future__ import annotations
+
+from impala_workload_analyzer_spark.pipeline import multimodal, similarity
+from impala_workload_analyzer_spark.plans import draw_plan
+
+
+def test_lsh_topk_is_subset_of_brute_force(spark, sf_dir):
+    """LSH trades recall, never precision: every (query, neighbor) it
+    returns must appear in the exact top-k at the same or better rank."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.lsh_topk(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["rank"] <= exact[key] + similarity._TOP_K
+
+
+def test_plan_paths_cover_all_operators(spark, sf_dir):
+    """Every operator of every non-DDL query is reachable from its root."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+
+    n_ops = corpus_operators(spark, sf_dir).count()
+    n_paths = draw_plan.plan_paths(spark, sf_dir).count()
+    assert n_paths == n_ops
+
+
+def test_plan_path_depths(spark, sf_dir):
+    rows = draw_plan.plan_paths(spark, sf_dir).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    some = next(iter(by_qid.values()))
+    depths = {r["id"]: r["depth"] for r in some}
+    assert depths[6] == 0 and depths[5] == 1 and depths[4] == 2
+    assert depths[3] == 3  # EXCHANGE -> fragment-0 root via exchange edge
+
+
+def test_frame_samples_every_fifth_frame(spark, sf_dir):
+    rows = multimodal.frame_samples(spark, sf_dir).collect()
+    assert rows and all(r["frame_idx"] % 5 == 0 for r in rows)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    """Batch/stream equivalence on a finite source (the st1 gate)."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import tumbling_hourly
+    from impala_workload_analyzer_spark.streaming.stream_queries import streaming_tumbling
+
+    batch = {tuple(r) for r in tumbling_hourly(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in streaming_tumbling(spark, sf_dir).collect()}
+    assert batch == stream

@@ -1,0 +1,47 @@
+"""Physical-plan contracts: the optimizations we rely on at scale must
+actually appear in the plans (broadcast joins, pushed filters, pruned
+schemas). Guards against regressions that stay correct but stop scaling."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan must read only what Q6 needs
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q1_is_whole_stage_codegen(spark, sf_dir):
+    # under AQE the codegen stages exist only in the EXECUTED plan
+    df = entrymod.queries()["tpch_q1"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "*(" in executed  # '*(n)' marks WholeStageCodegen stages
+
+
+def test_q4_uses_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+
+
+def test_q22_uses_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q22")
+    assert "LeftAnti" in plan
