@@ -165,14 +165,27 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # m0 is fully oracle-checkable: expected features per corpus template
 ORACLES = {
+    # SELECT statements rotate through 4 shape variants on k % 4
+    # (profile_render.sql_stmt_for): order+limit / group-by agg /
+    # IN-subquery / analytic+LIKE
     "m0_cluster_features": with_corpus("""
         SELECT query_id, num_tables,
-               0 AS num_subqueries, 0 AS max_depth_subqueries,
-               0 AS num_group_by_columns,
-               CASE sql_type WHEN 'SelectStmt' THEN 1 ELSE 0 END AS num_order_by_columns,
-               CASE sql_type WHEN 'SelectStmt' THEN 1 ELSE 0 END AS num_limits,
-               1 AS num_predicates,
-               0 AS num_where_fn_exprs, 0 AS num_select_exprs,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+                 AS num_subqueries,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+                 AS max_depth_subqueries,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
+                 AS num_group_by_columns,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+                 AS num_order_by_columns,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+                 AS num_limits,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 2 ELSE 1 END
+                 AS num_predicates,
+               0 AS num_where_fn_exprs,
+               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1
+                    WHEN sql_type = 'SelectStmt' AND k % 4 = 3 THEN 2 ELSE 0 END
+                 AS num_select_exprs,
                0 AS num_select_predicates
         FROM iwa_queries
         WHERE k % 41 <> 0 AND sql_type IN ('SelectStmt', 'UnionStmt')"""),

@@ -59,13 +59,24 @@ _F1_ORDER = (6, 5, 4)
 
 def sql_stmt_for(sql_type: str, k: int) -> str:
     """Deterministic statement text per corpus sql_type (also the subject
-    corpus for the SQL-introspection operators)."""
+    corpus for the SQL-introspection operators). SELECT statements rotate
+    through four shape variants (k % 4) so feature extraction and workload
+    clustering have genuinely distinct subjects: plain order+limit,
+    group-by aggregate, IN-subquery, analytic window + LIKE."""
     if sql_type == "DdlStmt":
         return f"CREATE TABLE t_{k} (i INT)"
     if sql_type == "InsertStmt":
         return f"INSERT INTO t_{k % 7} SELECT c1 FROM s WHERE id > {k}"
     if sql_type == "UnionStmt":
         return f"SELECT c1 FROM a WHERE id = {k} UNION ALL SELECT c1 FROM b"
+    v = k % 4
+    if v == 1:
+        return f"SELECT c1, sum(c2) FROM t WHERE id > {k} GROUP BY c1"
+    if v == 2:
+        return f"SELECT c1 FROM t WHERE id IN (SELECT id FROM u WHERE x = {k})"
+    if v == 3:
+        return ("SELECT c1, rank() OVER (PARTITION BY c2 ORDER BY c3 DESC) "
+                f"FROM t WHERE name LIKE 'a{k % 10}%'")
     return f"SELECT c1, c2 FROM t WHERE id = {k} ORDER BY c1 LIMIT 10"
 
 

@@ -538,8 +538,16 @@ ORACLES = {
                       || ' SELECT c1 FROM s WHERE id > ' || CAST(k AS VARCHAR)
                  WHEN 'UnionStmt' THEN 'SELECT c1 FROM a WHERE id = ' || CAST(k AS VARCHAR)
                       || ' UNION ALL SELECT c1 FROM b'
-                 ELSE 'SELECT c1, c2 FROM t WHERE id = ' || CAST(k AS VARCHAR)
-                      || ' ORDER BY c1 LIMIT 10'
+                 ELSE CASE k % 4
+                   WHEN 1 THEN 'SELECT c1, sum(c2) FROM t WHERE id > '
+                        || CAST(k AS VARCHAR) || ' GROUP BY c1'
+                   WHEN 2 THEN 'SELECT c1 FROM t WHERE id IN (SELECT id FROM u WHERE x = '
+                        || CAST(k AS VARCHAR) || ')'
+                   WHEN 3 THEN 'SELECT c1, rank() OVER (PARTITION BY c2 ORDER BY c3 DESC) '
+                        || 'FROM t WHERE name LIKE ''a' || CAST(k % 10 AS VARCHAR) || '%'''
+                   ELSE 'SELECT c1, c2 FROM t WHERE id = ' || CAST(k AS VARCHAR)
+                        || ' ORDER BY c1 LIMIT 10'
+                 END
                END AS sql_stmt,
                runtime,
                CASE WHEN query_type = 'DDL' THEN NULL ELSE plan_time END AS plan_time,

@@ -106,30 +106,50 @@ def features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# expected features per corpus statement template (profile_render.sql_stmt_for)
+# expected features per corpus statement template (profile_render.sql_stmt_for);
+# SELECT statements rotate through 4 shape variants on k % 4
 _FEATURE_CASE = """
   SELECT query_id, k, sql_type,
     CASE sql_type WHEN 'DdlStmt' THEN 'CreateTableStmt' ELSE sql_type END AS stmt_type,
-    CASE sql_type WHEN 'SelectStmt' THEN 2 WHEN 'UnionStmt' THEN 1
-                  WHEN 'InsertStmt' THEN 1 ELSE NULL END AS num_output_columns,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_group_by_columns,
-    CASE sql_type WHEN 'SelectStmt' THEN 1 WHEN 'DdlStmt' THEN NULL
-                  ELSE 0 END AS num_order_by_columns,
-    CASE sql_type WHEN 'SelectStmt' THEN 1 WHEN 'DdlStmt' THEN NULL
-                  ELSE 0 END AS num_limits,
-    CASE sql_type WHEN 'SelectStmt' THEN 1 WHEN 'UnionStmt' THEN 1
-                  WHEN 'InsertStmt' THEN 0 ELSE NULL END AS num_where_binary_eq,
-    CASE sql_type WHEN 'InsertStmt' THEN 1 WHEN 'DdlStmt' THEN NULL
-                  ELSE 0 END AS num_where_binary_gt,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_where_in_predicates,
+    CASE sql_type
+      WHEN 'SelectStmt' THEN CASE WHEN k % 4 = 2 THEN 1 ELSE 2 END
+      WHEN 'UnionStmt' THEN 1 WHEN 'InsertStmt' THEN 1 ELSE NULL END
+      AS num_output_columns,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
+      AS num_group_by_columns,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+      AS num_order_by_columns,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+      AS num_limits,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 IN (0, 2) THEN 1
+         WHEN sql_type = 'UnionStmt' THEN 1 ELSE 0 END
+      AS num_where_binary_eq,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'InsertStmt' THEN 1
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
+      AS num_where_binary_gt,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+      AS num_where_in_predicates,
     CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_from_subqueries,
     CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_with_subqueries,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS max_depth_subqueries,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+      AS max_depth_subqueries,
+    CASE WHEN sql_type = 'DdlStmt' THEN NULL
+         WHEN sql_type = 'SelectStmt' AND k % 4 IN (1, 3) THEN 1 ELSE 0 END
       AS num_select_function_call_exprs,
     CASE WHEN sql_type = 'InsertStmt' THEN FALSE ELSE NULL END AS overwrite,
     CASE sql_type
-      WHEN 'SelectStmt' THEN 'SELECT ?, ? FROM ? WHERE ? = 1 ORDER BY ? ASC LIMIT 1'
+      WHEN 'SelectStmt' THEN CASE k % 4
+        WHEN 1 THEN 'SELECT ?, sum(?) FROM ? WHERE ? > 1 GROUP BY ?'
+        WHEN 2 THEN 'SELECT ? FROM ? WHERE ? IN ((SELECT ? FROM ? WHERE ? = 1))'
+        WHEN 3 THEN 'SELECT ?, rank() OVER (PARTITION BY ? ORDER BY ? DESC) FROM ? WHERE ? LIKE ''?'''
+        ELSE 'SELECT ?, ? FROM ? WHERE ? = 1 ORDER BY ? ASC LIMIT 1' END
       WHEN 'UnionStmt' THEN 'SELECT ? FROM ? WHERE ? = 1 UNION ALL SELECT ? FROM ?'
       ELSE NULL END AS parameterized_stmt
   FROM iwa_queries WHERE k % 41 <> 0
