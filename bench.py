@@ -30,6 +30,9 @@ HEADLINERS = (
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
     "w1_concurrency_sweep",
     "w3_top_customers_per_nation",
     "a9_join_audit_rollup",

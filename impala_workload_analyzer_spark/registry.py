@@ -42,6 +42,7 @@ def _optional_modules():
 
     for dotted in (
         "impala_workload_analyzer_spark.tpch",
+        "impala_workload_analyzer_spark.tpch_full",
         "impala_workload_analyzer_spark.functions.unit_queries",
         "impala_workload_analyzer_spark.functions.bitcast",
         "impala_workload_analyzer_spark.pipeline.dedup",

@@ -45,3 +45,27 @@ def test_q4_uses_semi_join(spark, sf_dir):
 def test_q22_uses_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q22")
     assert "LeftAnti" in plan
+
+
+def test_q2_correlated_min_is_all_broadcast(spark, sf_dir):
+    # every dim (part slice, EU suppliers, per-part min) is broadcast;
+    # the only non-broadcast work is the partsupp distinct
+    plan = _plan(spark, sf_dir, "tpch_q2")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q19_disjunction_reaches_both_scans(spark, sf_dir):
+    # Catalyst must extract per-side residuals of the OR-of-ANDs and push
+    # them into the parquet readers — the point of the q19 shape
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), pushed
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed), pushed
+
+
+def test_q21_semi_anti_self_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the two lineitem self-probes are the only sort-merge joins
+    assert plan.count("SortMergeJoin") <= 2, plan
