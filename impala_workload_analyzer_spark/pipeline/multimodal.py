@@ -96,6 +96,42 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm3 — audio decode + loudness stats: the audio leg of the media
+    pipeline. sample_rate / n_samples come from typed metadata; the FAKE
+    decode derives rms loudness from the payload's md5 (a real decoder
+    would return waveform statistics). duration is computed engine-side
+    in DOUBLE so both engines divide identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        (8000 + (F.col("n_chars") % 3) * 4000).alias("sample_rate"),
+        (1000 + (F.col("n_chars") * 13) % 5000).alias("n_samples"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, sr, ns in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"], pdf["n_samples"]
+            ):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                # fake rms a real pipeline would compute from the waveform
+                rms = (int(digest[4:8], 16) % 1000) / 10.0
+                rows.append((mid, int(sr), int(ns), float(ns) / float(sr) * 1000.0, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_ms", "rms"],
+            )
+
+    return audio.mapInPandas(
+        run,
+        schema="media_id bigint, sample_rate bigint, n_samples bigint, "
+               "duration_ms double, rms double",
+    )
+
+
 def decode_image_real(payload: bytes):  # pragma: no cover - env has no codecs
     """The real-decoder slot: gated import, explicit failure here."""
     try:
@@ -117,6 +153,15 @@ ORACLES = {
                CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 256
                     AS DOUBLE) AS mean_luma
         FROM documents""",
+    "mm3_audio_stats": """
+        SELECT doc_id AS media_id,
+               8000 + (n_chars % 3) * 4000 AS sample_rate,
+               1000 + (n_chars * 13) % 5000 AS n_samples,
+               CAST(1000 + (n_chars * 13) % 5000 AS DOUBLE)
+                 / CAST(8000 + (n_chars % 3) * 4000 AS DOUBLE) * 1000.0 AS duration_ms,
+               CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1000
+                    AS DOUBLE) / 10.0 AS rms
+        FROM documents""",
     "mm2_frame_samples": """
         SELECT doc_id AS media_id,
                frame_idx,
@@ -130,4 +175,5 @@ ORACLES = {
 SPARK_QUERIES = {
     "mm1_image_features": image_features,
     "mm2_frame_samples": frame_samples,
+    "mm3_audio_stats": audio_stats,
 }

@@ -175,6 +175,68 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.filter(F.col("cosine") >= 0.4).select("vec_a", "vec_b", "cosine")
 
 
+_N_PROBE = 2
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim4 — IVF ANN, the scale path past LSH: label-mean centroids form
+    the coarse quantizer (sim3), every vector is assigned to its
+    nearest-centroid inverted list (argmax cosine, label tie-break), and
+    each query probes only its ``_N_PROBE`` nearest lists with exact
+    cosine + top-k inside them.
+
+    Scale: centroids are tiny and broadcast; assignment is a map-side
+    cross product with nlists centroids followed by a ``max_by`` partial
+    agg — one shuffle on vec_id. The candidate join touches
+    corpus·nprobe/nlists rows per query instead of the whole corpus.
+    All scores are rounded to 9 decimals before any argmax/rank so
+    cross-engine ties can never diverge."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).groupBy(
+        "label", "pos"
+    ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    cent = (
+        comp.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("cvec")
+        )
+        .withColumn("cn", F.expr(f"sqrt({_spark_dot('cvec', 'cvec')})"))
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score",
+        F.round(F.expr(_spark_dot("embedding", "cvec")) / (F.col("nrm") * F.col("cn")), 9),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(F.col("c_label"), F.struct(F.col("score"), (-F.col("c_label")).alias("nl")))
+        .alias("list_id"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
+    probes = (
+        scored.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"), "c_label", "score",
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= _N_PROBE)
+        .select("query_id", "qv", "qn", F.col("c_label").alias("probe_list"))
+    )
+    cands = assign.join(
+        F.broadcast(probes), F.col("list_id") == F.col("probe_list")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    sim = cands.withColumn(
+        "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim", "list_id")
+    )
+
+
 ORACLES = {
     "dd5_embedding_neardup": f"""
         WITH e AS (
@@ -220,6 +282,49 @@ ORACLES = {
                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM sim)
         SELECT query_id, neighbor_id, rank, sim, bucket FROM ranked WHERE rank <= {_TOP_K}""",
+    "sim4_ivf_topk": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, embedding, nrm, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                 c_label AS probe_list FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored WHERE vec_id % {_QUERY_MOD} = 0) t
+          WHERE rn <= {_N_PROBE}),
+        sim AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, a.list_id,
+                 ROUND({_duck_dot('p.qv', 'a.embedding')} / (p.qn * a.nrm), 9) AS sim
+          FROM assign a JOIN probes p ON a.list_id = p.probe_list
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, rank, sim, list_id
+        FROM ranked WHERE rank <= {_TOP_K}""",
     "sim3_label_centroids": """
         WITH comp AS (
           SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -236,4 +341,5 @@ SPARK_QUERIES = {
     "sim1_brute_force_topk": brute_force_topk,
     "sim2_lsh_topk": lsh_topk,
     "sim3_label_centroids": label_centroids,
+    "sim4_ivf_topk": ivf_topk,
 }
