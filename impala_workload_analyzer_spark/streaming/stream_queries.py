@@ -100,13 +100,108 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st3 — CUSTOM stateful streaming operator via
+    ``applyInPandasWithState``: per-user running profile (event count,
+    distinct event types, value total, first/last seen) held in an
+    explicit ``GroupState`` and updated per micro-batch. With the finite
+    single-file source this runs as one batch, so the emitted final
+    state per user equals the batch group-by — which is exactly what the
+    DuckDB oracle checks. Determinism: each group's rows are sorted by
+    event_id before folding, so the in-group accumulation order never
+    depends on shuffle arrival; the float total is rounded to 6 decimals
+    to absorb cross-engine summation-order differences.
+
+    Scale: state is one small struct per user, partitioned by the
+    grouping key across executors — the standard keyed-state layout a
+    Kafka-fed deployment would checkpoint; unbounded key cardinality is
+    handled by state-store eviction policy, not driver memory."""
+    import json  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_types", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("min_us", LongType()),
+            StructField("max_us", LongType()),
+            StructField("types_json", StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total, min_us, max_us, types_json = state.get
+            types = set(json.loads(types_json))
+        else:
+            n, total, min_us, max_us, types = 0, 0.0, None, None, set()
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        if len(chunk):
+            chunk = chunk.sort_values("event_id")
+            n += len(chunk)
+            for v in chunk["value"]:
+                total += float(v)
+            ts_us = chunk["ts"].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            min_us = lo if min_us is None else min(min_us, lo)
+            max_us = hi if max_us is None else max(max_us, hi)
+            types |= set(chunk["event_type"])
+        state.update((n, total, min_us, max_us, json.dumps(sorted(types))))
+        yield pd.DataFrame(
+            [(key[0], n, len(types), round(total, 6), min_us, max_us)],
+            columns=["user_id", "n_events", "n_types", "total_value", "first_us", "last_us"],
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(agg, "st3_out", "update")
+    return spark.table("st3_out")
+
+
 # st1 shares ev1's oracle text (batch/stream equivalence IS the check);
 # st2 is rows-only by design (watermark semantics are not SQL-expressible).
 from ..pipeline.events_analytics import _EV1_ORACLE  # noqa: E402
 
-ORACLES = {"st1_streaming_tumbling": _EV1_ORACLE}
+ORACLES = {
+    "st1_streaming_tumbling": _EV1_ORACLE,
+    "st3_stateful_user_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               ROUND(SUM(value), 6) AS total_value,
+               epoch_us(MIN(ts)) AS first_us,
+               epoch_us(MAX(ts)) AS last_us
+        FROM events GROUP BY user_id""",
+}
 
 SPARK_QUERIES = {
     "st1_streaming_tumbling": streaming_tumbling,
     "st2_streaming_sessions": streaming_sessions,
+    "st3_stateful_user_stats": stateful_user_stats,
 }
