@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import _table_name, read_bucketed, write_bucketed
 from .corpus_sql import with_corpus
 
 
@@ -58,7 +59,8 @@ def ensure_corpus(spark: SparkSession, sf_dir: str) -> str:
         ("operators", _derive_operators(spark, sf_dir)),
         ("fragments", _derive_fragments(spark, sf_dir)),
     ):
-        df.write.mode("overwrite").parquet(os.path.join(out, name))
+        write_bucketed(df, os.path.join(out, name),
+                       _table_name("corpus", sf_dir, name))
     return out
 
 
@@ -144,15 +146,21 @@ def _derive_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized ``queries`` table (parquet-backed)."""
-    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "queries"))
+    """The materialized ``queries`` table (bucketed on query_id)."""
+    out = ensure_corpus(spark, sf_dir)
+    return read_bucketed(spark, os.path.join(out, "queries"),
+                         _table_name("corpus", sf_dir, "queries"))
 
 
 def corpus_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized ``operators`` table (parquet-backed)."""
-    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "operators"))
+    """The materialized ``operators`` table (bucketed on query_id)."""
+    out = ensure_corpus(spark, sf_dir)
+    return read_bucketed(spark, os.path.join(out, "operators"),
+                         _table_name("corpus", sf_dir, "operators"))
 
 
 def corpus_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized ``fragments`` table (parquet-backed)."""
-    return spark.read.parquet(os.path.join(ensure_corpus(spark, sf_dir), "fragments"))
+    """The materialized ``fragments`` table (bucketed on query_id)."""
+    out = ensure_corpus(spark, sf_dir)
+    return read_bucketed(spark, os.path.join(out, "fragments"),
+                         _table_name("corpus", sf_dir, "fragments"))

@@ -74,16 +74,29 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-space indent per level (draw_plan.py:6-37).
 
     Execution strategy: a plan tree is tiny and wholly contained in one
-    query, so the recursion runs as plain Python per query group inside
-    ``applyInPandas`` — ONE shuffle keyed by query_id, arbitrary depth, no
-    driver-side iteration. (A per-level join loop was tried first: each
-    materialized level costs a full Spark action, and a lazy chained-join
-    union recomputes O(depth^2) — both 5-10x slower than one grouped walk.)
+    query, so the recursion runs as plain Python over each partition
+    inside ``mapInPandas``, after co-locating by query_id — ONE shuffle
+    at most, no per-group pandas overhead (a groupBy+applyInPandas
+    variant paid ~10x in per-group DataFrame construction over 145k tiny
+    groups; per-level join loops and lazy chained unions were 5-10x
+    slower again).
+
+    Co-location safety: against the bucketed corpus tables the planner
+    may elide the repartition (bucket layout already hash-partitions by
+    query_id) — which is the zero-shuffle ideal — but Spark's
+    DisableUnnecessaryBucketedScan can then ALSO de-bucket the scan,
+    silently breaking co-location (observed: 5.4x row loss). Pinning
+    ``autoBucketedScan`` off for this plan removes that inconsistency:
+    either the scan stays bucketed (repartition elided, zero shuffle) or
+    the partitioning doesn't match and the repartition runs. Either way
+    every query's rows land in one partition; ``test_plan_contracts``
+    guards row conservation.
     """
     from collections.abc import Iterator  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     ops = corpus_operators(spark, sf_dir).select(
         "query_id", "id", "name", "fragment_id", "parent_id"
     )
@@ -100,9 +113,8 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "line string")
 
     def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate the partition (queries never span partitions after the
-        # repartition), then walk each query's tree with plain dict loops —
-        # no per-group pandas apply overhead
+        # accumulate the partition (queries never span partitions), then
+        # walk each query's tree with plain dict loops
         per_query: dict[str, list[tuple]] = {}
         for pdf in batches:
             for qid, oid, name, parent, eid in zip(

@@ -483,13 +483,16 @@ def materialized_table(spark: SparkSession, sf_dir: str, which: str) -> DataFram
     write (S8)."""
     import os  # noqa: PLC0415
 
+    from ..catalog import _table_name, read_bucketed, write_bucketed  # noqa: PLC0415
+
     out = _ingest_cache_dir(sf_dir)
     path = os.path.join(out, which)
+    table = _table_name("ingest", sf_dir, which)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fn = {"operators": parsed_operators, "fragments": parsed_fragments,
               "queries": parsed_queries}[which]
-        fn(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        write_bucketed(fn(spark, sf_dir), path, table)
+    return read_bucketed(spark, path, table)
 
 
 def delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:

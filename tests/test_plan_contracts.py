@@ -47,6 +47,15 @@ def test_q22_uses_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_pt2_conserves_every_operator(spark, sf_dir):
+    # the partition-local tree walk must emit each operator exactly once;
+    # a co-location break (query spanning partitions) silently drops rows
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+
+    pt2 = entrymod.queries()["pt2_plan_paths"](spark, sf_dir)
+    assert pt2.count() == corpus_operators(spark, sf_dir).count()
+
+
 def test_q2_correlated_min_is_all_broadcast(spark, sf_dir):
     # every dim (part slice, EU suppliers, per-part min) is broadcast;
     # the only non-broadcast work is the partsupp distinct
