@@ -218,6 +218,46 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HAMMING_MAX = 3
+_N_SIM_BANDS = 4  # 60-bit signature -> 4 bands x 15 bits
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd6 — SimHash near-duplicate pairs: split each 60-bit signature
+    into 4 x 15-bit bands; candidate pairs share at least one band (by
+    pigeonhole, any pair within hamming distance 3 must agree on one of
+    the 4 bands, so recall is EXACT for the <= 3 threshold); verify with
+    ``bit_count(xor)``.
+
+    Scale: the band join touches only same-band groups — corpus^2/2^15
+    per band in the worst case instead of corpus^2 — and the verify step
+    runs on candidates only, mirroring dd3's LSH shape."""
+    sigs = simhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.expr("sequence(0, %d)" % (_N_SIM_BANDS - 1))).alias("band_idx"),
+    ).withColumn("band_key", F.expr("(simhash >> (15 * band_idx)) & 32767"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 _DUCK_JACCARD = f"""
 , {_DUCK_SHINGLES.strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
@@ -290,6 +330,35 @@ ORACLES = {
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id""",
+    "dd6_simhash_neardup": f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_H.format(x='tok')} AS h
+          FROM (SELECT doc_id, unnest({_words(False)}) AS tok FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+          GROUP BY doc_id, j
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, simhash, band_idx,
+                 (simhash >> (15 * band_idx)) & 32767 AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_N_SIM_BANDS - 1})) AS band_idx)
+        ),
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                          x.simhash AS sig_a, y.simhash AS sig_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}""",
 }
 
 SPARK_QUERIES = {
@@ -297,4 +366,5 @@ SPARK_QUERIES = {
     "dd2_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
     "dd4_simhash_signatures": simhash_signatures,
+    "dd6_simhash_neardup": simhash_neardup_pairs,
 }
