@@ -97,11 +97,13 @@ def abs_time_pct_per_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats.py:378)."""
     t = _per_query_name_times(spark, sf_dir)
     per_name = t.groupBy("name").agg(F.sum("sum_time").alias("total_time"))
-    w = Window.partitionBy()
-    return per_name.select(
+    # grand total as a broadcast 1-row join, not an unpartitioned window:
+    # same numbers, but no single-partition WindowExec in the plan
+    tot = per_name.agg(F.sum("total_time").alias("grand_total"))
+    return per_name.crossJoin(F.broadcast(tot)).select(
         "name",
         F.expr("CAST(FLOOR(total_time / CAST(1000000 AS DOUBLE)) AS BIGINT)").alias("total_time_ms"),
-        F.round(F.col("total_time") / F.sum("total_time").over(w), 9).alias("abs_time_pct"),
+        F.round(F.col("total_time") / F.col("grand_total"), 9).alias("abs_time_pct"),
     )
 
 
