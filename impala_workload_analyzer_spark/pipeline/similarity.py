@@ -237,6 +237,61 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim5 — the vectorized-throughput variant of sim1: the query batch
+    (50 x 64, model-sized) is collected and closed over like a broadcast
+    model; each Arrow batch of corpus vectors computes ALL similarities
+    in one numpy matmul instead of a per-row fold. This is the shape a
+    real 100 TB scorer takes — BLAS batch math per executor, one shuffle
+    for the per-query top-k.
+
+    Rows-only driver check by design: BLAS accumulation order is not
+    bit-reproducible against DuckDB's sequential fold, so the exact-value
+    gate stays on sim1 (same semantics); ``tests/test_pipeline_ops``
+    asserts sim5's top-k agrees with sim1."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            norm = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ q_mat.T) / np.outer(norm, q_norm)  # B x Q
+            b, q = np.meshgrid(np.arange(len(ids)), np.arange(len(q_ids)),
+                               indexing="ij")
+            out = pd.DataFrame({
+                "query_id": q_ids[q.ravel()],
+                "neighbor_id": ids[b.ravel()],
+                "sim": np.round(sims.ravel(), 9),
+            })
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    sims = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 ORACLES = {
     "dd5_embedding_neardup": f"""
         WITH e AS (
@@ -342,4 +397,5 @@ SPARK_QUERIES = {
     "sim2_lsh_topk": lsh_topk,
     "sim3_label_centroids": label_centroids,
     "sim4_ivf_topk": ivf_topk,
+    "sim5_vectorized_topk": vectorized_topk,
 }

@@ -20,6 +20,23 @@ def test_lsh_topk_is_subset_of_brute_force(spark, sf_dir):
             assert r["rank"] <= exact[key] + similarity._TOP_K
 
 
+def test_vectorized_topk_matches_brute_force(spark, sf_dir):
+    """sim5 (numpy-matmul scorer) computes the same exact cosine as sim1
+    (sequential fold) up to BLAS accumulation order: identical top-k sets
+    per query and similarities within 1e-6."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in similarity.vectorized_topk(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, sim in exact.items():
+        assert abs(sim - fast[key]) < 1e-6
+
+
 def test_plan_paths_cover_all_operators(spark, sf_dir):
     """Every operator of every non-DDL query is reachable from its root."""
     from impala_workload_analyzer_spark.corpus import corpus_operators
