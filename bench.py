@@ -40,11 +40,14 @@ HEADLINERS = (
     "a6_workload_distributions",
     "dd1_exact_dedup",
     "dd3_minhash_lsh_pairs",
+    "dd6_simhash_neardup",
     "ing1_parsed_operators",
     "q1_sql_features",
     "ev3_sessionize",
     "tx4_winnow_fingerprints",
     "sim1_brute_force_topk",
+    "sim4_ivf_topk",
+    "st3_stateful_user_stats",
     "pt2_plan_paths",
 )
 

@@ -48,11 +48,10 @@ def ensure_corpus(spark: SparkSession, sf_dir: str) -> str:
     At cluster scale these writes are the ingest job's output, partitioned
     by tag/date.
     """
+    from ..cache_util import is_valid, stamp  # noqa: PLC0415
+
     out = _corpus_cache_dir(sf_dir)
-    if all(
-        os.path.exists(os.path.join(out, t, "_SUCCESS"))
-        for t in ("queries", "operators", "fragments")
-    ):
+    if is_valid(out, "queries", "operators", "fragments"):
         return out
     for name, df in (
         ("queries", _derive_queries(spark, sf_dir)),
@@ -61,6 +60,7 @@ def ensure_corpus(spark: SparkSession, sf_dir: str) -> str:
     ):
         write_bucketed(df, os.path.join(out, name),
                        _table_name("corpus", sf_dir, name))
+    stamp(out)
     return out
 
 

@@ -113,11 +113,14 @@ def _ensure_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself always runs the live pipeline — it is the oracle-checked op."""
     import os  # noqa: PLC0415
 
+    from ..cache_util import is_valid, stamp  # noqa: PLC0415
+
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo_root, ".features_cache",
                         os.path.basename(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not is_valid(path):
         cluster_features(spark, sf_dir).write.mode("overwrite").parquet(path)
+        stamp(path)
     return spark.read.parquet(path)
 
 

@@ -55,7 +55,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per doc (docs with >= 3 words)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _shingles_of(load_table(spark, sf_dir, "documents"))
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", F.expr(_words(True)).alias("w"))
         .filter(F.size("w") >= 3)
@@ -80,14 +83,23 @@ shingles AS (
 """
 
 
-def _pair_jaccard(shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard for every pair sharing >= 1 shingle (a < b)."""
+_SHINGLE_DF_CAP = 100  # drop shingles shared by more than this many docs
+                       # from CANDIDATE GENERATION (verification stays exact)
+
+
+def _verify_jaccard(cands: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for the given candidate (doc_a < doc_b) pairs, computed
+    against the FULL shingle sets — candidate pruning upstream never skews
+    the reported similarity, mirroring dd3's LSH verify stage."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -105,11 +117,37 @@ def _pair_jaccard(shingles: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd2 — all-pairs word-3-gram Jaccard >= 0.5 (shared-shingle candidate
-    join). The exact baseline the LSH variant approximates; at scale the
-    shared-shingle join is bounded by shingle document-frequency (cap hot
-    shingles), not |docs|^2."""
-    pairs = _pair_jaccard(_shingles_df(spark, sf_dir))
+    """dd2 — word-3-gram Jaccard >= 0.5 via shared-shingle candidates.
+
+    Scale guard: a boilerplate shingle shared by k docs makes the naive
+    shared-shingle self-join O(k^2). Candidate generation therefore only
+    joins on shingles whose document frequency is <= _SHINGLE_DF_CAP;
+    verification then computes EXACT Jaccard on full shingle sets for the
+    surviving pairs. The only pairs lost are those whose every common
+    shingle is boilerplate-hot — which at threshold 0.5 implies near-
+    boilerplate docs, the standard recall trade (same cap in the oracle)."""
+    return _ngram_jaccard_of(_shingles_df(spark, sf_dir))
+
+
+def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
+    rare = shingles.join(
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    cands = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _verify_jaccard(cands, shingles)
     return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -162,30 +200,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-Jaccard verification restricted to the candidate pairs — the
     # whole point of LSH at scale: work is O(|candidates| x doc_len), never
     # the all-pairs-sharing-a-shingle join the exact dd2 baseline pays
-    shingles = _shingles_df(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cands.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            shingles.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    pairs = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
+    pairs = _verify_jaccard(cands, _shingles_df(spark, sf_dir))
     return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -301,9 +316,21 @@ ORACLES = {
         SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS num_docs
         FROM documents GROUP BY md5(text)""",
     "dd2_ngram_jaccard_pairs": f"""
-        WITH x AS (SELECT 1){_DUCK_JACCARD}
-        SELECT doc_a, doc_b, ROUND(jaccard, 9) AS jaccard
-        FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}""",
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        rare AS (
+          SELECT s.doc_id, s.shingle FROM shingles s
+          JOIN (SELECT shingle FROM shingles
+                GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_DF_CAP}) r
+            ON s.shingle = r.shingle
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        )
+        SELECT j.doc_a, j.doc_b, ROUND(j.jaccard, 9) AS jaccard
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= {_JACCARD_THRESHOLD}""",
     "dd3_minhash_lsh_pairs": f"""
         WITH x AS (SELECT 1){_DUCK_JACCARD},
         {_DUCK_MINHASH_SIG},

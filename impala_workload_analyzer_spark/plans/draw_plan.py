@@ -82,21 +82,24 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower again).
 
     Co-location safety: against the bucketed corpus tables the planner
-    may elide the repartition (bucket layout already hash-partitions by
-    query_id) — which is the zero-shuffle ideal — but Spark's
-    DisableUnnecessaryBucketedScan can then ALSO de-bucket the scan,
-    silently breaking co-location (observed: 5.4x row loss). Pinning
-    ``autoBucketedScan`` off for this plan removes that inconsistency:
-    either the scan stays bucketed (repartition elided, zero shuffle) or
-    the partitioning doesn't match and the repartition runs. Either way
-    every query's rows land in one partition; ``test_plan_contracts``
-    guards row conservation.
+    can elide a plain ``repartition(N, query_id)`` (bucket layout already
+    hash-partitions by query_id) while DisableUnnecessaryBucketedScan
+    simultaneously de-buckets the scan, silently breaking co-location
+    (observed: 5.4x row loss). Rather than pinning a session conf (which
+    is useless here — the DataFrame is lazy, so any set-and-restore
+    inside this function would be undone before the action runs, and a
+    bare set leaks into every later query), we repartition on
+    ``hash(query_id)``: semantically co-locates identically (same
+    query_id -> same partition) but is a *different* clustering
+    expression from the bucket spec, so the exchange can never be
+    elided. One guaranteed shuffle, conf-leak-free, parallelism follows
+    the cluster (``defaultParallelism``, not a hard-coded bucket count).
+    ``test_plan_contracts`` guards row conservation.
     """
     from collections.abc import Iterator  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     ops = corpus_operators(spark, sf_dir).select(
         "query_id", "id", "name", "fragment_id", "parent_id"
     )
@@ -106,7 +109,7 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("id").alias("fragment_id"), "exchange_id"
     )
     nodes = ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
-        32, "query_id"
+        spark.sparkContext.defaultParallelism, F.hash("query_id")
     )
 
     out_schema = ("query_id string, id bigint, depth int, path string, "

@@ -257,8 +257,10 @@ _FRAG_COLS = (
 def ensure_profiles(spark: SparkSession, sf_dir: str) -> str:
     """Render (once per sf_dir) the corpus into tag-partitioned profile log
     files; returns the log directory."""
+    from ..cache_util import is_valid, stamp  # noqa: PLC0415
+
     path = profiles_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if is_valid(path):
         return path
 
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
@@ -294,4 +296,5 @@ def ensure_profiles(spark: SparkSession, sf_dir: str) -> str:
     joined.mapInPandas(render, schema=out_schema).write.partitionBy("tag").mode(
         "overwrite"
     ).text(path)
+    stamp(path)
     return path

@@ -485,13 +485,16 @@ def materialized_table(spark: SparkSession, sf_dir: str, which: str) -> DataFram
 
     from ..catalog import _table_name, read_bucketed, write_bucketed  # noqa: PLC0415
 
+    from ..cache_util import is_valid, stamp  # noqa: PLC0415
+
     out = _ingest_cache_dir(sf_dir)
     path = os.path.join(out, which)
     table = _table_name("ingest", sf_dir, which)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not is_valid(path):
         fn = {"operators": parsed_operators, "fragments": parsed_fragments,
               "queries": parsed_queries}[which]
         write_bucketed(fn(spark, sf_dir), path, table)
+        stamp(path)
     return read_bucketed(spark, path, table)
 
 

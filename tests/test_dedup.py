@@ -29,6 +29,25 @@ def test_minhash_is_subset_of_exact_pairs(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_hot_shingle_cap_prunes_candidates_but_keeps_exact_jaccard(spark):
+    """A boilerplate shingle shared by > _SHINGLE_DF_CAP docs must not feed
+    the candidate self-join (the O(k^2) scale-killer), yet verified pairs
+    still report Jaccard computed on FULL shingle sets (hot ones included)."""
+    cap = dedup._SHINGLE_DF_CAP
+    rows = [(i, "alpha beta gamma delta") for i in range(cap + 1)]
+    rows.append((200, "alpha beta gamma one two three four five"))
+    rows.append((201, "alpha beta gamma one two three four six"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup._ngram_jaccard_of(dedup._shingles_of(docs)).collect()
+    # the cap+1 identical boilerplate docs (pairwise jaccard 1.0) produce NO
+    # pairs: their only shingles exceed the document-frequency cap
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert set(got) == {(200, 201)}
+    # 6 shingles each, 5 shared — one of them ("alpha beta gamma") is hot,
+    # but verification still counts it: 5 / (6 + 6 - 5)
+    assert abs(got[(200, 201)] - 5 / 7) < 1e-9
+
+
 def test_simhash_deterministic(spark, sf_dir):
     a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
