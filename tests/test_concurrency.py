@@ -1,0 +1,54 @@
+"""Two-phase distributed prefix scan (W1 scale path) invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_workload_analyzer_spark.operators.concurrency import _two_phase_sweep
+
+
+def _mk_events():
+    rows = []
+    for i in range(2000):
+        s = (i * 37) % 50021
+        e = s + 1 + (i * 13) % 997
+        rows.append(("c1", s, 1))
+        rows.append(("c1", e, -1))
+    return rows
+
+
+def test_two_phase_sweep_matches_sequential_scan(spark):
+    """One big skewed cluster: the chunked scan must (a) actually split the
+    cluster across >1 chunk — the parallelism the single-window version
+    can't get — and (b) emit exactly the sequential running-sum result."""
+    rows = _mk_events()
+    events = spark.createDataFrame(rows, "cluster string, ts long, delta int")
+    out = _two_phase_sweep(events, 16).collect()
+
+    assert len({r["chunk"] for r in out}) > 1
+
+    # sequential reference: sort by (ts, delta), running sum, next-ts delta
+    seq = sorted((ts, d) for _, ts, d in rows)
+    level, expect = 0, []
+    for i, (ts, d) in enumerate(seq):
+        level += d
+        nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+        expect.append((level, None if nxt is None else nxt - ts))
+    key = lambda t: (t[0], t[1] is None, t[1] or 0)  # noqa: E731
+    got = sorted(((r["level"], r["interval"]) for r in out), key=key)
+    assert got == sorted(expect, key=key)
+
+
+def test_two_phase_sweep_single_timestamp_degenerate(spark):
+    """All events at one timestamp -> one chunk, no div-by-zero, levels are
+    a permutation of the prefix sums."""
+    events = spark.createDataFrame(
+        [("c", 5, 1), ("c", 5, 1), ("c", 5, -1), ("c", 5, -1)],
+        "cluster string, ts long, delta int",
+    )
+    out = _two_phase_sweep(events, 8).collect()
+    assert len(out) == 4
+    # tie order is (ts, delta): deltas sort as [-1, -1, 1, 1] -> prefix
+    # sums [-1, -2, -1, 0]; all intervals inside the tie group are 0
+    assert sorted(r["level"] for r in out) == [-2, -1, -1, 0]
+    assert [r["interval"] for r in out if r["interval"] is not None] == [0, 0, 0]
