@@ -27,31 +27,72 @@ from pyspark.sql import types as T
 
 from ..corpus.corpus_sql import with_corpus
 from ..sources.profiles import materialized_table
-from .parser import extract_sql_features
+from .parser import _BINARY_OPS, _COMPOUND_OPS, _LIKE_OPS, extract_sql_features
 
 _L, _S, _B = T.LongType(), T.StringType(), T.BooleanType()
 
-FEATURES_SCHEMA = T.StructType([
-    T.StructField("query_id", _S),
-    T.StructField("stmt_type", _S),
-    T.StructField("num_output_columns", _L),
-    T.StructField("num_group_by_columns", _L),
-    T.StructField("num_order_by_columns", _L),
-    T.StructField("num_limits", _L),
-    T.StructField("num_where_binary_eq", _L),
-    T.StructField("num_where_binary_gt", _L),
-    T.StructField("num_where_in_predicates", _L),
-    T.StructField("num_from_subqueries", _L),
-    T.StructField("num_with_subqueries", _L),
-    T.StructField("max_depth_subqueries", _L),
-    T.StructField("num_select_function_call_exprs", _L),
-    T.StructField("overwrite", _B),
-    T.StructField("parameterized_stmt", _S),
-])
+# the FULL QueryStats surface (QueryStats.java:44-89): 27 scalar counters in
+# _new_stats order, then the 9 operator-keyed maps flattened one column per
+# operator — typed BIGINT columns hash identically across Spark and DuckDB,
+# where MapType key ordering would not.
+_SCALAR_COUNTERS = (
+    "num_output_columns", "num_from_subqueries", "num_where_subqueries",
+    "num_with_subqueries", "max_depth_subqueries", "num_group_by_columns",
+    "num_order_by_columns", "num_limits", "num_where_in_predicates",
+    "num_where_between_predicates", "num_where_exists_predicates",
+    "num_where_is_null_predicates", "num_where_function_call_exprs",
+    "num_where_case_exprs", "num_where_arithmetic_exprs",
+    "num_where_cast_exprs", "num_where_timestamp_arithmetic_exprs",
+    "num_select_case_exprs", "num_select_arithmetic_exprs",
+    "num_select_cast_exprs", "num_select_function_call_exprs",
+    "num_select_analytic_exprs", "num_select_is_null_predicates",
+    "num_having_function_call_exprs", "num_using_columns",
+    "num_on_function_call_exprs", "num_on_between_predicates",
+)
+
+_OP_NAMES = {
+    "=": "eq", "!=": "ne", "<=": "le", ">=": "ge", "<": "lt", ">": "gt",
+    "<=>": "nseq", "AND": "and", "OR": "or", "NOT": "not",
+    "LIKE": "like", "RLIKE": "rlike", "REGEXP": "regexp",
+}
+
+# (stats key, column prefix, operator tuple)
+_MAP_COUNTERS = (
+    ("num_where_compound_predicates", "num_where_compound", _COMPOUND_OPS),
+    ("num_select_compound_predicates", "num_select_compound", _COMPOUND_OPS),
+    ("num_having_compound_predicates", "num_having_compound", _COMPOUND_OPS),
+    ("num_on_compound_predicates", "num_on_compound", _COMPOUND_OPS),
+    ("num_where_binary_predicates", "num_where_binary", _BINARY_OPS),
+    ("num_select_binary_predicates", "num_select_binary", _BINARY_OPS),
+    ("num_having_binary_predicates", "num_having_binary", _BINARY_OPS),
+    ("num_on_binary_predicates", "num_on_binary", _BINARY_OPS),
+    ("num_where_like_predicates", "num_where_like", _LIKE_OPS),
+)
+
+COUNTER_COLUMNS = list(_SCALAR_COUNTERS) + [
+    f"{prefix}_{_OP_NAMES[op]}"
+    for _, prefix, ops in _MAP_COUNTERS
+    for op in ops
+]
+
+FEATURES_SCHEMA = T.StructType(
+    [T.StructField("query_id", _S), T.StructField("stmt_type", _S)]
+    + [T.StructField(c, _L) for c in COUNTER_COLUMNS]
+    + [T.StructField("overwrite", _B), T.StructField("parameterized_stmt", _S)]
+)
+
+
+def _flat_counters(s: dict) -> tuple:
+    vals = [s[k] for k in _SCALAR_COUNTERS]
+    for key, _, ops in _MAP_COUNTERS:
+        vals.extend(s[key][op] for op in ops)
+    return tuple(vals)
 
 
 def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q1_sql_features — EP2: per-statement feature extraction + template.
+    """q1_sql_features — EP2: per-statement feature extraction + template,
+    surfacing the full ~70-column QueryStats counter set
+    (QueryAnalyzer.java:290-325).
 
     The input is small in bytes but CPU-heavy per row (a parse per
     statement), so AQE's size-based coalescing would funnel it into one
@@ -61,6 +102,7 @@ def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "sql_stmt")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    n = len(COUNTER_COLUMNS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,23 +110,15 @@ def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qid, stmt in zip(pdf["query_id"], pdf["sql_stmt"]):
                 feats = extract_sql_features(stmt)
                 if feats is None:
-                    rows.append((qid, "UnparsedStmt") + (None,) * 13)
+                    rows.append((qid, "UnparsedStmt") + (None,) * (n + 2))
                     continue
                 s = feats["stats"]
                 if s is None:
-                    rows.append((qid, feats["type"]) + (None,) * 11
+                    rows.append((qid, feats["type"]) + (None,) * n
                                 + (feats["overwrite"], feats["parameterized_stmt"]))
                     continue
-                rows.append((
-                    qid, feats["type"], s["num_output_columns"],
-                    s["num_group_by_columns"], s["num_order_by_columns"],
-                    s["num_limits"], s["num_where_binary_predicates"]["="],
-                    s["num_where_binary_predicates"][">"],
-                    s["num_where_in_predicates"], s["num_from_subqueries"],
-                    s["num_with_subqueries"], s["max_depth_subqueries"],
-                    s["num_select_function_call_exprs"], feats["overwrite"],
-                    feats["parameterized_stmt"],
-                ))
+                rows.append((qid, feats["type"]) + _flat_counters(s)
+                            + (feats["overwrite"], feats["parameterized_stmt"]))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return queries.mapInPandas(run, schema=FEATURES_SCHEMA)
@@ -106,43 +140,47 @@ def features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# expected features per corpus statement template (profile_render.sql_stmt_for);
-# SELECT statements rotate through 4 shape variants on k % 4
-_FEATURE_CASE = """
+# Expected counters per corpus statement template (profile_render.
+# sql_stmt_for); SELECT statements rotate through 4 shape variants on
+# k % 4. Values below were pinned by running extract_sql_features on each
+# template (tests/test_sql_introspect.py locks the parser behavior);
+# every counter not listed is 0 for parsed statements and NULL for DDL.
+# Template keys: "InsertStmt"/"UnionStmt", and 0-3 for SelectStmt k % 4.
+_EXPECTED = {
+    "num_output_columns": {"InsertStmt": 1, "UnionStmt": 1, 0: 2, 1: 2, 2: 1, 3: 2},
+    "num_where_subqueries": {2: 1},
+    "max_depth_subqueries": {2: 1},
+    "num_group_by_columns": {1: 1},
+    "num_order_by_columns": {0: 1},
+    "num_limits": {0: 1},
+    "num_where_in_predicates": {2: 1},
+    "num_select_function_call_exprs": {1: 1, 3: 1},
+    "num_select_analytic_exprs": {3: 1},
+    # v2's IN-subquery WHERE merges into the parent (Q4 merge semantics)
+    "num_where_binary_eq": {"UnionStmt": 1, 0: 1, 2: 1},
+    "num_where_binary_gt": {"InsertStmt": 1, 1: 1},
+    "num_where_like_like": {3: 1},
+}
+
+
+def _counter_case(col: str) -> str:
+    v = _EXPECTED.get(col, {})
+    return (
+        "CAST(CASE WHEN sql_type = 'DdlStmt' THEN NULL"
+        f" WHEN sql_type = 'InsertStmt' THEN {v.get('InsertStmt', 0)}"
+        f" WHEN sql_type = 'UnionStmt' THEN {v.get('UnionStmt', 0)}"
+        + "".join(f" WHEN k % 4 = {i} THEN {v.get(i, 0)}" for i in range(4))
+        + f" END AS BIGINT) AS {col}"
+    )
+
+
+_FEATURE_CASE = (
+    """
   SELECT query_id, k, sql_type,
     CASE sql_type WHEN 'DdlStmt' THEN 'CreateTableStmt' ELSE sql_type END AS stmt_type,
-    CASE sql_type
-      WHEN 'SelectStmt' THEN CASE WHEN k % 4 = 2 THEN 1 ELSE 2 END
-      WHEN 'UnionStmt' THEN 1 WHEN 'InsertStmt' THEN 1 ELSE NULL END
-      AS num_output_columns,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
-      AS num_group_by_columns,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
-      AS num_order_by_columns,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
-      AS num_limits,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 IN (0, 2) THEN 1
-         WHEN sql_type = 'UnionStmt' THEN 1 ELSE 0 END
-      AS num_where_binary_eq,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'InsertStmt' THEN 1
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
-      AS num_where_binary_gt,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
-      AS num_where_in_predicates,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_from_subqueries,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL ELSE 0 END AS num_with_subqueries,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
-      AS max_depth_subqueries,
-    CASE WHEN sql_type = 'DdlStmt' THEN NULL
-         WHEN sql_type = 'SelectStmt' AND k % 4 IN (1, 3) THEN 1 ELSE 0 END
-      AS num_select_function_call_exprs,
+    """
+    + ",\n    ".join(_counter_case(c) for c in COUNTER_COLUMNS)
+    + """,
     CASE WHEN sql_type = 'InsertStmt' THEN FALSE ELSE NULL END AS overwrite,
     CASE sql_type
       WHEN 'SelectStmt' THEN CASE k % 4
@@ -154,14 +192,13 @@ _FEATURE_CASE = """
       ELSE NULL END AS parameterized_stmt
   FROM iwa_queries WHERE k % 41 <> 0
 """
+)
 
 ORACLES = {
     "q1_sql_features": with_corpus(f"""
-        SELECT query_id, stmt_type, num_output_columns, num_group_by_columns,
-               num_order_by_columns, num_limits, num_where_binary_eq,
-               num_where_binary_gt, num_where_in_predicates, num_from_subqueries,
-               num_with_subqueries, max_depth_subqueries,
-               num_select_function_call_exprs, overwrite, parameterized_stmt
+        SELECT query_id, stmt_type,
+               {", ".join(COUNTER_COLUMNS)},
+               overwrite, parameterized_stmt
         FROM ({_FEATURE_CASE})"""),
     "q3_features_rollup": with_corpus(f"""
         SELECT stmt_type, COUNT(*) AS n_queries,
