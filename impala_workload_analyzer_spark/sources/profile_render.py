@@ -2,10 +2,14 @@
 
 Real profiles are absent from the reference snapshot (``.gitignore:7``), so
 the ingest layer is exercised by RENDERING the deterministic corpus into
-Impala-style profile text (ExecSummary table, indented Plan tree, counter
-sections — the formats ``profile_analyzer.py:59-270`` consumes), then
-compressing each profile zlib+base64 into one log line
-(``analyze_profiles.py:14-17``'s wire format: third space-separated field).
+real ``TRuntimeProfileTree`` thrift trees — the exact wire format the
+reference ingests (``analyze_profiles.py:14-21``): a pre-order node list
+whose Summary node carries the ExecSummary table and indented Plan tree as
+info strings (the formats ``profile_analyzer.py:59-270`` consumes), with
+per-fragment / per-operator counter nodes. Each tree is serialized with
+TCompactProtocol (``thrift_compact``), zlib-compressed and base64-encoded
+into one log line — the third space-separated field, matching
+``analyze_profiles.py:14-17``.
 
 Because the renderer is a pure function of corpus rows, the ingest
 round-trip ``parse(render(corpus)) == corpus`` is DuckDB-oracle-checkable:
@@ -41,6 +45,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus.corpus_sql import with_corpus
+from .thrift_compact import (
+    TCounter,
+    TCounterType,
+    TEventSequence,
+    TRuntimeProfileNode,
+    TRuntimeProfileTree,
+    TTimeSeriesCounter,
+    pack_double,
+)
 
 _NODE_NAME = {
     "SCAN HDFS": "HDFS_SCAN_NODE",
@@ -146,50 +159,98 @@ def _plan_section(ops: dict[int, dict]) -> list[str]:
     return lines
 
 
-def _counter_sections(ops: dict[int, dict], frags: dict[int, dict]) -> list[str]:
-    lines: list[str] = []
+def _counter_node(name: str, counters: list[TCounter], metadata: int = -1,
+                  info: dict[str, str] | None = None,
+                  ts_counters: list[TTimeSeriesCounter] | None = None,
+                  num_children: int = 0) -> TRuntimeProfileNode:
+    return TRuntimeProfileNode(
+        name=name,
+        num_children=num_children,
+        counters=counters,
+        metadata=metadata,
+        indent=True,
+        info_strings=dict(info or {}),
+        info_strings_display_order=list(info or {}),
+        # Impala convention: root-level counters hang off the "" parent
+        child_counters_map={"": [c.name for c in counters]} if counters else {},
+        time_series_counters=ts_counters,
+    )
+
+
+def _counter_nodes(ops: dict[int, dict],
+                   frags: dict[int, dict]) -> list[TRuntimeProfileNode]:
+    """The per-fragment counter subtree, one node per profile section the
+    reference walks (profile_analyzer.py:198-270): Averaged Fragment /
+    Coordinator Fragment / Fragment headers, each with CodeGen,
+    HdfsTableSink, and ``*_NODE (id=N)`` children."""
+    nodes: list[TRuntimeProfileNode] = []
     by_frag: dict[int, list[dict]] = {0: [], 1: []}
     for o in sorted(ops.values(), key=lambda x: x["id"]):
         by_frag[o["fragment_id"]].append(o)
 
-    def node_line(o: dict, inst: int | None) -> str:
-        node = _NODE_NAME[o["name"]]
-        if inst is None:  # averaged: doubles (DOUBLE_VALUE counters)
-            inact = o["avg_time"] / 3
-            return (
-                f"  {node} (id={o['id']}): RowsReturned={float(o['rows_returned'])!r}, "
-                f"TotalTime={float(o['avg_time'])!r}, InactiveTotalTime={inact!r}"
-            )
+    def op_node(o: dict, inst: int | None) -> TRuntimeProfileNode:
+        name = f"{_NODE_NAME[o['name']]} (id={o['id']})"
+        if inst is None:  # averaged: DOUBLE_VALUE counters (bit-packed)
+            dv = TCounterType.DOUBLE_VALUE
+            cs = [
+                TCounter("RowsReturned", dv, pack_double(float(o["rows_returned"]))),
+                TCounter("TotalTime", dv, pack_double(float(o["avg_time"]))),
+                TCounter("InactiveTotalTime", dv, pack_double(o["avg_time"] / 3)),
+            ]
+            return _counter_node(name, cs, metadata=int(o["id"]))
         rr = o["rr_i1"] if inst == 1 else o["rr_i2"]
         tt = o["tt_i1"] if inst == 1 else o["tt_i2"]
-        return f"  {node} (id={o['id']}): RowsReturned={rr}, TotalTime={tt}"
+        cs = [
+            TCounter("RowsReturned", TCounterType.UNIT, int(rr)),
+            TCounter("TotalTime", TCounterType.TIME_NS, int(tt)),
+        ]
+        # info strings only on instance 1 -> single-element harvest lists
+        info = {"ExecOption": "Codegen Enabled"} if inst == 1 else None
+        return _counter_node(name, cs, metadata=int(o["id"]), info=info)
 
     for fid, avg_hdr, inst_hdrs in (
         (0, "Averaged Fragment F00", ("Fragment F00", "Fragment F00")),
         (1, "Averaged Fragment F01", ("Coordinator Fragment F01", "Fragment F01")),
     ):
         fr = frags[fid]
-        lines.append(avg_hdr)
-        lines.append(f"  CodeGen: TotalTime={float(fr['avg_code_gen_total'])!r}")
-        lines.append(
-            f"  HdfsTableSink: TotalTime={float(fr['avg_hdfs_table_sink_total'])!r}"
-        )
-        for o in by_frag[fid]:
-            lines.append(node_line(o, None))
+        dv = TCounterType.DOUBLE_VALUE
+        kids = by_frag[fid]
+        nodes.append(_counter_node(avg_hdr, [], num_children=2 + len(kids)))
+        nodes.append(_counter_node(
+            "CodeGen",
+            [TCounter("TotalTime", dv, pack_double(float(fr["avg_code_gen_total"])))],
+        ))
+        nodes.append(_counter_node(
+            "HdfsTableSink",
+            [TCounter("TotalTime", dv,
+                      pack_double(float(fr["avg_hdfs_table_sink_total"])))],
+        ))
+        nodes.extend(op_node(o, None) for o in kids)
         for inst, hdr in enumerate(inst_hdrs, start=1):
-            lines.append(hdr)
             cg = fr["cg_i1"] if inst == 1 else fr["cg_i2"]
             sink = fr["sink_i1"] if inst == 1 else fr["sink_i2"]
-            lines.append(f"  CodeGen: TotalTime={cg}")
-            lines.append(f"  HdfsTableSink: TotalTime={sink}")
-            for o in by_frag[fid]:
-                lines.append(node_line(o, inst))
-                if inst == 1:  # info strings once -> single-element lists
-                    lines.append("    ExecOption: Codegen Enabled")
-    return lines
+            nodes.append(_counter_node(
+                hdr, [],
+                ts_counters=[TTimeSeriesCounter(
+                    "MemoryUsage", TCounterType.BYTES, 500,
+                    [int(cg) % 4096, int(sink) % 4096],
+                )],
+                num_children=2 + len(kids),
+            ))
+            nodes.append(_counter_node(
+                "CodeGen", [TCounter("TotalTime", TCounterType.TIME_NS, int(cg))]))
+            nodes.append(_counter_node(
+                "HdfsTableSink",
+                [TCounter("TotalTime", TCounterType.TIME_NS, int(sink))]))
+            nodes.extend(op_node(o, inst) for o in kids)
+    return nodes
 
 
-def render_profile(q: dict, ops_list: list[dict], frags_list: list[dict]) -> str:
+def render_profile(q: dict, ops_list: list[dict],
+                   frags_list: list[dict]) -> TRuntimeProfileTree:
+    """Corpus row -> TRuntimeProfileTree: pre-order [root, Summary,
+    Execution Profile, <counter nodes>], the node layout
+    ``profile_analyzer.py`` indexes (nodes[1] = Summary) and walks."""
     k = int(q["query_id"])
     failed = k % 41 == 0
     is_ddl = q["query_type"] == "DDL"
@@ -197,42 +258,72 @@ def render_profile(q: dict, ops_list: list[dict], frags_list: list[dict]) -> str
     hosts = [f"host{k % 8}-{i}:22000" for i in range(1, int(q["num_hosts"]) + 1)]
     p, fst, rt = q["plan_time"], q["fragment_start_time"], q["runtime"]
 
-    out = ["=== Summary ==="]
-    out.append(f"Query State: {'EXCEPTION' if failed else 'FINISHED'}")
-    out.append(f"Query Status: {'Cancelled' if failed else 'OK'}")
-    out.append(f"Query Type: {q['query_type']}")
-    out.append(f"Sql Statement: {sql_stmt_for(q['sql_type'], k)}")
-    out.append(f"Start Time: {_ts(q['start_time'])}")
-    out.append(f"End Time: {_ts(q['end_time'])}")
-    out.append(
-        f"Impala Version: impalad version 2.{k % 3}.0 RELEASE (build {k % 2})"
+    info = {
+        "Query State": "EXCEPTION" if failed else "FINISHED",
+        "Query Status": "Cancelled" if failed else "OK",
+        "Query Type": q["query_type"],
+        "Sql Statement": sql_stmt_for(q["sql_type"], k),
+        "Start Time": _ts(q["start_time"]),
+        "End Time": _ts(q["end_time"]),
+        "Impala Version":
+            f"impalad version 2.{k % 3}.0 RELEASE (build {k % 2})",
+        "Coordinator": coord,
+        "Query Id": str(q["query_id"]),
+    }
+    timeline = TEventSequence(
+        "Query Timeline",
+        [0, p, p, p + fst, rt],
+        ["Query submitted", "Planning finished",
+         "Ready to start remote fragments", "All remote fragments started",
+         "Rows available"],
     )
-    out.append(f"Coordinator: {coord}")
-    out.append(f"Query Timeline: 0,{p},{p},{p + fst},{rt}")
-    out.append(f"Query Id: {q['query_id']}")
+    counter_nodes: list[TRuntimeProfileNode] = []
     if not is_ddl and not failed:
         mem = " ".join(f"{h}(45.00 MB)" for h in hosts)
-        out.append(f"Per Node Peak Memory Usage: {mem}")
+        info["Per Node Peak Memory Usage"] = mem
         ops = {int(o["id"]): o for o in ops_list}
         frags = {int(f["id"]): f for f in frags_list}
-        out.append("=== ExecSummary ===")
-        out.append("Operator  #Hosts  Avg Time  Max Time  #Rows  Est. #Rows  "
-                    "Peak Mem  Est. Peak Mem  Detail")
-        out.append("-" * 80)
-        out.append("")
-        for oid in sorted(ops, reverse=True):
-            out.append(_exec_row(ops[oid]))
-        out.append("=== Plan ===")
-        out.extend(_plan_section(ops))
-        out.append("=== Counters ===")
-        out.extend(_counter_sections(ops, frags))
-    return "\n".join(out)
+        exec_summary = [
+            "Operator  #Hosts  Avg Time  Max Time  #Rows  Est. #Rows  "
+            "Peak Mem  Est. Peak Mem  Detail",
+            "-" * 80,
+            "",
+        ] + [_exec_row(ops[oid]) for oid in sorted(ops, reverse=True)]
+        info["ExecSummary"] = "\n".join(exec_summary)
+        info["Plan"] = "\n".join(_plan_section(ops))
+        counter_nodes = _counter_nodes(ops, frags)
+
+    summary = TRuntimeProfileNode(
+        name="Summary",
+        num_children=0,
+        metadata=-1,
+        indent=False,
+        info_strings=info,
+        info_strings_display_order=list(info),
+        event_sequences=[timeline],
+    )
+    root = TRuntimeProfileNode(
+        name=f"Query (id={q['query_id']})",
+        num_children=1 + (1 if counter_nodes else 0),
+        metadata=-1,
+        indent=False,
+    )
+    nodes = [root, summary]
+    if counter_nodes:
+        nodes.append(TRuntimeProfileNode(
+            name=f"Execution Profile {q['query_id']}",
+            num_children=6,  # 2 fragments x (averaged + 2 instances)
+            metadata=-1,
+            indent=False,
+        ))
+        nodes.extend(counter_nodes)
+    return TRuntimeProfileTree(nodes)
 
 
-def encode_profile(text: str, seq: int) -> str:
-    """One log line: seq, a filler field, then the base64(zlib(profile))
+def encode_profile(tree: TRuntimeProfileTree, seq: int) -> str:
+    """One log line: seq, a filler field, then the base64(zlib(thrift))
     third field (analyze_profiles.py:14-17)."""
-    blob = base64.b64encode(zlib.compress(text.encode("utf-8"))).decode("ascii")
+    blob = base64.b64encode(zlib.compress(tree.serialize())).decode("ascii")
     return f"{seq} profile {blob}"
 
 
@@ -289,8 +380,8 @@ def ensure_profiles(spark: SparkSession, sf_dir: str) -> str:
                 raw_ops, raw_frags = rec["ops"], rec["frags"]
                 ops_list = [] if raw_ops is None else [dict(o) for o in raw_ops]
                 frags_list = [] if raw_frags is None else [dict(f) for f in raw_frags]
-                text = render_profile(rec, ops_list, frags_list)
-                rows.append((rec["tag"], encode_profile(text, int(rec["query_id"]))))
+                tree = render_profile(rec, ops_list, frags_list)
+                rows.append((rec["tag"], encode_profile(tree, int(rec["query_id"]))))
             yield pd.DataFrame(rows, columns=["tag", "value"])
 
     joined.mapInPandas(render, schema=out_schema).write.partitionBy("tag").mode(

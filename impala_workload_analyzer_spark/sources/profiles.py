@@ -3,7 +3,9 @@
 Pipeline, all distributed:
 - S1  ``spark.read.text`` over the tag-partitioned log dir; 3rd
       space-separated field is the payload (analyze_profiles.py:14-16).
-- S2  base64 + zlib decode inside ``mapInPandas`` (analyze_profiles.py:17).
+- S2  base64 + zlib + thrift TCompactProtocol decode of the
+      ``TRuntimeProfileTree`` inside ``mapInPandas``
+      (analyze_profiles.py:17-21; wire reader in ``thrift_compact``).
 - S3  status gate: drop unless State FINISHED / Status OK
       (profile_analyzer.py:24-26).
 - S4  type dispatch QUERY/DML vs DDL (profile_analyzer.py:29-37).
@@ -43,6 +45,7 @@ from pyspark.sql import types as T
 
 from ..corpus.corpus_sql import with_corpus
 from .profile_render import ensure_profiles
+from .thrift_compact import TRuntimeProfileTree
 
 # --- faithful ports of the pretty-print parsers (profile_analyzer.py:341-403)
 
@@ -116,9 +119,7 @@ _SCAN_RE = re.compile(
 _AVG_FRAG_HDR = re.compile(r"^Averaged Fragment F(?P<id>[0-9]+)$")
 _COORD_FRAG_HDR = re.compile(r"^Coordinator Fragment F(?P<id>[0-9]+)$")
 _INST_FRAG_HDR = re.compile(r"^Fragment F(?P<id>[0-9]+)$")
-_NODE_RE = re.compile(r"^  (?P<name>.+_NODE) \(id=(?P<id>[0-9]+)\): (?P<counters>.*)$")
-_SUBSYS_RE = re.compile(r"^  (?P<name>CodeGen|HdfsTableSink): (?P<counters>.*)$")
-_INFO_RE = re.compile(r"^    (?P<key>[A-Za-z]+): (?P<value>.*)$")
+_NODE_RE = re.compile(r"^(?P<name>.+_NODE) \(id=(?P<id>[0-9]+)\)$")
 _HOST_RE = re.compile(r"(?P<host>[^() ]+:[0-9]+)")
 _VERSION_RE = re.compile(
     r"^impalad version (?P<impala_version>[^ ]+) (?P<impala_flag>[^ ]+) "
@@ -126,47 +127,30 @@ _VERSION_RE = re.compile(
 )
 
 
-def _counter_val(v: str):
-    return float(v) if "." in v else int(v)
-
-
-def _sections(text: str) -> dict[str, list[str]]:
-    out: dict[str, list[str]] = {}
-    current: list[str] | None = None
-    for line in text.split("\n"):
-        m = re.match(r"^=== (.+) ===$", line)
-        if m:
-            current = out.setdefault(m.group(1), [])
-        elif current is not None:
-            current.append(line)
-    return out
-
-
 def _micros(ts: str) -> int:
     dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f000")
     return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) + 0
 
 
-def parse_profile(text: str, tag: str):
-    """One profile -> (query_row | None, operator_rows, fragment_rows).
+def parse_profile(tree: TRuntimeProfileTree, tag: str):
+    """One decoded TRuntimeProfileTree -> (query_row | None, operator_rows,
+    fragment_rows).
 
     Mirrors ProfileAnalyzer.analyze / analyzeQuery / analyzeDDL
-    (profile_analyzer.py:23-313) over our sectioned text serialization of
-    the thrift info strings.
+    (profile_analyzer.py:23-313): ``nodes[1]`` is the Summary node whose
+    info strings carry the ExecSummary table and Plan text; the remaining
+    nodes are walked linearly for counters.
     """
-    sections = _sections(text)
-    info = {}
-    for line in sections.get("Summary", ()):
-        if ": " in line:
-            key, val = line.split(": ", 1)
-            info[key] = val
-        elif line.endswith(":"):
-            info[line[:-1]] = ""
+    info = tree.nodes[1].info_strings
     # S3 status gate (profile_analyzer.py:24-26)
     if info.get("Query State") != "FINISHED" or info.get("Query Status") != "OK":
         return None, [], []
     qtype = info["Query Type"]
-    timeline = [int(x) for x in info["Query Timeline"].split(",")]
+    timeline = next(
+        es.timestamps
+        for es in tree.nodes[1].event_sequences or ()
+        if es.name == "Query Timeline"
+    )
     vm = _VERSION_RE.match(info["Impala Version"])
     query = {
         "tag": tag,
@@ -190,12 +174,12 @@ def parse_profile(text: str, tag: str):
         return query, [], []
     if qtype not in ("QUERY", "DML"):
         return None, [], []
-    if "ExecSummary" not in sections:  # e.g. GET_SCHEMAS (profile_analyzer.py:51-53)
+    if "ExecSummary" not in info:  # e.g. GET_SCHEMAS (profile_analyzer.py:51-53)
         return None, [], []
 
     # S5 ExecSummary (profile_analyzer.py:59-76); 3 header lines skipped
     operators: dict[int, dict] = {}
-    for line in sections["ExecSummary"][3:]:
+    for line in info["ExecSummary"].split("\n")[3:]:
         m = _EXEC_RE.match(line)
         if not m:
             continue
@@ -219,7 +203,7 @@ def parse_profile(text: str, tag: str):
     fragment: dict | None = None
     curr: dict | None = None
     parent_ops: dict[int, dict | None] = {0: None}
-    for line in sections["Plan"]:
+    for line in info["Plan"].split("\n"):
         m = _FRAG_RE.match(line)
         if m:
             fragment = {"id": int(m.group("id")), "query_id": query["query_id"],
@@ -283,50 +267,49 @@ def parse_profile(text: str, tag: str):
             curr["size"] = _pp_size(m.group("size"))
             continue
 
-    # S7 counter harvest (profile_analyzer.py:195-270)
+    # S7 counter harvest: linear node walk (profile_analyzer.py:195-270).
+    # Counter values come through TCounter.scalar() — DOUBLE_VALUE counters
+    # are i64 bit patterns reinterpreted as doubles (the F4 bitcast).
     is_averaged = False
     curr_frag: dict | None = None
-    curr_node_op: dict | None = None
-    for line in sections.get("Counters", ()):
+    for node in tree.nodes:
+        matched_hdr = False
         for hdr, avg in ((_AVG_FRAG_HDR, True), (_COORD_FRAG_HDR, False),
                          (_INST_FRAG_HDR, False)):
-            m = hdr.match(line)
+            m = hdr.match(node.name)
             if m:
                 is_averaged = avg
                 curr_frag = fragments[int(m.group("id"))]
-                curr_node_op = None
+                matched_hdr = True
                 break
-        else:
-            m = _NODE_RE.match(line)
-            if m:
-                op = operators[int(m.group("id"))]
-                curr_node_op = op
-                pairs = [kv.split("=", 1) for kv in m.group("counters").split(", ")]
-                if is_averaged:
-                    op["avg_counters"] = {k: _counter_val(v) for k, v in pairs}
-                else:
-                    counters = op.setdefault("counters", {})
-                    for k, v in pairs:
-                        counters.setdefault(k, []).append(_counter_val(v))
-                continue
-            m = _SUBSYS_RE.match(line)
-            if m:
-                which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
-                    m.group("name")
-                ]
-                pairs = [kv.split("=", 1) for kv in m.group("counters").split(", ")]
-                if is_averaged:
-                    curr_frag["avg_" + which] = {k: _counter_val(v) for k, v in pairs}
-                else:
-                    store = curr_frag.setdefault(which, {})
-                    for k, v in pairs:
-                        store.setdefault(k, []).append(_counter_val(v))
-                continue
-            m = _INFO_RE.match(line)
-            if m and curr_node_op is not None:
-                curr_node_op.setdefault("info", {}).setdefault(
-                    m.group("key"), []
-                ).append(m.group("value"))
+        if matched_hdr:
+            continue
+        if node.name in ("CodeGen", "HdfsTableSink"):
+            which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
+                node.name
+            ]
+            if is_averaged:
+                curr_frag["avg_" + which] = {
+                    c.name: c.scalar() for c in node.counters
+                }
+            else:
+                store = curr_frag.setdefault(which, {})
+                for c in node.counters:
+                    store.setdefault(c.name, []).append(c.scalar())
+            continue
+        m = _NODE_RE.match(node.name)
+        if m:
+            op = operators[int(m.group("id"))]
+            if is_averaged:
+                op["avg_counters"] = {c.name: c.scalar() for c in node.counters}
+            else:
+                counters = op.setdefault("counters", {})
+                for c in node.counters:
+                    counters.setdefault(c.name, []).append(c.scalar())
+                # instance-node info strings harvested into lists
+                # (profile_analyzer.py:258-262)
+                for key, value in node.info_strings.items():
+                    op.setdefault("info", {}).setdefault(key, []).append(value)
 
     # query-level rollups (profile_analyzer.py:284-308)
     if "Per Node Peak Memory Usage" in info:
@@ -428,8 +411,11 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
         for pdf in batches:
             rows = []
             for blob, tag in zip(pdf["blob"], pdf["tag"]):
-                text = zlib.decompress(base64.b64decode(blob)).decode("utf-8")
-                query, ops, frags = parse_profile(text, tag)
+                # S2: base64 + zlib + thrift compact (analyze_profiles.py:17-21)
+                tree = TRuntimeProfileTree.deserialize(
+                    zlib.decompress(base64.b64decode(blob))
+                )
+                query, ops, frags = parse_profile(tree, tag)
                 if query is None:
                     continue
                 if which == "operators":

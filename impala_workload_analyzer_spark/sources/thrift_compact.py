@@ -1,0 +1,502 @@
+"""Pure-Python Thrift TCompactProtocol reader/writer for the Impala
+``TRuntimeProfileTree`` IDL (reference ``RuntimeProfile.thrift:28-95``,
+consumed at ``analyze_profiles.py:17-21``).
+
+The wire format is the public Apache Thrift *compact protocol*
+(thrift/doc/specs/thrift-compact-protocol.md): ULEB128 varints, zigzag
+integers, short-form field headers ``(delta << 4) | type``, length-
+prefixed binary, size-and-type collection headers. Only the subset the
+IDL needs is implemented — struct, string, bool, i32/i64, list, set,
+map — plus symmetric writers so the profile renderer can emit real
+thrift-encoded profiles and the ingest path can decode them exactly the
+way the reference does.
+
+``TCounter.value`` is always an i64 on the wire; DOUBLE_VALUE counters
+carry the IEEE-754 bit pattern and are reinterpreted on read
+(``profile_analyzer.py:405-411`` — the same bitcast surfaced as the F4
+driver query).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from dataclasses import dataclass, field
+
+# --- compact-protocol wire type ids ----------------------------------------
+
+CT_STOP = 0x00
+CT_BOOL_TRUE = 0x01
+CT_BOOL_FALSE = 0x02
+CT_BYTE = 0x03
+CT_I16 = 0x04
+CT_I32 = 0x05
+CT_I64 = 0x06
+CT_DOUBLE = 0x07
+CT_BINARY = 0x08
+CT_LIST = 0x09
+CT_SET = 0x0A
+CT_MAP = 0x0B
+CT_STRUCT = 0x0C
+
+
+class TCounterType:
+    """enum TCounterType (RuntimeProfile.thrift:19-27)."""
+
+    UNIT = 0
+    UNIT_PER_SECOND = 1
+    CPU_TICKS = 2
+    BYTES = 3
+    BYTES_PER_SECOND = 4
+    TIME_NS = 5
+    DOUBLE_VALUE = 6
+
+
+# --- primitive encoders -----------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+class _Writer:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._last_fid = [0]
+
+    def struct_begin(self) -> None:
+        self._last_fid.append(0)
+
+    def struct_end(self) -> None:
+        self.buf.append(CT_STOP)
+        self._last_fid.pop()
+
+    def field(self, fid: int, ftype: int) -> None:
+        delta = fid - self._last_fid[-1]
+        if 0 < delta <= 15:
+            self.buf.append((delta << 4) | ftype)
+        else:
+            self.buf.append(ftype)
+            self.buf += _varint(_zigzag(fid))
+        self._last_fid[-1] = fid
+
+    def i32(self, fid: int, v: int) -> None:
+        self.field(fid, CT_I32)
+        self.buf += _varint(_zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+
+    def i64(self, fid: int, v: int) -> None:
+        self.field(fid, CT_I64)
+        self.buf += _varint(_zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+
+    def boolean(self, fid: int, v: bool) -> None:
+        self.field(fid, CT_BOOL_TRUE if v else CT_BOOL_FALSE)
+
+    def binary(self, fid: int, v: bytes) -> None:
+        self.field(fid, CT_BINARY)
+        self._raw_binary(v)
+
+    def string(self, fid: int, v: str) -> None:
+        self.binary(fid, v.encode("utf-8"))
+
+    def _raw_binary(self, v: bytes) -> None:
+        self.buf += _varint(len(v))
+        self.buf += v
+
+    def collection_begin(self, fid: int, coll_type: int, elem_type: int,
+                         size: int) -> None:
+        self.field(fid, coll_type)
+        self._raw_collection(elem_type, size)
+
+    def _raw_collection(self, elem_type: int, size: int) -> None:
+        if size < 15:
+            self.buf.append((size << 4) | elem_type)
+        else:
+            self.buf.append(0xF0 | elem_type)
+            self.buf += _varint(size)
+
+    def map_begin(self, fid: int, ktype: int, vtype: int, size: int) -> None:
+        self.field(fid, CT_MAP)
+        if size == 0:
+            self.buf.append(0)
+        else:
+            self.buf += _varint(size)
+            self.buf.append((ktype << 4) | vtype)
+
+
+class _Reader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._last_fid = [0]
+
+    def _byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        shift, out = 0, 0
+        while True:
+            b = self._byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def zigzag(self) -> int:
+        return _unzigzag(self.varint())
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        v = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def string(self) -> str:
+        return self.binary().decode("utf-8")
+
+    def struct_begin(self) -> None:
+        self._last_fid.append(0)
+
+    def struct_end(self) -> None:
+        self._last_fid.pop()
+
+    def field_header(self) -> tuple[int, int] | None:
+        """-> (field id, wire type), or None at STOP."""
+        b = self._byte()
+        if b == CT_STOP:
+            return None
+        ftype = b & 0x0F
+        delta = b >> 4
+        fid = self._last_fid[-1] + delta if delta else self.zigzag()
+        self._last_fid[-1] = fid
+        return fid, ftype
+
+    def collection_header(self) -> tuple[int, int]:
+        """-> (element type, size)."""
+        b = self._byte()
+        size = b >> 4
+        if size == 0xF:
+            size = self.varint()
+        return b & 0x0F, size
+
+    def map_header(self) -> tuple[int, int, int]:
+        """-> (key type, value type, size)."""
+        size = self.varint()
+        if size == 0:
+            return 0, 0, 0
+        b = self._byte()
+        return b >> 4, b & 0x0F, size
+
+    def skip(self, ftype: int) -> None:
+        if ftype in (CT_BOOL_TRUE, CT_BOOL_FALSE):
+            return
+        if ftype == CT_BYTE:
+            self._byte()
+        elif ftype in (CT_I16, CT_I32, CT_I64):
+            self.varint()
+        elif ftype == CT_DOUBLE:
+            self.pos += 8
+        elif ftype == CT_BINARY:
+            self.binary()
+        elif ftype in (CT_LIST, CT_SET):
+            et, n = self.collection_header()
+            for _ in range(n):
+                self.skip(et)
+        elif ftype == CT_MAP:
+            kt, vt, n = self.map_header()
+            for _ in range(n):
+                self.skip(kt)
+                self.skip(vt)
+        elif ftype == CT_STRUCT:
+            self.struct_begin()
+            while True:
+                hdr = self.field_header()
+                if hdr is None:
+                    break
+                self.skip(hdr[1])
+            self.struct_end()
+        else:
+            raise ValueError(f"unknown compact wire type {ftype}")
+
+
+# --- RuntimeProfile.thrift structs ------------------------------------------
+
+
+@dataclass
+class TCounter:
+    """RuntimeProfile.thrift:29-34."""
+
+    name: str
+    type: int
+    value: int
+
+    def write(self, w: _Writer) -> None:
+        w.struct_begin()
+        w.string(1, self.name)
+        w.i32(2, self.type)
+        w.i64(3, self.value)
+        w.struct_end()
+
+    @classmethod
+    def read(cls, r: _Reader) -> TCounter:
+        out = cls("", 0, 0)
+        r.struct_begin()
+        while True:
+            hdr = r.field_header()
+            if hdr is None:
+                break
+            fid, ftype = hdr
+            if fid == 1:
+                out.name = r.string()
+            elif fid == 2:
+                out.type = r.zigzag()
+            elif fid == 3:
+                out.value = r.zigzag()
+            else:
+                r.skip(ftype)
+        r.struct_end()
+        return out
+
+    def scalar(self):
+        """getCounterValue (profile_analyzer.py:405-411): DOUBLE_VALUE is an
+        i64 bit pattern -> double; everything else is the integer."""
+        if self.type == TCounterType.DOUBLE_VALUE:
+            return _struct.unpack("<d", _struct.pack("<q", self.value))[0]
+        return self.value
+
+
+def pack_double(v: float) -> int:
+    """double -> i64 bit pattern for DOUBLE_VALUE counters."""
+    return _struct.unpack("<q", _struct.pack("<d", float(v)))[0]
+
+
+@dataclass
+class TEventSequence:
+    """RuntimeProfile.thrift:38-42."""
+
+    name: str
+    timestamps: list[int]
+    labels: list[str]
+
+    def write(self, w: _Writer) -> None:
+        w.struct_begin()
+        w.string(1, self.name)
+        w.collection_begin(2, CT_LIST, CT_I64, len(self.timestamps))
+        for t in self.timestamps:
+            w.buf += _varint(_zigzag(t) & 0xFFFFFFFFFFFFFFFF)
+        w.collection_begin(3, CT_LIST, CT_BINARY, len(self.labels))
+        for s in self.labels:
+            w._raw_binary(s.encode("utf-8"))
+        w.struct_end()
+
+    @classmethod
+    def read(cls, r: _Reader) -> TEventSequence:
+        out = cls("", [], [])
+        r.struct_begin()
+        while True:
+            hdr = r.field_header()
+            if hdr is None:
+                break
+            fid, ftype = hdr
+            if fid == 1:
+                out.name = r.string()
+            elif fid == 2:
+                _, n = r.collection_header()
+                out.timestamps = [r.zigzag() for _ in range(n)]
+            elif fid == 3:
+                _, n = r.collection_header()
+                out.labels = [r.string() for _ in range(n)]
+            else:
+                r.skip(ftype)
+        r.struct_end()
+        return out
+
+
+@dataclass
+class TTimeSeriesCounter:
+    """RuntimeProfile.thrift:50-59 (declared by the IDL; written for
+    completeness, never consumed by the reference analytics)."""
+
+    name: str
+    type: int
+    period_ms: int
+    values: list[int]
+
+    def write(self, w: _Writer) -> None:
+        w.struct_begin()
+        w.string(1, self.name)
+        w.i32(2, self.type)
+        w.i32(3, self.period_ms)
+        w.collection_begin(4, CT_LIST, CT_I64, len(self.values))
+        for v in self.values:
+            w.buf += _varint(_zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+        w.struct_end()
+
+    @classmethod
+    def read(cls, r: _Reader) -> TTimeSeriesCounter:
+        out = cls("", 0, 0, [])
+        r.struct_begin()
+        while True:
+            hdr = r.field_header()
+            if hdr is None:
+                break
+            fid, ftype = hdr
+            if fid == 1:
+                out.name = r.string()
+            elif fid == 2:
+                out.type = r.zigzag()
+            elif fid == 3:
+                out.period_ms = r.zigzag()
+            elif fid == 4:
+                _, n = r.collection_header()
+                out.values = [r.zigzag() for _ in range(n)]
+            else:
+                r.skip(ftype)
+        r.struct_end()
+        return out
+
+
+@dataclass
+class TRuntimeProfileNode:
+    """RuntimeProfile.thrift:62-88."""
+
+    name: str
+    num_children: int = 0
+    counters: list[TCounter] = field(default_factory=list)
+    metadata: int = 0
+    indent: bool = True
+    info_strings: dict[str, str] = field(default_factory=dict)
+    info_strings_display_order: list[str] = field(default_factory=list)
+    child_counters_map: dict[str, list[str]] = field(default_factory=dict)
+    event_sequences: list[TEventSequence] | None = None
+    time_series_counters: list[TTimeSeriesCounter] | None = None
+
+    def write(self, w: _Writer) -> None:
+        w.struct_begin()
+        w.string(1, self.name)
+        w.i32(2, self.num_children)
+        w.collection_begin(3, CT_LIST, CT_STRUCT, len(self.counters))
+        for c in self.counters:
+            c.write(w)
+        w.i64(4, self.metadata)
+        w.boolean(5, self.indent)
+        w.map_begin(6, CT_BINARY, CT_BINARY, len(self.info_strings))
+        for k, v in self.info_strings.items():
+            w._raw_binary(k.encode("utf-8"))
+            w._raw_binary(v.encode("utf-8"))
+        w.collection_begin(7, CT_LIST, CT_BINARY,
+                           len(self.info_strings_display_order))
+        for s in self.info_strings_display_order:
+            w._raw_binary(s.encode("utf-8"))
+        w.map_begin(8, CT_BINARY, CT_SET, len(self.child_counters_map))
+        for k, vs in self.child_counters_map.items():
+            w._raw_binary(k.encode("utf-8"))
+            w._raw_collection(CT_BINARY, len(vs))
+            for v in vs:
+                w._raw_binary(v.encode("utf-8"))
+        if self.event_sequences is not None:
+            w.collection_begin(9, CT_LIST, CT_STRUCT, len(self.event_sequences))
+            for es in self.event_sequences:
+                es.write(w)
+        if self.time_series_counters is not None:
+            w.collection_begin(10, CT_LIST, CT_STRUCT,
+                               len(self.time_series_counters))
+            for ts in self.time_series_counters:
+                ts.write(w)
+        w.struct_end()
+
+    @classmethod
+    def read(cls, r: _Reader) -> TRuntimeProfileNode:
+        out = cls("")
+        r.struct_begin()
+        while True:
+            hdr = r.field_header()
+            if hdr is None:
+                break
+            fid, ftype = hdr
+            if fid == 1:
+                out.name = r.string()
+            elif fid == 2:
+                out.num_children = r.zigzag()
+            elif fid == 3:
+                _, n = r.collection_header()
+                out.counters = [TCounter.read(r) for _ in range(n)]
+            elif fid == 4:
+                out.metadata = r.zigzag()
+            elif fid == 5:
+                out.indent = ftype == CT_BOOL_TRUE
+            elif fid == 6:
+                _, _, n = r.map_header()
+                out.info_strings = {r.string(): r.string() for _ in range(n)}
+            elif fid == 7:
+                _, n = r.collection_header()
+                out.info_strings_display_order = [r.string() for _ in range(n)]
+            elif fid == 8:
+                _, _, n = r.map_header()
+                out.child_counters_map = {}
+                for _ in range(n):
+                    k = r.string()
+                    _, m = r.collection_header()
+                    out.child_counters_map[k] = [r.string() for _ in range(m)]
+            elif fid == 9:
+                _, n = r.collection_header()
+                out.event_sequences = [TEventSequence.read(r) for _ in range(n)]
+            elif fid == 10:
+                _, n = r.collection_header()
+                out.time_series_counters = [
+                    TTimeSeriesCounter.read(r) for _ in range(n)
+                ]
+            else:
+                r.skip(ftype)
+        r.struct_end()
+        return out
+
+
+@dataclass
+class TRuntimeProfileTree:
+    """RuntimeProfile.thrift:92-95 — pre-order flattened node list."""
+
+    nodes: list[TRuntimeProfileNode]
+
+    def serialize(self) -> bytes:
+        w = _Writer()
+        w.struct_begin()
+        w.collection_begin(1, CT_LIST, CT_STRUCT, len(self.nodes))
+        for n in self.nodes:
+            n.write(w)
+        w.struct_end()
+        return bytes(w.buf)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> TRuntimeProfileTree:
+        r = _Reader(data)
+        out = cls([])
+        r.struct_begin()
+        while True:
+            hdr = r.field_header()
+            if hdr is None:
+                break
+            fid, ftype = hdr
+            if fid == 1:
+                _, n = r.collection_header()
+                out.nodes = [TRuntimeProfileNode.read(r) for _ in range(n)]
+            else:
+                r.skip(ftype)
+        r.struct_end()
+        return out

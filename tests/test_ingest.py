@@ -1,33 +1,23 @@
-"""Ingest-layer unit tests: the stateful plan parser and unit parsers
-(reference: profile_analyzer.py:78-193, 341-403)."""
+"""Ingest-layer unit tests: the TCompactProtocol wire format, the stateful
+plan parser, and unit parsers (reference: RuntimeProfile.thrift:28-95,
+analyze_profiles.py:14-21, profile_analyzer.py:78-193, 341-403)."""
 
 from __future__ import annotations
 
 import textwrap
 
 from impala_workload_analyzer_spark.sources import profiles as P
+from impala_workload_analyzer_spark.sources import thrift_compact as TC
 
-_PROFILE = textwrap.dedent("""\
-    === Summary ===
-    Query State: FINISHED
-    Query Status: OK
-    Query Type: QUERY
-    Sql Statement: SELECT 1
-    Start Time: 2024-01-01 00:00:00.000001000
-    End Time: 2024-01-01 00:00:01.000000000
-    Impala Version: impalad version 2.1.0 RELEASE (build 1)
-    Coordinator: h1:22000
-    Query Timeline: 0,10,10,25,100
-    Query Id: 77
-    Per Node Peak Memory Usage: h2:22000(1.00 MB) h1:22000(1.00 MB)
-    === ExecSummary ===
-    h1
-    h2
-    h3
+_EXEC_SUMMARY = textwrap.dedent("""\
+    Operator  #Hosts  Avg Time  Max Time  #Rows  Est. #Rows  Peak Mem  Est. Peak Mem  Detail
+    --------
+    ""
       2:HASH JOIN  2  1h2m  2h  2.85K  -1  278.73 KB  100 B  j
       1:SCAN HDFS  2  795.202us  1ms  10  9  1.00 MB  1.00 MB  t1 x
-      0:SCAN HDFS  2  250ms  1s  20  18  2 B  1 B  lineitem y
-    === Plan ===
+      0:SCAN HDFS  2  250ms  1s  20  18  2 B  1 B  lineitem y""")
+
+_PLAN = textwrap.dedent("""\
     F00:PLAN FRAGMENT [RANDOM]
       2:HASH JOIN [LEFT OUTER JOIN, BROADCAST]
       |  tuple-ids=0 row-size=12B cardinality=unavailable
@@ -36,8 +26,79 @@ _PROFILE = textwrap.dedent("""\
          partitions=1/1 files=1 size=4KB
       0:SCAN HDFS [lineitem]
       |  tuple-ids=0 row-size=4B cardinality=20
-         partitions=1/1 files=2 size=1MB
-    """)
+         partitions=1/1 files=2 size=1MB""")
+
+
+def _summary_tree(info: dict[str, str],
+                  timeline: list[int]) -> TC.TRuntimeProfileTree:
+    summary = TC.TRuntimeProfileNode(
+        name="Summary", info_strings=info,
+        info_strings_display_order=list(info),
+        event_sequences=[TC.TEventSequence(
+            "Query Timeline", timeline, ["l"] * len(timeline))],
+    )
+    root = TC.TRuntimeProfileNode(name="Query (id=x)", num_children=1)
+    return TC.TRuntimeProfileTree([root, summary])
+
+
+def _query_tree(state: str = "FINISHED") -> TC.TRuntimeProfileTree:
+    info = {
+        "Query State": state,
+        "Query Status": "OK",
+        "Query Type": "QUERY",
+        "Sql Statement": "SELECT 1",
+        "Start Time": "2024-01-01 00:00:00.000001000",
+        "End Time": "2024-01-01 00:00:01.000000000",
+        "Impala Version": "impalad version 2.1.0 RELEASE (build 1)",
+        "Coordinator": "h1:22000",
+        "Query Id": "77",
+        "Per Node Peak Memory Usage": "h2:22000(1.00 MB) h1:22000(1.00 MB)",
+        "ExecSummary": _EXEC_SUMMARY,
+        "Plan": _PLAN,
+    }
+    return _summary_tree(info, [0, 10, 10, 25, 100])
+
+
+def test_compact_protocol_golden_bytes():
+    """Pin the wire format against hand-computed TCompactProtocol bytes:
+    field 1 (string, delta 1) = 0x18; field 2 (i32) = 0x15 zigzag(0)=0x00;
+    field 3 (i64) = 0x16 zigzag(5)=0x0a; STOP."""
+    w = TC._Writer()
+    TC.TCounter("x", TC.TCounterType.UNIT, 5).write(w)
+    assert bytes(w.buf) == bytes.fromhex("1801781500160a00")
+
+
+def test_compact_protocol_round_trip_all_field_types():
+    node = TC.TRuntimeProfileNode(
+        name="HDFS_SCAN_NODE (id=0)", num_children=2,
+        counters=[
+            TC.TCounter("TotalTime", TC.TCounterType.TIME_NS, 12345),
+            TC.TCounter("Avg", TC.TCounterType.DOUBLE_VALUE,
+                        TC.pack_double(1.5)),
+        ],
+        metadata=-7, indent=False,
+        info_strings={"ExecOption": "Codegen Enabled", "k2": "v2"},
+        info_strings_display_order=["ExecOption", "k2"],
+        child_counters_map={"TotalTime": ["a", "b"], "": []},
+        event_sequences=[TC.TEventSequence("tl", [0, 5, -3], ["a", "b", "c"])],
+        time_series_counters=[TC.TTimeSeriesCounter(
+            "mem", TC.TCounterType.BYTES, 500, [1, 2, 3])],
+    )
+    # >14 elements exercises long-form collection headers
+    big = TC.TRuntimeProfileNode(
+        "n", counters=[TC.TCounter(f"c{i}", 0, i) for i in range(20)],
+        info_strings={f"k{i}": "v" for i in range(20)},
+    )
+    tree = TC.TRuntimeProfileTree([node, big])
+    assert TC.TRuntimeProfileTree.deserialize(tree.serialize()) == tree
+
+
+def test_double_value_counters_bit_reinterpret():
+    """DOUBLE_VALUE counters carry IEEE-754 bits in the i64 value
+    (profile_analyzer.py:405-411)."""
+    c = TC.TCounter("t", TC.TCounterType.DOUBLE_VALUE, TC.pack_double(-2.25))
+    assert c.scalar() == -2.25
+    assert TC.TCounter("t", TC.TCounterType.UNIT, 42).scalar() == 42
 
 
 def test_unit_parsers_match_reference_cases():
@@ -51,7 +112,7 @@ def test_unit_parsers_match_reference_cases():
 
 
 def test_plan_tree_parse_right_child_first():
-    query, ops, frags = P.parse_profile(_PROFILE, "t")
+    query, ops, frags = P.parse_profile(_query_tree(), "t")
     by_id = {o["id"]: o for o in ops}
     join = by_id[2]
     # right child listed first in plan text (profile_analyzer.py:136-141)
@@ -71,33 +132,67 @@ def test_plan_tree_parse_right_child_first():
     # query-level rollups
     assert query["num_hdfs_scans"] == 2 and query["num_tables"] == 2
     assert query["num_hosts"] == 2
-    assert query["hosts"] == ["h1:22000", "h2:22000"] if "hosts" in query else True
     assert query["plan_time"] == 10 and query["fragment_start_time"] == 15
     assert query["runtime"] == 100
     assert frags[0]["exchange_id"] is None
 
 
+def test_parse_survives_thrift_round_trip():
+    """Decoding serialize(tree) must parse identically to the tree itself
+    — the ingest path's actual wire round-trip."""
+    tree = _query_tree()
+    back = TC.TRuntimeProfileTree.deserialize(tree.serialize())
+    assert P.parse_profile(back, "t") == P.parse_profile(tree, "t")
+
+
+def test_counter_node_walk():
+    """Averaged vs instance counter harvest (profile_analyzer.py:195-270)."""
+    tree = _query_tree()
+    dv = TC.TCounterType.DOUBLE_VALUE
+    extra = [
+        TC.TRuntimeProfileNode("Averaged Fragment F00", counters=[]),
+        TC.TRuntimeProfileNode("CodeGen", counters=[
+            TC.TCounter("TotalTime", dv, TC.pack_double(1.5))]),
+        TC.TRuntimeProfileNode("HDFS_SCAN_NODE (id=0)", counters=[
+            TC.TCounter("RowsReturned", dv, TC.pack_double(20.0))]),
+        TC.TRuntimeProfileNode("Fragment F00", counters=[]),
+        TC.TRuntimeProfileNode("CodeGen", counters=[
+            TC.TCounter("TotalTime", TC.TCounterType.TIME_NS, 7)]),
+        TC.TRuntimeProfileNode(
+            "HDFS_SCAN_NODE (id=0)",
+            counters=[TC.TCounter("RowsReturned", TC.TCounterType.UNIT, 21)],
+            info_strings={"ExecOption": "Codegen Enabled"},
+        ),
+    ]
+    tree.nodes.extend(extra)
+    query, ops, frags = P.parse_profile(tree, "t")
+    scan0 = {o["id"]: o for o in ops}[0]
+    assert scan0["avg_counters"] == {"RowsReturned": 20.0}
+    assert scan0["counters"] == {"RowsReturned": [21]}
+    assert scan0["info"] == {"ExecOption": ["Codegen Enabled"]}
+    frag0 = {f["id"]: f for f in frags}[0]
+    assert frag0["avg_code_gen"] == {"TotalTime": 1.5}
+    assert frag0["code_gen"] == {"TotalTime": [7]}
+
+
 def test_status_gate_drops_failed_profiles():
-    bad = _PROFILE.replace("Query State: FINISHED", "Query State: EXCEPTION")
-    query, ops, frags = P.parse_profile(bad, "t")
+    query, ops, frags = P.parse_profile(_query_tree(state="EXCEPTION"), "t")
     assert query is None and ops == [] and frags == []
 
 
-def test_ddl_path(spark=None):
-    ddl = textwrap.dedent("""\
-        === Summary ===
-        Query State: FINISHED
-        Query Status: OK
-        Query Type: DDL
-        Sql Statement: CREATE TABLE x (i INT)
-        Start Time: 2024-01-01 00:00:00.000000000
-        End Time: 2024-01-01 00:00:01.000000000
-        Impala Version: impalad version 2.0.0 RELEASE (build 0)
-        Coordinator: h9:22000
-        Query Timeline: 0,5,5,9,50
-        Query Id: 31
-        """)
-    query, ops, frags = P.parse_profile(ddl, "t")
+def test_ddl_path():
+    info = {
+        "Query State": "FINISHED",
+        "Query Status": "OK",
+        "Query Type": "DDL",
+        "Sql Statement": "CREATE TABLE x (i INT)",
+        "Start Time": "2024-01-01 00:00:00.000000000",
+        "End Time": "2024-01-01 00:00:01.000000000",
+        "Impala Version": "impalad version 2.0.0 RELEASE (build 0)",
+        "Coordinator": "h9:22000",
+        "Query Id": "31",
+    }
+    query, ops, frags = P.parse_profile(_summary_tree(info, [0, 5, 5, 9, 50]), "t")
     assert query["query_type"] == "DDL"
     assert query["num_hosts"] == 1
     assert query["plan_time"] is None  # DDL has no plan (profile_analyzer.py:39-48)
