@@ -30,6 +30,7 @@ _SOURCES = (
     "corpus/builder.py",
     "sources/profile_render.py",
     "sources/profiles.py",
+    "sources/thrift_compact.py",
     "sql_introspect/parser.py",
     "ml/clustering.py",
     "catalog.py",

@@ -405,15 +405,21 @@ def _query_row(q: dict) -> tuple:
 
 def _parse_table(spark: SparkSession, sf_dir: str, which: str,
                  schema: T.StructType) -> DataFrame:
-    lines = _decoded_lines(spark, sf_dir)
+    # decode+parse is CPU-bound per profile, not byte-bound: the log dir's
+    # file count (not core count) would otherwise set task parallelism
+    lines = _decoded_lines(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for blob, tag in zip(pdf["blob"], pdf["tag"]):
-                # S2: base64 + zlib + thrift compact (analyze_profiles.py:17-21)
+                # S2: base64 + zlib + thrift compact (analyze_profiles.py:17-21);
+                # lean projection decode — skips the tree fields no analyzer
+                # consumes
                 tree = TRuntimeProfileTree.deserialize(
-                    zlib.decompress(base64.b64decode(blob))
+                    zlib.decompress(base64.b64decode(blob)), lean=True
                 )
                 query, ops, frags = parse_profile(tree, tag)
                 if query is None:

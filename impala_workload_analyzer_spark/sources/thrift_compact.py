@@ -484,7 +484,25 @@ class TRuntimeProfileTree:
         return bytes(w.buf)
 
     @classmethod
-    def deserialize(cls, data: bytes) -> TRuntimeProfileTree:
+    def deserialize(cls, data: bytes, lean: bool = False) -> TRuntimeProfileTree:
+        """Decode a compact-protocol tree. Tries the specialized fast path
+        (ingest decodes ~150k profiles per run — generic per-field method
+        dispatch costs ~4x); any structural surprise falls back to the
+        fully general reader.
+
+        ``lean=True`` is a projection decode for the ingest hot path: the
+        fields no analytics consumer reads (``info_strings_display_order``,
+        ``child_counters_map``, ``time_series_counters`` —
+        profile_analyzer.py never touches them) are skip-scanned instead of
+        materialized, leaving their defaults. Everything else is identical
+        to a full decode."""
+        try:
+            return _fast_deserialize(data, lean)
+        except _FastMiss:
+            return cls._deserialize_generic(data)
+
+    @classmethod
+    def _deserialize_generic(cls, data: bytes) -> TRuntimeProfileTree:
         r = _Reader(data)
         out = cls([])
         r.struct_begin()
@@ -500,3 +518,207 @@ class TRuntimeProfileTree:
                 r.skip(ftype)
         r.struct_end()
         return out
+
+
+class _FastMiss(Exception):
+    """Raised when input deviates from the short-form, fields-in-declared-
+    order encoding every thrift writer (ours included) produces."""
+
+
+def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
+    """Specialized decoder: one closure-based scanner, varints and field
+    headers inlined, fields expected in declared order with short-form
+    headers. Produces objects identical to the generic reader (pinned by
+    tests); raises _FastMiss on anything unexpected. ``lean`` skip-scans
+    fields 7/8/10 (never consumed by the analyzer) without materializing."""
+    pos = 0
+
+    def rv() -> int:  # unsigned varint
+        nonlocal pos
+        shift = out = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def rz() -> int:  # zigzag varint
+        n = rv()
+        return (n >> 1) ^ -(n & 1)
+
+    def rs() -> str:  # length-prefixed utf-8
+        nonlocal pos
+        ln = rv()
+        s = data[pos : pos + ln]
+        pos += ln
+        return s.decode("utf-8")
+
+    def skip_s() -> None:  # skip a length-prefixed binary
+        nonlocal pos
+        ln = rv()  # rv() advances pos; two steps so the add sees the new pos
+        pos += ln
+
+    def skip_v() -> None:  # skip a varint
+        nonlocal pos
+        while data[pos] & 0x80:
+            pos += 1
+        pos += 1
+
+    def coll(expect_type: int) -> int:  # collection header -> size
+        nonlocal pos
+        h = data[pos]
+        pos += 1
+        if h & 0x0F != expect_type:
+            raise _FastMiss
+        size = h >> 4
+        return rv() if size == 0xF else size
+
+    def counter() -> TCounter:
+        nonlocal pos
+        if data[pos] != 0x18:  # field 1: string, delta 1
+            raise _FastMiss
+        pos += 1
+        name = rs()
+        if data[pos] != 0x15:  # field 2: i32, delta 1
+            raise _FastMiss
+        pos += 1
+        ctype = rz()
+        if data[pos] != 0x16:  # field 3: i64, delta 1
+            raise _FastMiss
+        pos += 1
+        value = rz()
+        if data[pos] != CT_STOP:
+            raise _FastMiss
+        pos += 1
+        return TCounter(name, ctype, value)
+
+    def node() -> TRuntimeProfileNode:
+        nonlocal pos
+        out = TRuntimeProfileNode("")
+        last = 0
+        while True:
+            h = data[pos]
+            pos += 1
+            if h == CT_STOP:
+                return out
+            delta, ftype = h >> 4, h & 0x0F
+            if delta == 0:
+                raise _FastMiss
+            last += delta
+            if last == 1 and ftype == CT_BINARY:
+                out.name = rs()
+            elif last == 2 and ftype == CT_I32:
+                out.num_children = rz()
+            elif last == 3 and ftype == CT_LIST:
+                out.counters = [counter() for _ in range(coll(CT_STRUCT))]
+            elif last == 4 and ftype == CT_I64:
+                out.metadata = rz()
+            elif last == 5 and ftype in (CT_BOOL_TRUE, CT_BOOL_FALSE):
+                out.indent = ftype == CT_BOOL_TRUE
+            elif last == 6 and ftype == CT_MAP:
+                n = rv()
+                if n:
+                    if data[pos] != (CT_BINARY << 4) | CT_BINARY:
+                        raise _FastMiss
+                    pos += 1
+                    out.info_strings = {rs(): rs() for _ in range(n)}
+            elif last == 7 and ftype == CT_LIST:
+                if lean:
+                    for _ in range(coll(CT_BINARY)):
+                        skip_s()
+                else:
+                    out.info_strings_display_order = [
+                        rs() for _ in range(coll(CT_BINARY))
+                    ]
+            elif last == 8 and ftype == CT_MAP:
+                n = rv()
+                if n:
+                    if data[pos] != (CT_BINARY << 4) | CT_SET:
+                        raise _FastMiss
+                    pos += 1
+                    if lean:
+                        for _ in range(n):
+                            skip_s()
+                            for _ in range(coll(CT_BINARY)):
+                                skip_s()
+                    else:
+                        ccm = {}
+                        for _ in range(n):
+                            k = rs()
+                            ccm[k] = [rs() for _ in range(coll(CT_BINARY))]
+                        out.child_counters_map = ccm
+            elif last == 9 and ftype == CT_LIST:
+                seqs = []
+                for _ in range(coll(CT_STRUCT)):
+                    if data[pos] != 0x18:
+                        raise _FastMiss
+                    pos += 1
+                    name = rs()
+                    if data[pos] != 0x19:  # field 2: list<i64>
+                        raise _FastMiss
+                    pos += 1
+                    tstamps = [rz() for _ in range(coll(CT_I64))]
+                    if data[pos] != 0x19:  # field 3: list<string>
+                        raise _FastMiss
+                    pos += 1
+                    labels = [rs() for _ in range(coll(CT_BINARY))]
+                    if data[pos] != CT_STOP:
+                        raise _FastMiss
+                    pos += 1
+                    seqs.append(TEventSequence(name, tstamps, labels))
+                out.event_sequences = seqs
+            elif last == 10 and ftype == CT_LIST:
+                tscs = []
+                for _ in range(coll(CT_STRUCT)):
+                    if data[pos] != 0x18:
+                        raise _FastMiss
+                    pos += 1
+                    if lean:
+                        skip_s()
+                    else:
+                        name = rs()
+                    if data[pos] != 0x15:
+                        raise _FastMiss
+                    pos += 1
+                    if lean:
+                        skip_v()
+                    else:
+                        ctype = rz()
+                    if data[pos] != 0x15:
+                        raise _FastMiss
+                    pos += 1
+                    if lean:
+                        skip_v()
+                    else:
+                        period = rz()
+                    if data[pos] != 0x19:
+                        raise _FastMiss
+                    pos += 1
+                    if lean:
+                        for _ in range(coll(CT_I64)):
+                            skip_v()
+                    else:
+                        values = [rz() for _ in range(coll(CT_I64))]
+                    if data[pos] != CT_STOP:
+                        raise _FastMiss
+                    pos += 1
+                    if not lean:
+                        tscs.append(
+                            TTimeSeriesCounter(name, ctype, period, values))
+                if not lean:
+                    out.time_series_counters = tscs
+            else:
+                raise _FastMiss
+
+    try:
+        if data[pos] != (1 << 4) | CT_LIST:  # tree field 1: list<struct>
+            raise _FastMiss
+        pos += 1
+        nodes = [node() for _ in range(coll(CT_STRUCT))]
+        if data[pos] != CT_STOP:
+            raise _FastMiss
+        return TRuntimeProfileTree(nodes)
+    except IndexError as e:  # truncated input on the fast path
+        raise _FastMiss from e

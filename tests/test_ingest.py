@@ -137,6 +137,29 @@ def test_plan_tree_parse_right_child_first():
     assert frags[0]["exchange_id"] is None
 
 
+def test_lean_decode_equals_full_on_consumed_fields():
+    """The ingest hot path's projection decode must agree with a full
+    decode on every field the analyzer reads, and parse identically."""
+    tree = _query_tree()
+    tree.nodes.append(TC.TRuntimeProfileNode(
+        "Averaged Fragment F00",
+        info_strings_display_order=["x"],
+        child_counters_map={"": ["TotalTime"]},
+        time_series_counters=[TC.TTimeSeriesCounter("m", 3, 500, [1, 2])],
+    ))
+    blob = tree.serialize()
+    full = TC.TRuntimeProfileTree.deserialize(blob)
+    lean = TC.TRuntimeProfileTree.deserialize(blob, lean=True)
+    assert full == tree
+    for nf, nl in zip(full.nodes, lean.nodes):
+        assert (nf.name, nf.num_children, nf.counters, nf.metadata, nf.indent,
+                nf.info_strings, nf.event_sequences) == \
+               (nl.name, nl.num_children, nl.counters, nl.metadata, nl.indent,
+                nl.info_strings, nl.event_sequences)
+    assert not lean.nodes[-1].child_counters_map  # skipped, default left
+    assert P.parse_profile(lean, "t") == P.parse_profile(full, "t")
+
+
 def test_parse_survives_thrift_round_trip():
     """Decoding serialize(tree) must parse identically to the tree itself
     — the ingest path's actual wire round-trip."""
