@@ -75,8 +75,11 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
         F.lead("ts").over(wl).alias("local_next"),
     )
     wc = Window.partitionBy("cluster").orderBy("chunk")
+    # aggregate the summary from the window OUTPUT, not the raw events: the
+    # data is already hash-partitioned on (cluster, chunk), so this groupBy
+    # adds no exchange and the window's shuffle is reused across branches
     chunk_stats = (
-        ev.groupBy("cluster", "chunk")
+        local.groupBy("cluster", "chunk")
         .agg(F.sum("delta").alias("chunk_sum"), F.min("ts").alias("first_ts"))
         .select(
             "cluster",
