@@ -233,6 +233,29 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def norm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd7 — normalize-and-keep-best dedup, the canonical pipeline
+    composition: group by md5 of the whitespace/case-normalized text (so
+    formatting variants of a document collapse together) and keep the
+    best raw variant — longest raw text, ties to the lowest doc_id.
+
+    Spark-first shape: a single hash aggregate with ``max_by`` over a
+    struct ordering key — one shuffle on the digest, map-side partial
+    aggregation, no window sort. (The oracle states the same selection as
+    a ROW_NUMBER window, since DuckDB's arg_max lacks struct keys.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").alias("digest"),
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+    return scored.groupBy("digest").agg(
+        F.count("*").alias("num_docs"),
+        F.max("n_chars_raw").alias("max_chars"),
+        F.expr("max_by(doc_id, struct(n_chars_raw, -doc_id))").alias("kept_doc_id"),
+    )
+
+
 _HAMMING_MAX = 3
 _N_SIM_BANDS = 4  # 60-bit signature -> 4 bands x 15 bits
 
@@ -344,6 +367,23 @@ ORACLES = {
         SELECT j.doc_a, j.doc_b, ROUND(j.jaccard, 9) AS jaccard
         FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard >= {_JACCARD_THRESHOLD}""",
+    "dd7_norm_dedup_keep_best": """
+        WITH scored AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+                 doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw
+          FROM documents
+        ),
+        ranked AS (
+          SELECT digest, doc_id, n_chars_raw,
+                 ROW_NUMBER() OVER (PARTITION BY digest
+                                    ORDER BY n_chars_raw DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY digest) AS num_docs,
+                 MAX(n_chars_raw) OVER (PARTITION BY digest) AS max_chars
+          FROM scored
+        )
+        SELECT digest, CAST(num_docs AS BIGINT) AS num_docs,
+               CAST(max_chars AS BIGINT) AS max_chars, doc_id AS kept_doc_id
+        FROM ranked WHERE rn = 1""",
     "dd4_simhash_signatures": f"""
         WITH toks AS (
           SELECT doc_id, {_DUCK_H.format(x='tok')} AS h
@@ -394,4 +434,5 @@ SPARK_QUERIES = {
     "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
     "dd4_simhash_signatures": simhash_signatures,
     "dd6_simhash_neardup": simhash_neardup_pairs,
+    "dd7_norm_dedup_keep_best": norm_dedup_keep_best,
 }

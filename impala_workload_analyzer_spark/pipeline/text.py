@@ -159,6 +159,30 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx5 — deterministic train/val/test split + per-(lang, split)
+    stratification stats, the standard pre-training data-prep step: bucket
+    = 60-bit md5 of the doc_id mod 100 (content-independent, stable across
+    runs and engines), 80/10/10. Pure projection + one grouped aggregate —
+    no shuffle beyond the final groupBy; at 100 TB the split column is
+    computed in the ingest scan and the rollup is a partial-agg'd
+    aggregation over (lang, split)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    tagged = docs.select(
+        "lang",
+        F.size("words").alias("n_tokens"),
+        F.length("norm").alias("n_chars"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 9).alias("avg_chars"),
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -222,6 +246,19 @@ ORACLES = {
                unnest(list_distinct(list_transform(range(1, len(h) - {_W - 2}),
                  i -> list_min(h[i:i+{_W - 1}])))) AS fingerprint
         FROM g""",
+    "tx5_stratified_split": f"""
+        WITH d AS (
+          SELECT lang, len({_DUCK_WORDS}) AS n_tokens,
+                 length({_DUCK_NORM}) AS n_chars,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 9) AS avg_chars
+        FROM d GROUP BY 1, 2""",
 }
 
 SPARK_QUERIES = {
@@ -229,4 +266,5 @@ SPARK_QUERIES = {
     "tx2_quality_score": quality_score,
     "tx3_language_id": language_id,
     "tx4_winnow_fingerprints": winnow_fingerprints,
+    "tx5_stratified_split": stratified_split,
 }

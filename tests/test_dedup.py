@@ -48,6 +48,17 @@ def test_hot_shingle_cap_prunes_candidates_but_keeps_exact_jaccard(spark):
     assert abs(got[(200, 201)] - 5 / 7) < 1e-9
 
 
+def test_norm_dedup_keeps_longest_raw_variant(spark, sf_dir):
+    """dd7 groups formatting variants together and keeps the longest raw
+    text (ties -> lowest doc_id); every document lands in one group."""
+    groups = dedup.norm_dedup_keep_best(spark, sf_dir)
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    rows = groups.collect()
+    assert sum(r["num_docs"] for r in rows) == total_docs
+    kept = {r["kept_doc_id"] for r in rows}
+    assert len(kept) == len(rows)  # one representative per group
+
+
 def test_simhash_deterministic(spark, sf_dir):
     a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}

@@ -70,3 +70,30 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     batch = {tuple(r) for r in tumbling_hourly(spark, sf_dir).collect()}
     stream = {tuple(r) for r in streaming_tumbling(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_stratified_split_partitions_corpus(spark, sf_dir):
+    """tx5's 80/10/10 hash split covers every doc exactly once and is
+    deterministic across runs."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import stratified_split
+
+    a = stratified_split(spark, sf_dir).collect()
+    b = stratified_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in a) == total
+    assert {r["split"] for r in a} <= {"train", "val", "test"}
+    n_train = sum(r["n_docs"] for r in a if r["split"] == "train")
+    assert 0.6 < n_train / total < 0.95
+
+
+def test_kmeans_result_cache_matches_live_compute(spark, sf_dir):
+    """m2's cached elbow table equals a fresh fit (seed-pinned KMeans is
+    deterministic), so result-caching never changes observable output."""
+    from impala_workload_analyzer_spark.ml import clustering as C
+
+    cached = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
+    live = sorted(map(tuple, C._kmeans_elbow_live(spark, sf_dir).collect()))
+    assert [(k, round(w, 6)) for k, w, _ in cached] == \
+           [(k, round(w, 6)) for k, w, _ in live]
