@@ -8,10 +8,11 @@ batch results must be identical. That equivalence is the test.
 
 ``st2_streaming_sessions`` exercises the watermark + ``session_window``
 operator (the engine-native form of ev3's gaps-and-islands) in append mode.
-Watermarked append emits only windows the watermark has passed; with
-``availableNow`` the final batch's windows stay pending, so the row set is
-checked for internal consistency (rows-only driver check) rather than
-oracle equality — the batch twin ev3 carries the exact-value gate.
+Watermarked append emits only windows the watermark has passed — and for a
+finite source that emitted set is deterministic: sessions whose end (last
+event + gap) precedes the final watermark (max event time - delay). The
+DuckDB oracle states exactly that predicate over ev3's sessionization, so
+even the append-mode row set is oracle-exact.
 
 Scale notes: the same plans run unchanged against a Kafka/Kinesis source at
 cluster scale; state-store size is bounded by (windows x types) for st1 and
@@ -83,7 +84,8 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st2 — watermarked session windows per user (gap 30 min), append mode:
     the engine-native stateful-session operator. Emitted rows are the
-    watermark-finalized prefix of ev3's sessions."""
+    watermark-finalized prefix of ev3's sessions — oracle-exact (see
+    module docstring)."""
     agg = (
         _stream_events(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -185,12 +187,40 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st3_out")
 
 
-# st1 shares ev1's oracle text (batch/stream equivalence IS the check);
-# st2 is rows-only by design (watermark semantics are not SQL-expressible).
+# st1 shares ev1's oracle text (batch/stream equivalence IS the check).
+# st2's append-mode emission IS SQL-expressible for a finite source: the
+# final watermark is max(event time) - delay, and exactly the sessions
+# whose (end = last event + gap) precede it are emitted — ev3's
+# gaps-and-islands sessionization filtered by that predicate reproduces
+# the streaming output row-for-row (the boundary case end == watermark
+# does not occur in the fixtures; both < and <= match empirically).
 from ..pipeline.events_analytics import _EV1_ORACLE  # noqa: E402
+
+_ST2_ORACLE = f"""
+    WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+                       OR t - LAG(t) OVER w > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    s AS (
+      SELECT user_id,
+             MIN(t) AS session_start_us,
+             MAX(t) + 30 * 60 * 1000000 AS session_end_us,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 6) AS total_value
+      FROM sess GROUP BY user_id, session_id),
+    wm AS (SELECT MAX(epoch_us(ts)) - 10 * 60 * 1000000 AS watermark_us FROM events)
+    SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events, s.total_value
+    FROM s, wm WHERE s.session_end_us < wm.watermark_us"""
 
 ORACLES = {
     "st1_streaming_tumbling": _EV1_ORACLE,
+    "st2_streaming_sessions": _ST2_ORACLE,
     "st3_stateful_user_stats": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
