@@ -183,6 +183,39 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx6 — corpus-unigram log-probability scoring (the perplexity-filter
+    shape): train an add-one-smoothed unigram LM on the corpus itself
+    (token counts + vocab size), then score each document by its mean
+    token log-probability. Low scorers are rare-token/garbage documents —
+    the classic LM-based quality gate.
+
+    Scale: one groupBy(token) builds the model; the scoring join hits the
+    vocab dim (broadcast — even a 10M-type vocabulary is ~100 MB) and one
+    groupBy(doc_id) aggregates. Cross-engine floats: ln() may differ in
+    the last ulp between engines, so the mean is rounded to 6 decimals."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("words").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    totals = vocab.groupBy().agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -259,6 +292,16 @@ ORACLES = {
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
                ROUND(AVG(CAST(n_chars AS DOUBLE)), 9) AS avg_chars
         FROM d GROUP BY 1, 2""",
+    "tx6_unigram_logprob": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT doc_id, unnest(words) AS word FROM d),
+        vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))), 6)
+                 AS avg_logprob
+        FROM toks JOIN vocab USING (word), tot
+        GROUP BY doc_id""",
 }
 
 SPARK_QUERIES = {
@@ -267,4 +310,5 @@ SPARK_QUERIES = {
     "tx3_language_id": language_id,
     "tx4_winnow_fingerprints": winnow_fingerprints,
     "tx5_stratified_split": stratified_split,
+    "tx6_unigram_logprob": unigram_logprob,
 }

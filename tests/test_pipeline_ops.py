@@ -97,3 +97,15 @@ def test_kmeans_result_cache_matches_live_compute(spark, sf_dir):
     live = sorted(map(tuple, C._kmeans_elbow_live(spark, sf_dir).collect()))
     assert [(k, round(w, 6)) for k, w, _ in cached] == \
            [(k, round(w, 6)) for k, w, _ in live]
+
+
+def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
+    """tx6: one score per document, every score a negative mean
+    log-probability (all smoothed unigram probabilities are < 1)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import unigram_logprob
+
+    rows = unigram_logprob(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == total
+    assert all(r["avg_logprob"] < 0 for r in rows)
