@@ -576,22 +576,43 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         return rv() if size == 0xF else size
 
     def counter() -> TCounter:
+        # fully inlined: counters are the highest-count struct (~60 per
+        # profile x ~150k profiles per ingest), so even the closure-call
+        # overhead of rs/rz is worth removing
         nonlocal pos
-        if data[pos] != 0x18:  # field 1: string, delta 1
+        p = pos
+        if data[p] != 0x18:  # field 1: string, delta 1
             raise _FastMiss
-        pos += 1
-        name = rs()
-        if data[pos] != 0x15:  # field 2: i32, delta 1
+        p += 1
+        ln = data[p]  # counter names are short: single-byte varint length
+        p += 1
+        if ln & 0x80:
             raise _FastMiss
-        pos += 1
-        ctype = rz()
-        if data[pos] != 0x16:  # field 3: i64, delta 1
+        name = data[p : p + ln].decode("utf-8")
+        p += ln
+        if data[p] != 0x15:  # field 2: i32, delta 1 (enum: single byte)
             raise _FastMiss
-        pos += 1
-        value = rz()
-        if data[pos] != CT_STOP:
+        p += 1
+        n = data[p]
+        p += 1
+        if n & 0x80:
             raise _FastMiss
-        pos += 1
+        ctype = (n >> 1) ^ -(n & 1)
+        if data[p] != 0x16:  # field 3: i64, delta 1
+            raise _FastMiss
+        p += 1
+        shift = n = 0
+        while True:
+            b = data[p]
+            p += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        value = (n >> 1) ^ -(n & 1)
+        if data[p] != CT_STOP:
+            raise _FastMiss
+        pos = p + 1
         return TCounter(name, ctype, value)
 
     def node() -> TRuntimeProfileNode:
