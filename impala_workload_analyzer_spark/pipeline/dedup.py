@@ -206,6 +206,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 25
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd8 — connected components over the MinHash-LSH near-dup graph: the
+    dedup endgame, turning pairwise matches into canonical groups (keep
+    one doc per component). Label propagation: every doc starts labeled
+    with its own id; each round every node takes the min of its own and
+    its neighbors' labels; converges to min-id-per-component in
+    O(diameter) rounds.
+
+    This is the iterative-algorithm pattern done Spark-native: each round
+    is one join + one aggregate over the whole graph (no per-node driver
+    work); ``localCheckpoint`` cuts the growing lineage each round, and
+    the only driver-side scalar is the per-round convergence count —
+    exactly how large-scale CC (e.g. GraphFrames) is structured. Near-dup
+    graphs are unions of small cliques, so the diameter — and the round
+    count — stays tiny even at 100 TB. The DuckDB oracle computes the
+    same fixpoint as a WITH RECURSIVE reachability closure."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)  # pairs derivation runs once
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neigh = labels.join(edges, labels["doc_id"] == edges["src"]).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd4 — 60-bit SimHash per document: bit j of the signature is the
     sign of sum over token occurrences of (bit j of h(token) ? +1 : -1).
@@ -367,6 +421,33 @@ ORACLES = {
         SELECT j.doc_a, j.doc_b, ROUND(j.jaccard, 9) AS jaccard
         FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard >= {_JACCARD_THRESHOLD}""",
+    "dd8_neardup_components": f"""
+        WITH RECURSIVE x AS (SELECT 1){_DUCK_JACCARD},
+        {_DUCK_MINHASH_SIG},
+        {_DUCK_BANDS},
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        ),
+        pairs AS (
+          SELECT j.doc_a, j.doc_b
+          FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {_JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS start, doc_id AS node FROM documents
+          UNION
+          SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT start AS doc_id, MIN(node) AS component_id
+        FROM reach GROUP BY start""",
     "dd7_norm_dedup_keep_best": """
         WITH scored AS (
           SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
@@ -435,4 +516,5 @@ SPARK_QUERIES = {
     "dd4_simhash_signatures": simhash_signatures,
     "dd6_simhash_neardup": simhash_neardup_pairs,
     "dd7_norm_dedup_keep_best": norm_dedup_keep_best,
+    "dd8_neardup_components": neardup_components,
 }

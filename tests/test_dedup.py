@@ -59,6 +59,21 @@ def test_norm_dedup_keeps_longest_raw_variant(spark, sf_dir):
     assert len(kept) == len(rows)  # one representative per group
 
 
+def test_neardup_components_fixpoint(spark, sf_dir):
+    """dd8: every doc gets a component; both ends of every near-dup pair
+    share one; each component's id is the min doc_id of its members."""
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup.neardup_components(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(comp) == total
+    for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect():
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    assert all(min(ms) == c for c, ms in members.items())
+
+
 def test_simhash_deterministic(spark, sf_dir):
     a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
