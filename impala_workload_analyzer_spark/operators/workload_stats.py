@@ -236,7 +236,74 @@ pq AS (
 )
 """
 
+_QUANTILES = (("q50", 0.5), ("q95", 0.95), ("q99", 0.99))
+
+
+def operator_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a18 — exact per-operator-name quantiles of avg_time, defined by
+    integer rank arithmetic (value at 0-indexed rank floor(p * (n - 1)) of
+    the ascending sort) so both engines compute bit-identical BIGINT
+    answers — no float interpolation, no cross-engine rounding trap.
+
+    Scale: a per-name sort (window) is the exact path; the sketch-based
+    a19 twin is the 100 TB path (mergeable, single pass, no sort)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ops = corpus_operators(spark, sf_dir).select("name", "avg_time")
+    w = Window.partitionBy("name").orderBy("avg_time")
+    ranked = ops.select(
+        "name",
+        "avg_time",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy("name")).alias("n"),
+    )
+    picks = [
+        ranked.filter(F.col("rk") == F.floor(F.lit(p) * (F.col("n") - 1)))
+        .groupBy("name")
+        # ties on avg_time make any rank-holder equivalent: the VALUE is
+        # identical; min() collapses duplicates deterministically
+        .agg(F.min("avg_time").alias("value"))
+        .withColumn("quantile", F.lit(label))
+        for label, p in _QUANTILES
+    ]
+    out = picks[0]
+    for df in picks[1:]:
+        out = out.unionByName(df)
+    return out.select("name", "quantile", "value")
+
+
+def operator_time_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a19 — the same quantiles via ``percentile_approx`` (Greenwald-Khanna
+    sketch): single-pass, mergeable, no per-group sort — the plan that
+    survives 100 TB. Sketch output is algorithm-dependent, so the driver
+    check is rows-only; ``test_quantile_sketch_within_rank_error`` pins
+    the rank-error bound against the exact a18."""
+    ops = corpus_operators(spark, sf_dir).select("name", "avg_time")
+    agg = ops.groupBy("name").agg(
+        *[
+            F.expr(f"percentile_approx(avg_time, {p}, 10000)").alias(label)
+            for label, p in _QUANTILES
+        ]
+    )
+    stack_args = ", ".join(f"'{label}', {label}" for label, _ in _QUANTILES)
+    return agg.selectExpr(
+        "name", f"stack({len(_QUANTILES)}, {stack_args}) AS (quantile, value)"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a18_operator_time_quantiles": with_corpus("""
+        , ranked AS (
+          SELECT name, avg_time,
+                 ROW_NUMBER() OVER (PARTITION BY name ORDER BY avg_time) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY name) AS n
+          FROM iwa_operators
+        )
+        SELECT name, q.quantile, MIN(avg_time) AS value
+        FROM ranked
+        JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
+          ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
+        GROUP BY name, q.quantile"""),
     "a1_op_time_by_name": with_corpus(f"""
         SELECT o.query_id, o.name, CAST(SUM(o.avg_time) AS BIGINT) AS sum_time
         FROM iwa_operators o JOIN ({_FQ}) q ON o.query_id = q.query_id
@@ -309,4 +376,6 @@ SPARK_QUERIES = {
     "a15_rollup_by_sql_type": rollup_by_sql_type,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
+    "a18_operator_time_quantiles": operator_time_quantiles,
+    "a19_operator_time_quantiles_sketch": operator_time_quantiles_sketch,
 }

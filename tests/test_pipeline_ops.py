@@ -109,3 +109,31 @@ def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
     total = load_table(spark, sf_dir, "documents").count()
     assert len(rows) == total
     assert all(r["avg_logprob"] < 0 for r in rows)
+
+
+def test_quantile_sketch_within_rank_error(spark, sf_dir):
+    """a19's GK-sketch quantiles must land within the sketch's rank-error
+    bound (n/accuracy) of a18's exact rank-arithmetic answers."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _QUANTILES,
+        operator_time_quantiles_sketch,
+    )
+
+    vals: dict[str, list[int]] = {}
+    for r in corpus_operators(spark, sf_dir).select("name", "avg_time").collect():
+        vals.setdefault(r["name"], []).append(r["avg_time"])
+    for v in vals.values():
+        v.sort()
+    ps = dict(_QUANTILES)
+    for r in operator_time_quantiles_sketch(spark, sf_dir).collect():
+        data = vals[r["name"]]
+        n = len(data)
+        target = ps[r["quantile"]] * (n - 1)
+        # rank range of the sketch's value in the exact data
+        import bisect
+
+        lo = bisect.bisect_left(data, r["value"])
+        hi = bisect.bisect_right(data, r["value"]) - 1
+        tol = max(2.0, n / 10000 + 1)
+        assert lo - tol <= target <= hi + tol, (r, lo, hi, target, n)
