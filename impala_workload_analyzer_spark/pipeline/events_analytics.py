@@ -84,6 +84,105 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev5 — AS-OF JOIN: for each purchase, the latest click by the same
+    user at or before the purchase time (ties on click ts resolved to the
+    max event_id in both engines).
+
+    Spark has no native as-of join; the scale-correct re-expression is
+    UNION + WINDOW: tag both sides, sort by (ts, side) within user —
+    side 0 (click) before side 1 (purchase) makes the match inclusive —
+    and carry the last non-null click attributes forward with
+    ``last(..., ignorenulls=True)``. ONE shuffle on user_id, a linear
+    in-partition scan, zero pairwise-join fanout — the same plan shape
+    financial tick stores use for quote-trade as-of joins. The DuckDB
+    oracle uses its native ``ASOF LEFT JOIN``."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("event_id").alias("r_event_id"))
+        .select(
+            "user_id", "ts_us", F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("l_event_id"), "r_event_id",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("l_event_id"),
+        F.lit(None).cast("long").alias("r_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("r_event_id", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("click_us"),
+    )
+    return tagged.filter(F.col("side") == 1).select(
+        F.col("l_event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        "click_event_id",
+        "click_us",
+        (F.col("ts_us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+_RANGE_US = 3_600_000_000  # 1 hour
+
+
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev6 — RANGE JOIN: per purchase, how many clicks the same user made
+    in the preceding hour [ts - 1h, ts).
+
+    A naive inequality join degenerates to per-user cross products; the
+    scale shape is the BANDED range join: bucketize time by the range
+    width, explode each probe row to its two candidate buckets, equi-join
+    on (user, bucket) — bounded fanout of 2 — then apply the exact range
+    predicate. Catalyst executes the band as a hash join; only in-band
+    pairs pay the filter."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / _RANGE_US).cast("long").alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    probes = purchases.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("p_us") / _RANGE_US).cast("long"),
+                (F.col("p_us") / _RANGE_US).cast("long") - 1,
+            )
+        ).alias("bucket"),
+    )
+    hits = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_us") >= F.col("p_us") - _RANGE_US) & (F.col("c_us") < F.col("p_us"))
+    )
+    counted = hits.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_clicks_prev_hour")
+    )
+    return (
+        purchases.join(counted, ["event_id", "user_id"], "left")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.coalesce("n_clicks_prev_hour", F.lit(0)).alias("n_clicks_prev_hour"),
+        )
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev4 — JSON extraction from the ``props`` string column + rollup by
     event_type over the extracted key."""
@@ -116,6 +215,29 @@ ORACLES = {
                COUNT(*) AS n_events,
                ROUND(SUM(value), 6) AS total_value
         FROM events CROSS JOIN offsets GROUP BY 1, 2""",
+    "ev5_asof_join": """
+        WITH r AS (
+          SELECT user_id, ts, MAX(event_id) AS click_event_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ),
+        l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id AS purchase_event_id, l.user_id,
+               epoch_us(l.ts) AS purchase_us,
+               r.click_event_id,
+               epoch_us(r.ts) AS click_us,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "ev6_range_join": """
+        WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id AS purchase_event_id, p.user_id,
+               CAST(COUNT(c.c_us) AS BIGINT) AS n_clicks_prev_hour
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+        GROUP BY p.event_id, p.user_id""",
     "ev3_sessionize": f"""
         WITH t AS (
           SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
@@ -150,4 +272,6 @@ SPARK_QUERIES = {
     "ev2_sliding_hourly": sliding_hourly,
     "ev3_sessionize": sessionize,
     "ev4_json_props_stats": json_props_stats,
+    "ev5_asof_join": asof_join,
+    "ev6_range_join": range_join_counts,
 }

@@ -137,3 +137,55 @@ def test_quantile_sketch_within_rank_error(spark, sf_dir):
         hi = bisect.bisect_right(data, r["value"]) - 1
         tol = max(2.0, n / 10000 + 1)
         assert lo - tol <= target <= hi + tol, (r, lo, hi, target, n)
+
+
+def test_asof_join_matches_brute_force(spark, sf_dir):
+    """ev5: every purchase's match is exactly the latest click at or
+    before it (ties -> max event_id), verified against a brute-force scan."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import asof_join
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us"
+    ).collect()
+    clicks: dict[int, list[tuple[int, int]]] = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"]))
+    for v in clicks.values():
+        v.sort()
+    out = asof_join(spark, sf_dir).collect()
+    n_purchases = sum(1 for r in ev if r["event_type"] == "purchase")
+    assert len(out) == n_purchases
+    for r in out:
+        cands = [(t, e) for t, e in clicks.get(r["user_id"], ())
+                 if t <= r["purchase_us"]]
+        if not cands:
+            assert r["click_event_id"] is None and r["gap_us"] is None
+        else:
+            best_ts = max(t for t, _ in cands)
+            best_id = max(e for t, e in cands if t == best_ts)
+            assert (r["click_us"], r["click_event_id"]) == (best_ts, best_id)
+            assert r["gap_us"] == r["purchase_us"] - best_ts
+
+
+def test_range_join_matches_brute_force(spark, sf_dir):
+    """ev6: banded range-join counts equal a brute-force interval count."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _RANGE_US,
+        range_join_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us"
+    ).collect()
+    clicks: dict[int, list[int]] = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append(r["ts_us"])
+    for r in range_join_counts(spark, sf_dir).collect():
+        p_us = next(e["ts_us"] for e in ev if e["event_id"] == r["purchase_event_id"])
+        expect = sum(1 for t in clicks.get(r["user_id"], ())
+                     if p_us - _RANGE_US <= t < p_us)
+        assert r["n_clicks_prev_hour"] == expect
