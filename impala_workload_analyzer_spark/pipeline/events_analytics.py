@@ -183,6 +183,50 @@ def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev7 — hypertable-style multi-resolution rollup (the continuous-
+    aggregate pattern): minute-level partial aggregates per event_type,
+    with the hour level derived FROM the minute partials and the day
+    level from the hour partials — never re-scanning raw events. That
+    partial-reuse cascade is what makes 100 TB time-series rollups cheap:
+    each coarser resolution aggregates ~60x fewer rows than the one
+    below, and count/sum are decomposable so the cascade is exact. Output
+    is the union of all three resolutions tagged by level."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    hour = (
+        minute.groupBy(
+            "event_type",
+            (F.floor(F.col("bucket_start") / 3600) * 3600).alias("bucket_start"),
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    )
+    day = (
+        hour.groupBy(
+            "event_type",
+            (F.floor(F.col("bucket_start") / 86400) * 86400).alias("bucket_start"),
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    )
+    out = None
+    for level, df in (("minute", minute), ("hour", hour), ("day", day)):
+        tagged = df.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            F.col("bucket_start").cast("long").alias("bucket_start"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev4 — JSON extraction from the ``props`` string column + rollup by
     event_type over the extracted key."""
@@ -238,6 +282,28 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
         GROUP BY p.event_id, p.user_id""",
+    "ev7_hypertable_rollup": """
+        WITH m AS (
+          SELECT event_type,
+                 CAST((epoch_us(ts) // 60000000) * 60 AS BIGINT) AS bucket_start,
+                 COUNT(*) AS n_events, SUM(value) AS sv
+          FROM events GROUP BY 1, 2),
+        h AS (
+          SELECT event_type,
+                 CAST((bucket_start // 3600) * 3600 AS BIGINT) AS bucket_start,
+                 CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+          FROM m GROUP BY 1, 2),
+        d AS (
+          SELECT event_type,
+                 CAST((bucket_start // 86400) * 86400 AS BIGINT) AS bucket_start,
+                 CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+          FROM h GROUP BY 1, 2)
+        SELECT 'minute' AS level, event_type, bucket_start, n_events,
+               ROUND(sv, 6) AS sum_value FROM m
+        UNION ALL
+        SELECT 'hour', event_type, bucket_start, n_events, ROUND(sv, 6) FROM h
+        UNION ALL
+        SELECT 'day', event_type, bucket_start, n_events, ROUND(sv, 6) FROM d""",
     "ev3_sessionize": f"""
         WITH t AS (
           SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
@@ -274,4 +340,5 @@ SPARK_QUERIES = {
     "ev4_json_props_stats": json_props_stats,
     "ev5_asof_join": asof_join,
     "ev6_range_join": range_join_counts,
+    "ev7_hypertable_rollup": hypertable_rollup,
 }

@@ -64,7 +64,7 @@ _PRIORITY = (
     "dd7_norm_dedup_keep_best", "dd8_neardup_components",
     "tx5_stratified_split", "tx6_unigram_logprob",
     "a18_operator_time_quantiles", "a19_operator_time_quantiles_sketch",
-    "ev5_asof_join", "ev6_range_join",
+    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
     "ev4_json_props_stats", "mm1_image_features", "mm2_frame_samples",
     "mm3_audio_stats", "st2_streaming_sessions", "sim5_vectorized_topk",
     "m2_kmeans_elbow", "m3_kmeans_clusters",

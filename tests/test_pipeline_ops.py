@@ -189,3 +189,17 @@ def test_range_join_matches_brute_force(spark, sf_dir):
         expect = sum(1 for t in clicks.get(r["user_id"], ())
                      if p_us - _RANGE_US <= t < p_us)
         assert r["n_clicks_prev_hour"] == expect
+
+
+def test_hypertable_rollup_cascade_consistent(spark, sf_dir):
+    """ev7: every resolution's event counts total the raw event count (the
+    partial-reuse cascade is lossless)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        hypertable_rollup,
+    )
+
+    rows = hypertable_rollup(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    for level in ("minute", "hour", "day"):
+        assert sum(r["n_events"] for r in rows if r["level"] == level) == total
