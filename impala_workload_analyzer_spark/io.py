@@ -25,17 +25,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as raw INT64 nanoseconds
-    (``nanosAsLong``) and rebuild a microsecond TimestampType column with
-    exact integer division (DuckDB's reader truncates ns -> us the same
-    way). Set at call time so it also works on a caller-owned session."""
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-TZ TimestampType
+    (micros), whatever physical type the fixture generation used:
+
+    - INT64 nanos (older fixtures stored parquet TIMESTAMP(NANOS); with
+      ``nanosAsLong`` Spark surfaces it as BIGINT): exact integer
+      division ns -> us, matching DuckDB's truncating ns reader.
+    - TIMESTAMP_NTZ (current fixtures store TIMESTAMP(MICROS) without
+      UTC adjustment): cast to TimestampType — value-preserving under
+      the session's UTC timezone, matching DuckDB's naive TIMESTAMP.
+    - TimestampType already: pass through.
+    """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fixture and normalize ``ts`` (see
+    ``normalize_event_ts``). ``nanosAsLong`` is set at call time so
+    nanos-era fixtures also load on a caller-owned session; it is a
+    no-op for the current TIMESTAMP(MICROS) files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    return normalize_event_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -46,11 +46,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.load_events
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(link_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
-    )
+    from ..io import normalize_event_ts  # noqa: PLC0415
+
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(link_dir))
 
 
 def _run_to_memory(df, name: str, mode: str) -> None:
