@@ -6,8 +6,11 @@ runs the tumbling agg as a real Structured Streaming job against the same
 oracle.
 
 Portability: window starts are emitted as epoch seconds (BIGINT) —
-timestamp collection is timezone-fragile across engines; double sums are
-rounded to 6 decimals to absorb partial-agg accumulation order.
+timestamp collection is timezone-fragile across engines; double sums go
+through DECIMAL(18,6) accumulation (``_stable_sum``) so the result is
+independent of partial-agg accumulation order — a plain double SUM can
+flip its last bits between runs/engines on near-ties, which flakes the
+driver's exact value hash (ev3, round 2).
 
 Scale notes (100 TB): ev1/ev2 are single-shuffle hash aggs keyed by
 (window, type) — at cluster scale the key space is tiny, so partial
@@ -27,12 +30,20 @@ from ..io import load_table
 _GAP_MIN = 30  # session gap
 
 
+def _stable_sum(col: str):
+    """Order-independent float sum: round each value to DECIMAL(18,6)
+    (exact, commutative integer arithmetic underneath), sum, cast back to
+    DOUBLE. Twin of the oracle-side
+    ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev1 — 1-hour tumbling windows x event_type: count + value sum."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _stable_sum("value").alias("total_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -48,7 +59,7 @@ def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _stable_sum("value").alias("total_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -80,7 +91,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").alias("session_start_us"),
         F.max("t").alias("session_end_us"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        _stable_sum("value").alias("total_value"),
     )
 
 
@@ -198,7 +209,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_start"),
         )
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
     )
     hour = (
         minute.groupBy(
@@ -221,7 +232,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("bucket_start").cast("long").alias("bucket_start"),
             "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
+            F.col("sum_value").cast("double").alias("sum_value"),
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out
@@ -246,7 +257,7 @@ _EV1_ORACLE = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2"""
 
 ORACLES = {
@@ -257,7 +268,7 @@ ORACLES = {
                  AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events CROSS JOIN offsets GROUP BY 1, 2""",
     "ev5_asof_join": """
         WITH r AS (
@@ -286,7 +297,7 @@ ORACLES = {
         WITH m AS (
           SELECT event_type,
                  CAST((epoch_us(ts) // 60000000) * 60 AS BIGINT) AS bucket_start,
-                 COUNT(*) AS n_events, SUM(value) AS sv
+                 COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS sv
           FROM events GROUP BY 1, 2),
         h AS (
           SELECT event_type,
@@ -299,11 +310,11 @@ ORACLES = {
                  CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
           FROM h GROUP BY 1, 2)
         SELECT 'minute' AS level, event_type, bucket_start, n_events,
-               ROUND(sv, 6) AS sum_value FROM m
+               CAST(sv AS DOUBLE) AS sum_value FROM m
         UNION ALL
-        SELECT 'hour', event_type, bucket_start, n_events, ROUND(sv, 6) FROM h
+        SELECT 'hour', event_type, bucket_start, n_events, CAST(sv AS DOUBLE) FROM h
         UNION ALL
-        SELECT 'day', event_type, bucket_start, n_events, ROUND(sv, 6) FROM d""",
+        SELECT 'day', event_type, bucket_start, n_events, CAST(sv AS DOUBLE) FROM d""",
     "ev3_sessionize": f"""
         WITH t AS (
           SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
@@ -320,7 +331,7 @@ ORACLES = {
                MIN(t) AS session_start_us,
                MAX(t) AS session_end_us,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, session_id""",
     "ev4_json_props_stats": """
         WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)

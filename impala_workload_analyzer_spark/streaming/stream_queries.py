@@ -68,7 +68,8 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _stream_events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
     )
     _run_to_memory(agg, "st1_out", "complete")
     return spark.table("st1_out").select(
@@ -88,7 +89,8 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
     )
     _run_to_memory(agg, "st2_out", "append")
     return spark.table("st2_out").select(
@@ -107,10 +109,11 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit ``GroupState`` and updated per micro-batch. With the finite
     single-file source this runs as one batch, so the emitted final
     state per user equals the batch group-by — which is exactly what the
-    DuckDB oracle checks. Determinism: each group's rows are sorted by
-    event_id before folding, so the in-group accumulation order never
-    depends on shuffle arrival; the float total is rounded to 6 decimals
-    to absorb cross-engine summation-order differences.
+    DuckDB oracle checks. Determinism: the value total is accumulated as
+    exact Decimal quantized to 6 dp per element — order-independent and
+    bit-identical to the oracle's
+    ``CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)`` (``Decimal(float)``
+    is the exact binary value, the same real number DuckDB's cast rounds).
 
     Scale: state is one small struct per user, partitioned by the
     grouping key across executors — the standard keyed-state layout a
@@ -118,6 +121,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     handled by state-store eviction policy, not driver memory."""
     import json  # noqa: PLC0415
     from collections.abc import Iterator  # noqa: PLC0415
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
@@ -146,7 +150,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            StructField("total", StringType()),
             StructField("min_us", LongType()),
             StructField("max_us", LongType()),
             StructField("types_json", StringType()),
@@ -156,25 +160,27 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        q6 = Decimal("0.000001")
         if state.exists:
-            n, total, min_us, max_us, types_json = state.get
+            n, total_s, min_us, max_us, types_json = state.get
+            total = Decimal(total_s)
             types = set(json.loads(types_json))
         else:
-            n, total, min_us, max_us, types = 0, 0.0, None, None, set()
+            n, total, min_us, max_us, types = 0, Decimal(0), None, None, set()
         chunk = pd.concat(list(pdfs), ignore_index=True)
         if len(chunk):
             chunk = chunk.sort_values("event_id")
             n += len(chunk)
             for v in chunk["value"]:
-                total += float(v)
+                total += Decimal(float(v)).quantize(q6, ROUND_HALF_UP)
             ts_us = chunk["ts"].astype("int64") // 1000
             lo, hi = int(ts_us.min()), int(ts_us.max())
             min_us = lo if min_us is None else min(min_us, lo)
             max_us = hi if max_us is None else max(max_us, hi)
             types |= set(chunk["event_type"])
-        state.update((n, total, min_us, max_us, json.dumps(sorted(types))))
+        state.update((n, str(total), min_us, max_us, json.dumps(sorted(types))))
         yield pd.DataFrame(
-            [(key[0], n, len(types), round(total, 6), min_us, max_us)],
+            [(key[0], n, len(types), float(total), min_us, max_us)],
             columns=["user_id", "n_events", "n_types", "total_value", "first_us", "last_us"],
         )
 
@@ -210,7 +216,7 @@ _ST2_ORACLE = f"""
              MIN(t) AS session_start_us,
              MAX(t) + 30 * 60 * 1000000 AS session_end_us,
              COUNT(*) AS n_events,
-             ROUND(SUM(value), 6) AS total_value
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_id),
     wm AS (SELECT MAX(epoch_us(ts)) - 10 * 60 * 1000000 AS watermark_us FROM events)
     SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events, s.total_value
@@ -222,7 +228,7 @@ ORACLES = {
     "st3_stateful_user_stats": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
-               ROUND(SUM(value), 6) AS total_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
                epoch_us(MIN(ts)) AS first_us,
                epoch_us(MAX(ts)) AS last_us
         FROM events GROUP BY user_id""",
