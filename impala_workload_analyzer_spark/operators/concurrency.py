@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from ..corpus import corpus_queries, with_corpus
 
+_EVENTS_PER_CHUNK = 100_000  # two-phase scan only above this per-sweep size
+
 
 def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
     """Distributed prefix scan over (cluster, ts, delta) event streams.
@@ -54,6 +56,20 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
     from a broadcast summary table. Equal timestamps always share a chunk
     (chunking is a monotone function of ts), so tie ordering is preserved.
     """
+    if target_chunks <= 1:
+        # Small inputs: one running-sum window per cluster. Chunking only
+        # pays off when a single cluster's event stream overflows one task;
+        # below that the 7 extra shuffles are pure overhead (round-2 bench:
+        # 0.94s -> 2.98s at sf0.1 with forced 128-way chunking).
+        w = Window.partitionBy("cluster").orderBy("ts", "delta")
+        return events.select(
+            "cluster",
+            F.lit(0).alias("chunk"),
+            F.sum("delta")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("level"),
+            (F.lead("ts").over(w) - F.col("ts")).alias("interval"),
+        )
     bounds = events.groupBy().agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
     ev = events.crossJoin(F.broadcast(bounds)).withColumn(
         "chunk",
@@ -113,9 +129,17 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("cluster", "e.ts", "e.delta")
-    swept = _two_phase_sweep(
-        events, spark.sparkContext.defaultParallelism * 4
-    ).filter(F.col("interval").isNotNull())
+    # Adaptive chunking: ~1 chunk per _EVENTS_PER_CHUNK events so small
+    # inputs take the single-window plan and only genuinely task-overflowing
+    # streams pay the two-phase scan; capped so tiny chunks never outnumber
+    # cores. The sizing count is one cheap job over the bucketed corpus.
+    n_events = scoped.count() * 2
+    target_chunks = min(
+        n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
+    )
+    swept = _two_phase_sweep(events, target_chunks).filter(
+        F.col("interval").isNotNull()
+    )
     return (
         swept.groupBy("cluster")
         .agg(
