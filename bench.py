@@ -7,9 +7,11 @@ line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
 
 Timing protocol: one shared SparkSession (JVM warm-up excluded via a
 throwaway count), then each query is planned + executed + fully drained
-with ``df.count()`` — collect() would bottleneck on driver
-serialization, which is not what we're measuring. Each query runs
-``$SPARK_GRAFT_BENCH_REPS`` times (default 1) keeping the best.
+with a ``noop``-format write — every column is evaluated executor-side
+but nothing is serialized to the driver. ``count()`` would let Catalyst
+prune projection-only queries down to a row count; ``collect()`` would
+bottleneck on driver serialization — neither measures the query. Each
+query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 2) keeping the best.
 """
 
 from __future__ import annotations
@@ -88,7 +90,7 @@ def main() -> int:
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
