@@ -2,13 +2,16 @@
 dictionaries the driver contract (__spark_entry__.py) exposes.
 
 Ordering matters: the driver's correctness run walks ``queries()`` in
-registration order under a budget (round 1 stopped after exactly 50
-entries, leaving 35 unwitnessed). ``_PRIORITY`` therefore front-loads one
-witness for every SURVEY §2 operator family and every training-data
-pipeline op — the first 50 entries cover the full operator inventory —
-and pushes the redundant extra-credit TPC-H shapes (which witness no
-unique §2 op) to the back. Unlisted names keep module order after the
-prioritized block, so a new query is never silently dropped.
+registration order under a 50-entry budget, so ``_PRIORITY`` is a
+rotation schedule: each round front-loads (a) everything modified since
+the last driver run, (b) everything no driver round has ever witnessed,
+(c) the block longest unwitnessed. Round-4 window: the ts-fix + decimal-
+sum + banded-LSH + chunking queries (ev*, st*, w1, dd5, sim2), the 15
+entries with no driver row in r01-r03, then the whole TPC-H suite
+(unwitnessed since r01, including the repaired tpch_q12). Everything in
+positions 51+ holds a green r02/r03 row. Unlisted names keep module
+order after the prioritized block, so a new query is never silently
+dropped.
 """
 
 from __future__ import annotations
@@ -21,56 +24,51 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = []
 
-# First 50: every §2 family (corpus analytics, units/bitcast fns, ingest,
-# SQL introspection, plan trees, dedup, similarity, text, events,
-# streaming incl. the custom stateful op, ML feature assembly). Then the
-# remaining pipeline/ML/rows-only entries, then the TPC-H suite.
 _PRIORITY = (
-    # corpus analytics: A/P/J/W/O/F10-F12 witnesses
+    # --- modified this round: ts normalization + order-independent
+    # decimal sums + adaptive w1 chunking + banded LSH ---
+    "ev3_sessionize", "ev1_tumbling_hourly", "ev2_sliding_hourly",
+    "ev7_hypertable_rollup",
+    "st1_streaming_tumbling", "st2_streaming_sessions",
+    "st3_stateful_user_stats",
+    "w1_concurrency_sweep", "dd5_embedding_neardup", "sim2_lsh_topk",
+    # --- never driver-witnessed in any round (r01-r03) ---
+    "dd7_norm_dedup_keep_best", "dd8_neardup_components",
+    "tx5_stratified_split", "tx6_unigram_logprob",
+    "a18_operator_time_quantiles", "a19_operator_time_quantiles_sketch",
+    "ev5_asof_join", "ev6_range_join", "ev4_json_props_stats",
+    "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
+    "sim5_vectorized_topk", "m2_kmeans_elbow", "m3_kmeans_clusters",
+    # --- TPC-H suite + misc: green in r01 only, unwitnessed since;
+    # tpch_q12's round-2 oracle repair has never had a driver row ---
+    "tpch_q12", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "w3_top_customers_per_nation", "o4_topn_orders",
+    "set1_union_party_nations",
+    # --- position 51+: green r02/r03 driver rows, unchanged since ---
+    "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     "a9_join_audit_rollup", "a10_preagg_reduction",
-    "a11_preagg_reduction_hist", "w1_concurrency_sweep",
+    "a11_preagg_reduction_hist",
     "a16_counter_consistency", "w2_time_share_per_query",
     "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
-    # scalar function families F1-F4
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
-    # ingest S1-S10 / F5-F9
     "ing1_parsed_operators", "ing2_parsed_fragments",
     "ing3_parsed_queries", "ing4_delete_by_tag",
-    # SQL introspection Q1-Q6 / S9 / J5
     "q1_sql_features", "q3_features_rollup",
-    # plan trees S6/S12/J4
     "pt1_plan_edges", "pt2_plan_paths",
-    # dedup family
     "dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
-    "dd4_simhash_signatures", "dd6_simhash_neardup", "dd5_embedding_neardup",
-    # similarity / ANN
-    "sim1_brute_force_topk", "sim2_lsh_topk", "sim3_label_centroids",
-    "sim4_ivf_topk",
-    # text analysis
+    "dd4_simhash_signatures", "dd6_simhash_neardup",
+    "sim1_brute_force_topk", "sim3_label_centroids", "sim4_ivf_topk",
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints",
-    # events
-    "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev3_sessionize",
-    # streaming (incl. the custom applyInPandasWithState op)
-    "st1_streaming_tumbling", "st3_stateful_user_stats",
-    # ML feature assembly (F13/M1 witness, oracle-checked)
     "m0_cluster_features",
-    # --- position 51+: remaining pipeline / rows-only / TPC-H suite ---
-    "dd7_norm_dedup_keep_best", "dd8_neardup_components",
-    "tx5_stratified_split", "tx6_unigram_logprob",
-    "a18_operator_time_quantiles", "a19_operator_time_quantiles_sketch",
-    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
-    "ev4_json_props_stats", "mm1_image_features", "mm2_frame_samples",
-    "mm3_audio_stats", "st2_streaming_sessions", "sim5_vectorized_topk",
-    "m2_kmeans_elbow", "m3_kmeans_clusters",
-    "tpch_q1", "tpch_q6", "w3_top_customers_per_nation", "o4_topn_orders",
-    "set1_union_party_nations", "x1_region_nation_grid",
-    "w2b_nation_revenue_share",
 )
 
 
