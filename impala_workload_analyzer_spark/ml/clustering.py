@@ -16,12 +16,13 @@ TSS computed exactly via the variance identity — for mean-centered data
 M3 final clustering: sizes + per-cluster mean of the UNSCALED features
 (``clustering.py:83-92``).
 
-Deviations (documented): k sweep 1..8 and final k=4 instead of 1..69/10 —
-the deterministic corpus has a handful of distinct statement shapes, and
-sklearn's n_init=20 restarts map to a fixed seed here (Spark KMeans is
-seeded, not restarted). Cluster ids are seed-dependent -> the KMeans
-queries are rows-only for the driver; the feature extraction itself is
-fully oracle-checked (m0).
+Deviations (documented): k sweep 1..20 and final k=4 instead of 1..69/10
+— the deterministic corpus has a handful of distinct statement shapes
+(the sweep saturates: pct-variance explained is pinned monotone by
+``tests/test_pipeline_ops``), and sklearn's n_init=20 restarts map to a
+fixed seed here (Spark KMeans is seeded, not restarted). Cluster ids are
+seed-dependent -> the KMeans queries are rows-only for the driver; the
+feature extraction itself is fully oracle-checked (m0).
 
 Scale: feature extraction is a stateless projection; KMeans is
 pyspark.ml's distributed Lloyd iterations — both shuffle-light. The elbow
@@ -182,7 +183,7 @@ def _kmeans_elbow_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=1 analytically: one cluster at the mean -> WCSS == TSS for
     # mean-centered data (Spark's KMeans requires k >= 2)
     rows = [(1, float(tss), 0.0)]
-    for k in range(2, 9):
+    for k in range(2, 21):
         model = KMeans(k=k, maxIter=500, seed=42, featuresCol="features").fit(data)
         wcss = model.summary.trainingCost
         rows.append((k, float(wcss), float((tss - wcss) / tss * 100.0)))

@@ -97,6 +97,11 @@ def test_kmeans_result_cache_matches_live_compute(spark, sf_dir):
     live = sorted(map(tuple, C._kmeans_elbow_live(spark, sf_dir).collect()))
     assert [(k, round(w, 6)) for k, w, _ in cached] == \
            [(k, round(w, 6)) for k, w, _ in live]
+    # elbow breadth + shape: k=1..20 swept, variance-explained curve
+    # monotone non-decreasing (more clusters never explain less)
+    assert [k for k, _, _ in cached] == list(range(1, 21))
+    pcts = [p for _, _, p in cached]
+    assert all(b >= a - 1e-9 for a, b in zip(pcts, pcts[1:]))
 
 
 def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
