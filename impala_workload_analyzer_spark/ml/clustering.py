@@ -131,6 +131,15 @@ def _assembled(spark: SparkSession, sf_dir: str):
     from pyspark.ml.feature import StandardScaler, VectorAssembler  # noqa: PLC0415
 
     df = _ensure_features(spark, sf_dir)
+    # Canonical layout before the fit: k-means|| initialization samples
+    # depend on partition boundaries and in-partition row order, so a
+    # seed-pinned fit is only reproducible across environments (local[4]
+    # test session vs local[32] rebuild) if the input layout is a function
+    # of the DATA, not the session. One range partition sorted by query_id
+    # is fine at feature-table scale (one 11-number row per statement);
+    # a huge corpus would bump the constant, keeping it fixed, not
+    # parallelism-derived.
+    df = df.repartitionByRange(1, "query_id").sortWithinPartitions("query_id")
     vec = VectorAssembler(inputCols=list(_FEATURES), outputCol="raw").transform(df)
     # M1 — z-score standardization (clustering.py:65)
     scaler = StandardScaler(inputCol="raw", outputCol="features",
