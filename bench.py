@@ -73,8 +73,10 @@ def main() -> int:
     # scripts (driver.sh:5-17). ing1's timed portion is the actual ingest
     # (decode + parse + harvest), which reads the rendered logs.
     from impala_workload_analyzer_spark.corpus.builder import ensure_corpus
+    from impala_workload_analyzer_spark.io import ensure_scan_cache
     from impala_workload_analyzer_spark.sources.profile_render import ensure_profiles
     from impala_workload_analyzer_spark.sources.profiles import materialized_table
+    ensure_scan_cache(spark, sf_dir)
     ensure_corpus(spark, sf_dir)
     ensure_profiles(spark, sf_dir)
     for table in ("queries", "operators"):  # S8 sink the consumers read

@@ -42,9 +42,9 @@ def double_value(col: Column) -> Column:
 def bit_reinterpret(spark: SparkSession, sf_dir: str) -> DataFrame:
     """f4_bit_reinterpret — reinterpret ``bits(1.0) + o_orderkey % 2^20``
     per order; value is exactly ``1 + k * 2^-52``."""
-    import os  # noqa: PLC0415
+    from ..io import load_table  # noqa: PLC0415
 
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = load_table(spark, sf_dir, "orders")
     df = orders.select(
         F.col("o_orderkey").alias("k"),
         (F.lit(_ONE_BITS) + F.col("o_orderkey") % 1048576).alias("bits"),

