@@ -30,25 +30,24 @@ _GAP = "30 minutes"
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming file source requires a directory; the fixture is a
-    single parquet file, so expose it through a symlink dir (repo-local,
-    gitignored). At cluster scale this is simply the landing directory new
+    """Stream from the scan-cache directory for ``events`` (built on
+    demand, multi-file): the streaming file source wants a directory of
+    arriving files, and the parallel layout means the micro-batch reads
+    are not serialized onto one task the way the single-row-group fixture
+    file is. At cluster scale this is simply the landing directory new
     files arrive in."""
-    path = os.path.join(sf_dir, "events.parquet")
-    link_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".stream_src",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events-000.parquet")
-    if not os.path.islink(link):
-        os.symlink(path, link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.load_events
-    schema = spark.read.parquet(path).schema
-    from ..io import normalize_event_ts  # noqa: PLC0415
+    from ..io import _scan_cached, normalize_event_ts  # noqa: PLC0415
 
-    return normalize_event_ts(spark.readStream.schema(schema).parquet(link_dir))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.load_events
+    _scan_cached(spark, sf_dir, "events")  # ensure the directory exists
+    src_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scan_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events",
+    )
+    schema = spark.read.parquet(src_dir).schema
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
 
 
 def _run_to_memory(df, name: str, mode: str) -> None:
