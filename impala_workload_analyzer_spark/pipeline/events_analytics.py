@@ -238,6 +238,36 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TOPK_USERS = 3
+
+
+def windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev8 — windowed HEAVY HITTERS: per 1-hour tumbling window, the top-3
+    users by event count (ties to the lower user_id).
+
+    Scale shape: partial-aggregate to (window, user) counts first — the
+    only full-data shuffle — then rank WITHIN each window partition; the
+    rank window's key space is (windows), each holding at most
+    (active users/window) pre-aggregated rows, so no global sort and no
+    skew beyond genuinely hot windows. The classic top-k-per-group plan."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id").agg(
+        F.count("*").alias("n_events"), _stable_sum("value").alias("total_value")
+    )
+    rk = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _TOPK_USERS)
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+            "rank",
+        )
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev4 — JSON extraction from the ``props`` string column + rollup by
     event_type over the extracted key."""
@@ -333,6 +363,19 @@ ORACLES = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, session_id""",
+    "ev8_windowed_topk": f"""
+        WITH per AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                 user_id,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, user_id ASC) AS rank
+          FROM per)
+        SELECT window_start, user_id, n_events, total_value, rank
+        FROM ranked WHERE rank <= {_TOPK_USERS}""",
     "ev4_json_props_stats": """
         WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         SELECT event_type,
@@ -352,4 +395,5 @@ SPARK_QUERIES = {
     "ev5_asof_join": asof_join,
     "ev6_range_join": range_join_counts,
     "ev7_hypertable_rollup": hypertable_rollup,
+    "ev8_windowed_topk": windowed_topk_users,
 }

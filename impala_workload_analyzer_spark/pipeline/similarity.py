@@ -66,11 +66,11 @@ def _duck_dot(a: str, b: str) -> str:
     )
 
 
-def _spark_band_sig(vec: str, band: int) -> str:
-    """Band signature: _PLANES_PER_BAND sign bits packed into an int."""
+def _spark_band_sig(vec: str, band: int, planes_per_band: int = _PLANES_PER_BAND) -> str:
+    """Band signature: ``planes_per_band`` sign bits packed into an int."""
     terms = []
-    for b in range(_PLANES_PER_BAND):
-        w = "array(" + ", ".join(str(c) for c in _plane(band * _PLANES_PER_BAND + b)) + ")"
+    for b in range(planes_per_band):
+        w = "array(" + ", ".join(str(c) for c in _plane(band * planes_per_band + b)) + ")"
         dot = (
             f"aggregate(zip_with({vec}, {w}, (x, y) -> CAST(x AS DOUBLE) * y),"
             " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -79,10 +79,10 @@ def _spark_band_sig(vec: str, band: int) -> str:
     return " + ".join(terms)
 
 
-def _duck_band_sig(vec: str, band: int) -> str:
+def _duck_band_sig(vec: str, band: int, planes_per_band: int = _PLANES_PER_BAND) -> str:
     terms = []
-    for b in range(_PLANES_PER_BAND):
-        w = "[" + ", ".join(str(c) for c in _plane(band * _PLANES_PER_BAND + b)) + "]"
+    for b in range(planes_per_band):
+        w = "[" + ", ".join(str(c) for c in _plane(band * planes_per_band + b)) + "]"
         dot = (
             f"list_reduce(list_transform(range(1, len({vec}) + 1),"
             f" i -> CAST({vec}[i] AS DOUBLE) * ({w})[i]), (x, y) -> x + y)"
@@ -91,10 +91,14 @@ def _duck_band_sig(vec: str, band: int) -> str:
     return " + ".join(terms)
 
 
-def _with_band_rows(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def _with_band_rows(df: DataFrame, vec_col: str = "embedding",
+                    n_bands: int = _N_BANDS,
+                    planes_per_band: int = _PLANES_PER_BAND) -> DataFrame:
     """Explode a vector table to one (band, sig) row per band — the
     bucket-join side of the banded construction."""
-    sigs = F.array(*[F.expr(_spark_band_sig(vec_col, b)) for b in range(_N_BANDS)])
+    sigs = F.array(*[
+        F.expr(_spark_band_sig(vec_col, b, planes_per_band)) for b in range(n_bands)
+    ])
     return df.select("*", F.posexplode(sigs).alias("band", "sig"))
 
 
@@ -277,6 +281,102 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.3
+# Range search at moderate tau wants RECALL, so the same 32 hyperplanes
+# regroup into MORE, NARROWER bands than the near-dup setting: 8 bands x
+# 4 bits ~ 66% any-band hit rate at cosine 0.3 vs ~6% for 4 x 8. The
+# band geometry is the recall/candidate-volume dial — per operator, not
+# per corpus.
+_RS_BANDS, _RS_PLANES = 8, 4
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim6 — threshold RANGE SEARCH (the dual of top-k ANN): every
+    corpus vector with cosine >= _RANGE_TAU to each query, found through
+    the banded-LSH candidate join + exact verify. Same shape as sim2 but
+    unbounded result set per query — the form dedup sweeps and
+    retrieval-recall audits use. Recall < 1 by design (any-band match);
+    the oracle mirrors the bands exactly."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    side = _with_band_rows(
+        emb.select("vec_id", "embedding"), n_bands=_RS_BANDS, planes_per_band=_RS_PLANES
+    ).select("vec_id", "band", "sig")
+    q_side = side.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
+    )
+    cand = (
+        side.join(F.broadcast(q_side), ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    sim = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "sim",
+            F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9),
+        )
+    )
+    return sim.filter(F.col("sim") >= _RANGE_TAU).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "sim"
+    )
+
+
+_CC_MAX_ITERS = 25
+
+
+def semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd9 — SEMANTIC dedup endgame: connected components over the
+    embedding near-dup graph (dd5's banded-LSH pairs at cosine >= 0.4),
+    with the canonical representative (min vec_id) kept per component —
+    the embedding-space twin of dd8's lexical pipeline. Label
+    propagation, one join + one aggregate per round, ``localCheckpoint``
+    to cut lineage; near-dup components are small cliques so rounds stay
+    O(diameter) tiny at any scale. Oracle: WITH RECURSIVE reachability
+    closure over the same banded candidate pairs."""
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .withColumn("label", F.col("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neigh = labels.join(edges, labels["vec_id"] == edges["src"]).select(
+            F.col("dst").alias("vec_id"), "label"
+        )
+        new_labels = (
+            labels.select("vec_id", "label")
+            .unionByName(neigh)
+            .groupBy("vec_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "vec_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "vec_id",
+        F.col("label").alias("component_id"),
+        (F.col("vec_id") == F.col("label")).alias("kept"),
+    )
+
+
 def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim5 — the vectorized-throughput variant of sim1: the query batch
     (50 x 64, model-sized) is collected and closed over like a broadcast
@@ -346,6 +446,16 @@ _SIM2_CAND = "\n          UNION\n          ".join(
     f"SELECT q.query_id, e.vec_id\n"
     f"          FROM e JOIN q ON e.s{b} = q.s{b} WHERE e.vec_id <> q.query_id"
     for b in range(_N_BANDS)
+)
+
+_DUCK_RS_SIG_COLS = ",\n                 ".join(
+    f"{_duck_band_sig('embedding', b, _RS_PLANES)} AS r{b}" for b in range(_RS_BANDS)
+)
+
+_RS_CAND = "\n          UNION\n          ".join(
+    f"SELECT q.query_id, e.vec_id\n"
+    f"          FROM e JOIN q ON e.r{b} = q.r{b} WHERE e.vec_id <> q.query_id"
+    for b in range(_RS_BANDS)
 )
 
 ORACLES = {
@@ -443,6 +553,48 @@ ORACLES = {
           FROM sim)
         SELECT query_id, neighbor_id, rank, sim, list_id
         FROM ranked WHERE rank <= {_TOP_K}""",
+    "sim6_range_search": f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 {_DUCK_RS_SIG_COLS}
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, r0, r1, r2, r3, r4, r5, r6, r7,
+                     embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        cand AS (
+          {_RS_CAND}),
+        sim AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM cand c JOIN e ON e.vec_id = c.vec_id
+                      JOIN q ON q.query_id = c.query_id)
+        SELECT query_id, neighbor_id, sim FROM sim WHERE sim >= {_RANGE_TAU}""",
+    "dd9_semantic_components": f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 {_DUCK_SIG_COLS}
+          FROM embeddings),
+        cand AS (
+          {_DD5_CAND}),
+        pairs AS (
+          SELECT c.vec_a, c.vec_b
+          FROM cand c JOIN e a ON a.vec_id = c.vec_a
+                      JOIN e b ON b.vec_id = c.vec_b
+          WHERE ROUND({_duck_dot('a.embedding', 'b.embedding')}
+                      / (a.nrm * b.nrm), 9) >= 0.4),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL
+          SELECT vec_b, vec_a FROM pairs),
+        reach AS (
+          SELECT vec_id AS start, vec_id AS node FROM embeddings
+          UNION
+          SELECT r.start, ed.dst FROM reach r JOIN edges ed ON ed.src = r.node)
+        SELECT start AS vec_id, MIN(node) AS component_id,
+               start = MIN(node) AS kept
+        FROM reach GROUP BY start""",
     "sim3_label_centroids": """
         WITH comp AS (
           SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
@@ -456,9 +608,11 @@ ORACLES = {
 
 SPARK_QUERIES = {
     "dd5_embedding_neardup": embedding_neardup_pairs,
+    "dd9_semantic_components": semantic_components,
     "sim1_brute_force_topk": brute_force_topk,
     "sim2_lsh_topk": lsh_topk,
     "sim3_label_centroids": label_centroids,
     "sim4_ivf_topk": ivf_topk,
     "sim5_vectorized_topk": vectorized_topk,
+    "sim6_range_search": range_search,
 }

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -216,6 +216,46 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx7 — per-document top-5 TF-IDF terms: tf(term, doc) * ln(N/df),
+    ranked per doc (rounded score desc, term asc — ranking on the ROUNDED
+    score with a total tie-break means last-ulp ln() differences between
+    engines can never flip top-k membership).
+
+    Scale: one shuffle to (doc, term) counts, document frequency as a
+    broadcast-sized vocab dim (term space is bounded; a web-scale vocab
+    still fits executor memory), rank windows keyed per doc over <= vocab
+    pre-aggregated rows. No global sort, no all-pairs."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("words").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -223,6 +263,26 @@ _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 ORACLES = {
+    "tx7_tfidf_top_terms": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        total AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 ROUND(CAST(tf.tf AS DOUBLE)
+                       * ln(CAST(t.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)),
+                       6) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN total t),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tf, df, score, rank
+        FROM ranked WHERE rank <= {_TFIDF_K}""",
     "tx1_token_stats": f"""
         WITH d AS (SELECT doc_id, {_DUCK_NORM} AS norm, {_DUCK_WORDS} AS words FROM documents)
         SELECT doc_id,
@@ -306,6 +366,7 @@ ORACLES = {
 
 SPARK_QUERIES = {
     "tx1_token_stats": token_stats,
+    "tx7_tfidf_top_terms": tfidf_top_terms,
     "tx2_quality_score": quality_score,
     "tx3_language_id": language_id,
     "tx4_winnow_fingerprints": winnow_fingerprints,

@@ -6,12 +6,14 @@ registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything modified since
 the last driver run, (b) everything no driver round has ever witnessed,
 (c) the block longest unwitnessed. Round-4 window: the ts-fix + decimal-
-sum + banded-LSH + chunking queries (ev*, st*, w1, dd5, sim2), the 15
-entries with no driver row in r01-r03, then the whole TPC-H suite
-(unwitnessed since r01, including the repaired tpch_q12). Everything in
-positions 51+ holds a green r02/r03 row. Unlisted names keep module
-order after the prioritized block, so a new query is never silently
-dropped.
+sum + banded-LSH + chunking queries (ev*, st*, w1, dd5, sim2), the four
+round-4 additions (dd9/sim6/ev8/tx7), the 15 entries with no driver row
+in r01-r03, then the TPC-H suite (unwitnessed since r01, including the
+repaired tpch_q12; q14 plus the w3/o4/set1 misc shapes yield their slots
+— all four hold green r01 rows, so union driver coverage stays
+complete). Everything in positions 51+ holds a green r01/r02/r03 row.
+Unlisted names keep module order after the prioritized block, so a new
+query is never silently dropped.
 """
 
 from __future__ import annotations
@@ -32,6 +34,9 @@ _PRIORITY = (
     "st1_streaming_tumbling", "st2_streaming_sessions",
     "st3_stateful_user_stats",
     "w1_concurrency_sweep", "dd5_embedding_neardup", "sim2_lsh_topk",
+    # --- round-4 additions ---
+    "dd9_semantic_components", "sim6_range_search",
+    "ev8_windowed_topk", "tx7_tfidf_top_terms",
     # --- never driver-witnessed in any round (r01-r03) ---
     "dd7_norm_dedup_keep_best", "dd8_neardup_components",
     "tx5_stratified_split", "tx6_unigram_logprob",
@@ -43,11 +48,11 @@ _PRIORITY = (
     # tpch_q12's round-2 oracle repair has never had a driver row ---
     "tpch_q12", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "w3_top_customers_per_nation", "o4_topn_orders",
+    # --- position 51+: green r01/r02/r03 driver rows, unchanged since ---
+    "tpch_q14", "w3_top_customers_per_nation", "o4_topn_orders",
     "set1_union_party_nations",
-    # --- position 51+: green r02/r03 driver rows, unchanged since ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "a5_scan_size_per_query",

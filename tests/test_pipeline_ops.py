@@ -208,3 +208,81 @@ def test_hypertable_rollup_cascade_consistent(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     for level in ("minute", "hour", "day"):
         assert sum(r["n_events"] for r in rows if r["level"] == level) == total
+
+
+def test_semantic_components_partition_embeddings(spark, sf_dir):
+    """dd9: every vector gets exactly one component; component ids are the
+    min member id; `kept` marks exactly one representative per component."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        semantic_components,
+    )
+
+    rows = semantic_components(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == total
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(1 for m in members if m["kept"]) == 1
+
+def test_range_search_thresholded_and_correct(spark, sf_dir):
+    """sim6: every hit clears the threshold, and every reported cosine
+    matches an exact recompute (candidates are verified, never trusted)."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _RANGE_TAU,
+        range_search,
+    )
+
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for r in range_search(spark, sf_dir).collect():
+        assert r["sim"] >= _RANGE_TAU
+        a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        assert abs(r["sim"] - dot / (na * nb)) < 1e-6
+
+def test_windowed_topk_ranks_contiguous(spark, sf_dir):
+    """ev8: at most 3 users per window, ranks contiguous from 1, counts
+    non-increasing with rank."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        windowed_topk_users,
+    )
+
+    rows = windowed_topk_users(spark, sf_dir).collect()
+    by_w: dict[int, list] = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    assert by_w
+    for members in by_w.values():
+        members.sort(key=lambda r: r["rank"])
+        assert [m["rank"] for m in members] == list(range(1, len(members) + 1))
+        assert len(members) <= 3
+        counts = [m["n_events"] for m in members]
+        assert counts == sorted(counts, reverse=True)
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    """tx7: <= 5 terms per doc, scores non-increasing with rank, and df
+    never exceeds the corpus size."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == n_docs
+    for members in by_doc.values():
+        members.sort(key=lambda r: r["rank"])
+        assert len(members) <= 5
+        scores = [m["score"] for m in members]
+        assert scores == sorted(scores, reverse=True)
