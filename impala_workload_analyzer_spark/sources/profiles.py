@@ -406,10 +406,13 @@ def _query_row(q: dict) -> tuple:
 def _parse_table(spark: SparkSession, sf_dir: str, which: str,
                  schema: T.StructType) -> DataFrame:
     # decode+parse is CPU-bound per profile, not byte-bound: the log dir's
-    # file count (not core count) would otherwise set task parallelism
-    lines = _decoded_lines(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # file count (not core count) would otherwise set task parallelism.
+    # Only pay the repartition shuffle when the source actually has too few
+    # splits — the rendered logs land as ~2x core-count uniform files, so
+    # the common case reads pre-parallel with zero extra exchange.
+    lines = _decoded_lines(spark, sf_dir)
+    if lines.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
