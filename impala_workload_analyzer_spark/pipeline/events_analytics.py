@@ -357,7 +357,7 @@ ORACLES = {
           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM flagged)
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                MIN(t) AS session_start_us,
                MAX(t) AS session_end_us,
                COUNT(*) AS n_events,

@@ -202,9 +202,9 @@ ORACLES = {
         FROM ({_FEATURE_CASE})"""),
     "q3_features_rollup": with_corpus(f"""
         SELECT stmt_type, COUNT(*) AS n_queries,
-               SUM(num_output_columns) AS sum_output_columns,
-               SUM(num_limits) AS sum_limits,
-               SUM(num_where_binary_eq) AS sum_where_eq,
+               CAST(SUM(num_output_columns) AS BIGINT) AS sum_output_columns,
+               CAST(SUM(num_limits) AS BIGINT) AS sum_limits,
+               CAST(SUM(num_where_binary_eq) AS BIGINT) AS sum_where_eq,
                COUNT(DISTINCT parameterized_stmt) AS n_templates
         FROM ({_FEATURE_CASE})
         GROUP BY stmt_type"""),
