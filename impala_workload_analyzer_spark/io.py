@@ -10,12 +10,29 @@ to byte-range splits by group midpoint, so every split but one yields
 zero rows, whatever ``maxPartitionBytes`` says. A real deployment owns
 its file layout (100 TB lands as many files/row groups and this shim
 never triggers); here the non-tiny tables are re-materialized ONCE per
-sf_dir into a parallel multi-file layout — a verbatim row copy, keyed by
-the source file's size signature so a regenerated fixture auto-rebuilds.
+sf_dir into a parallel multi-file layout.
+
+File count scales with source size (~1 MiB of source parquet per cache
+file, floor max(4, cores/4), cap ``defaultParallelism``): measured at sf0.1, a flat
+32-file layout taxed every query with per-task scheduling overhead
+(tpch_q6 0.48 s vs 0.19 s at 8 files; sim1 0.70 s vs 0.41 s), while a
+flat small count starves the compute-heavy fused scan stages — sizing by
+bytes tracks both ends and degenerates to full parallelism at real scale.
+
+Each cache build lands in an immutable signature-versioned directory
+(``.scan_cache/<sfdir-basename>-<pathhash>/<table>/<sighash>/``): the
+signature covers the source file's size, its head/tail content (the
+parquet footer makes any regeneration visible), so a regenerated or
+swapped fixture auto-rebuilds into a NEW directory and concurrent
+readers of the old one are never invalidated mid-scan. A file lock
+serializes concurrent builders; stale versions are pruned only after a
+successful build.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,27 +49,102 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# ~1 MiB of source parquet per cache file (measured sweet spot at sf0.1);
+# the floor scales with core count because byte-sizing underestimates
+# tables with high compute-per-byte fused into their scan stage (shingle
+# MinHash over documents, vector math over embeddings): measured cold
+# best-of-2 at sf0.1, dd3 is 2.2 s at 8 files vs 3.2 s at 4, sim1/sim4
+# gain ~25% at 8, while the scan-bound queries lose < 0.05 s.
+_TARGET_CACHE_FILE_BYTES = 1 << 20
+
+
+def _min_cache_files(cap: int) -> int:
+    return max(4, cap // 4)
+
+# src_path -> ((size, mtime_ns), cache dir): in-process fast path so each
+# load_table call costs one stat, not a content hash. mtime is only this
+# memo's key — the durable cross-checkout signature is content-based.
+_RESOLVED: dict[str, tuple[tuple[int, int], str]] = {}
+
 
 def _src_sig(path: str) -> str:
-    return str(os.stat(path).st_size)
+    """Content signature of a fixture file: size + sha1 of head/tail 1 MiB.
+
+    The tail covers the parquet footer (row-group metadata, stats), so any
+    regeneration — even size-preserving — changes the signature; mtime is
+    deliberately excluded so byte-identical fixtures re-use committed
+    caches across checkouts.
+    """
+    st = os.stat(path)
+    h = hashlib.sha1()
+    chunk = 1 << 20
+    with open(path, "rb") as f:
+        h.update(f.read(chunk))
+        if st.st_size > chunk:
+            f.seek(max(chunk, st.st_size - chunk))
+            h.update(f.read(chunk))
+    return f"{st.st_size}-{h.hexdigest()[:12]}"
+
+
+def _table_root(sf_dir: str, name: str) -> str:
+    key = os.path.abspath(os.path.normpath(sf_dir))
+    tag = hashlib.sha1(key.encode()).hexdigest()[:8]
+    return os.path.join(_REPO_ROOT, ".scan_cache",
+                        f"{os.path.basename(key)}-{tag}", name)
+
+
+def _n_cache_files(spark: SparkSession, src: str) -> int:
+    cap = spark.sparkContext.defaultParallelism
+    want = math.ceil(os.stat(src).st_size / _TARGET_CACHE_FILE_BYTES)
+    return max(min(_min_cache_files(cap), cap), min(cap, want))
+
+
+def scan_cache_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Resolve (building if needed) the immutable cache dir for a table —
+    also the streaming file-source landing directory."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(src)
+    stat_key = (st.st_size, st.st_mtime_ns)
+    hit = _RESOLVED.get(src)
+    if hit and hit[0] == stat_key and os.path.exists(os.path.join(hit[1], "_SUCCESS")):
+        return hit[1]
+    sig = _src_sig(src)
+    root = _table_root(sf_dir, name)
+    dst = os.path.join(root, sig)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        _build_cache(spark, src, root, dst)
+    _RESOLVED[src] = (stat_key, dst)
+    return dst
+
+
+def _build_cache(spark: SparkSession, src: str, root: str, dst: str) -> None:
+    import fcntl  # noqa: PLC0415 - POSIX-only, as is local[] testing
+    import shutil  # noqa: PLC0415
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                return  # another process built it while we waited
+            # nanos-era events fixtures need this on caller-owned sessions
+            # too (load_events also sets it; harmless for micros files)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            n = _n_cache_files(spark, src)
+            (spark.read.parquet(src).repartition(n)
+             .write.mode("overwrite").parquet(dst))
+            # prune superseded signature dirs (immutable once built, so
+            # only unreferenced stale versions are ever removed)
+            for d in os.listdir(root):
+                p = os.path.join(root, d)
+                if d not in (os.path.basename(dst), ".lock") and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _scan_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    src = os.path.join(sf_dir, f"{name}.parquet")
-    root = os.path.join(_REPO_ROOT, ".scan_cache",
-                        os.path.basename(os.path.normpath(sf_dir)), name)
-    sig_path = os.path.join(root, "_SRC_SIG")
-    valid = (
-        os.path.exists(os.path.join(root, "_SUCCESS"))
-        and os.path.exists(sig_path)
-        and open(sig_path).read().strip() == _src_sig(src)
-    )
-    if not valid:
-        n = spark.sparkContext.defaultParallelism
-        spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(root)
-        with open(sig_path, "w") as f:
-            f.write(_src_sig(src))
-    return spark.read.parquet(root)
+    return spark.read.parquet(scan_cache_dir(spark, sf_dir, name))
 
 
 def ensure_scan_cache(spark: SparkSession, sf_dir: str) -> None:
@@ -60,7 +152,7 @@ def ensure_scan_cache(spark: SparkSession, sf_dir: str) -> None:
     call outside any timed region, like the corpus/profile builders)."""
     for name in sorted(_SCAN_CACHED):
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
-            _scan_cached(spark, sf_dir, name).schema  # noqa: B018 - force build
+            scan_cache_dir(spark, sf_dir, name)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

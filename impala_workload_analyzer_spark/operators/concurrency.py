@@ -40,12 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..corpus import corpus_queries, with_corpus
+from ..corpus import corpus_queries, corpus_version, with_corpus
 
 _EVENTS_PER_CHUNK = 1_000_000  # two-phase scan only above this per-sweep size
 # one running-sum task handles ~1M (ts, delta) tuples (~16 MB) comfortably;
 # below that the two-phase scan's 7 extra shuffles cost more than they save
-_COUNT_CACHE: dict[str, int] = {}  # sizing statistic, memoized per sf_dir
+_COUNT_CACHE: dict[str, int] = {}  # sizing statistic, keyed by corpus_version
 
 
 def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
@@ -137,9 +137,10 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams pay the two-phase scan; capped so tiny chunks never outnumber
     # cores. The sizing count is one cheap job over the bucketed corpus,
     # memoized per sf_dir — it is a table statistic, not part of the query.
-    if sf_dir not in _COUNT_CACHE:
-        _COUNT_CACHE[sf_dir] = scoped.count()
-    n_events = _COUNT_CACHE[sf_dir] * 2
+    ver = corpus_version(sf_dir)
+    if ver not in _COUNT_CACHE:
+        _COUNT_CACHE[ver] = scoped.count()
+    n_events = _COUNT_CACHE[ver] * 2
     target_chunks = min(
         n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
     )

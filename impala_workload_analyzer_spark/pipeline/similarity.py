@@ -370,6 +370,12 @@ def semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a diameter > _CC_MAX_ITERS chain would exit with wrong labels;
+        # fail loudly rather than return silently-mislabeled components
+        raise RuntimeError(
+            f"connected-components did not converge in {_CC_MAX_ITERS} rounds"
+        )
     return labels.select(
         "vec_id",
         F.col("label").alias("component_id"),

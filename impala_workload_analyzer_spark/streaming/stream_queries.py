@@ -36,16 +36,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not serialized onto one task the way the single-row-group fixture
     file is. At cluster scale this is simply the landing directory new
     files arrive in."""
-    from ..io import _scan_cached, normalize_event_ts  # noqa: PLC0415
+    from ..io import normalize_event_ts, scan_cache_dir  # noqa: PLC0415
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.load_events
-    _scan_cached(spark, sf_dir, "events")  # ensure the directory exists
-    src_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scan_cache",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "events",
-    )
+    src_dir = scan_cache_dir(spark, sf_dir, "events")  # builds on demand
     schema = spark.read.parquet(src_dir).schema
     return normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
 
