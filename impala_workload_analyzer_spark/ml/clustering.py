@@ -19,8 +19,8 @@ M3 final clustering: sizes + per-cluster mean of the UNSCALED features
 Deviations (documented): k sweep 1..20 and final k=4 instead of 1..69/10
 — the deterministic corpus has a handful of distinct statement shapes
 (the sweep saturates: pct-variance explained is pinned monotone by
-``tests/test_pipeline_ops``), and sklearn's n_init=20 restarts map to a
-fixed seed here (Spark KMeans is seeded, not restarted). Cluster ids are
+``tests/test_pipeline_ops``); sklearn's n_init=20 restarts map to
+best-of-5 pinned-seed fits (``_SEEDS``). Cluster ids are
 seed-dependent -> the KMeans queries are rows-only for the driver; the
 feature extraction itself is fully oracle-checked (m0).
 
@@ -147,36 +147,43 @@ def _assembled(spark: SparkSession, sf_dir: str):
     return scaler.transform(vec).cache()
 
 
-def _cached_result(spark: SparkSession, sf_dir: str, name: str, compute):
-    """Materialized-result reuse for the seed-pinned KMeans outputs (the
-    model-registry pattern): the fits are deterministic functions of
-    (fixture, source fingerprint), so their outputs are parquet-cached
-    beside the feature store and invalidated by the same _FINGERPRINT
-    stamps. tests/test_pipeline_ops pins cached == freshly-computed at
-    sf0.001; delete .features_cache to force recompute."""
-    import os  # noqa: PLC0415
+# Multi-init restarts, mirroring the reference's sklearn n_init=20
+# (clustering.py:76) at fixture scale: each k is fit once per pinned seed
+# and the lowest-WCSS model wins (ties -> first seed), so a bad k-means||
+# initialization cannot pin a local optimum. Fits run in a thread pool:
+# the assembled features are ONE small cached partition (see _assembled),
+# so each fit is a single-task job and concurrent fits use the idle cores
+# — Spark schedules jobs from separate threads independently.
+_SEEDS = (42, 43, 44, 45, 46)
+_FIT_THREADS = 8
 
-    from ..cache_util import is_valid, stamp  # noqa: PLC0415
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo_root, ".features_cache",
-                        os.path.basename(os.path.normpath(sf_dir)), name)
-    if not is_valid(path):
-        compute().write.mode("overwrite").parquet(path)
-        stamp(path)
-    return spark.read.parquet(path)
+def _fit(data, k: int, seed: int):
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+
+    return KMeans(k=k, maxIter=500, seed=seed, featuresCol="features").fit(data)
+
+
+def _fit_best(data, k: int, pool=None):
+    """Best-of-_SEEDS fit for one k (deterministic: seeds are pinned and
+    the tie-break is seed order)."""
+    fits = (
+        list(pool.map(lambda s: _fit(data, k, s), _SEEDS))
+        if pool is not None
+        else [_fit(data, k, s) for s in _SEEDS]
+    )
+    return min(
+        enumerate(fits), key=lambda t: (t[1].summary.trainingCost, t[0])
+    )[1]
 
 
 def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m2 — elbow sweep: per k, WCSS and %variance explained
-    (clustering.py:67-81); TSS via the exact variance identity. Output is
-    result-cached (see _cached_result)."""
-    return _cached_result(spark, sf_dir, "elbow",
-                          lambda: _kmeans_elbow_live(spark, sf_dir))
+    (clustering.py:67-81); TSS via the exact variance identity. Always
+    computed live (the driver's rows-only check witnesses real fits);
+    95 single-task fits run threaded, bounded by _FIT_THREADS."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-
-def _kmeans_elbow_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
 
     data = _assembled(spark, sf_dir)
@@ -192,27 +199,27 @@ def _kmeans_elbow_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=1 analytically: one cluster at the mean -> WCSS == TSS for
     # mean-centered data (Spark's KMeans requires k >= 2)
     rows = [(1, float(tss), 0.0)]
-    for k in range(2, 21):
-        model = KMeans(k=k, maxIter=500, seed=42, featuresCol="features").fit(data)
-        wcss = model.summary.trainingCost
-        rows.append((k, float(wcss), float((tss - wcss) / tss * 100.0)))
+    with ThreadPoolExecutor(max_workers=_FIT_THREADS) as pool:
+        costs = pool.map(
+            lambda k: min(
+                _fit(data, k, s).summary.trainingCost for s in _SEEDS
+            ),
+            range(2, 21),
+        )
+        for k, wcss in zip(range(2, 21), costs):
+            rows.append((k, float(wcss), float((tss - wcss) / tss * 100.0)))
     data.unpersist()
     return spark.createDataFrame(rows, ["k", "wcss", "pct_variance_explained"])
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m3 — final clustering: cluster sizes + per-cluster mean of the
-    unscaled features (clustering.py:83-92). Output is result-cached (see
-    _cached_result)."""
-    return _cached_result(spark, sf_dir, "clusters",
-                          lambda: _kmeans_clusters_live(spark, sf_dir))
-
-
-def _kmeans_clusters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    unscaled features (clustering.py:83-92); best-of-_SEEDS fit."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     data = _assembled(spark, sf_dir)
-    model = KMeans(k=4, maxIter=500, seed=42, featuresCol="features").fit(data)
+    with ThreadPoolExecutor(max_workers=len(_SEEDS)) as pool:
+        model = _fit_best(data, 4, pool)
     out = (
         model.transform(data)
         .groupBy("prediction")

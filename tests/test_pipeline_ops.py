@@ -88,20 +88,20 @@ def test_stratified_split_partitions_corpus(spark, sf_dir):
     assert 0.6 < n_train / total < 0.95
 
 
-def test_kmeans_result_cache_matches_live_compute(spark, sf_dir):
-    """m2's cached elbow table equals a fresh fit (seed-pinned KMeans is
-    deterministic), so result-caching never changes observable output."""
+def test_kmeans_elbow_deterministic_and_monotone(spark, sf_dir):
+    """m2 computes live (best-of-_SEEDS per k): two runs are identical
+    (pinned seeds, canonical input layout), the sweep covers k=1..20, and
+    the variance-explained curve is monotone non-decreasing — multi-init
+    keeps a bad single-seed local optimum from denting the curve."""
     from impala_workload_analyzer_spark.ml import clustering as C
 
-    cached = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
-    live = sorted(map(tuple, C._kmeans_elbow_live(spark, sf_dir).collect()))
-    assert [(k, round(w, 6)) for k, w, _ in cached] == \
-           [(k, round(w, 6)) for k, w, _ in live]
-    # elbow breadth + shape: k=1..20 swept, variance-explained curve
-    # monotone non-decreasing (more clusters never explain less)
-    assert [k for k, _, _ in cached] == list(range(1, 21))
-    pcts = [p for _, _, p in cached]
-    assert all(b >= a - 1e-9 for a, b in zip(pcts, pcts[1:]))
+    a = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
+    b = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
+    assert [(k, round(w, 6)) for k, w, _ in a] == \
+           [(k, round(w, 6)) for k, w, _ in b]
+    assert [k for k, _, _ in a] == list(range(1, 21))
+    pcts = [p for _, _, p in a]
+    assert all(y >= x - 1e-9 for x, y in zip(pcts, pcts[1:]))
 
 
 def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
