@@ -62,6 +62,24 @@ _TIME_RE = re.compile(
 )
 
 
+def _memo_str_int(fn):
+    """Pretty-print parse results repeat heavily across a corpus (the same
+    rendered sizes/times recur per operator); memoize string -> int."""
+    cache: dict[str, int] = {}
+
+    def wrapped(s: str) -> int:
+        if s in cache:
+            return cache[s]
+        v = fn(s)
+        if len(cache) < 1 << 16:
+            cache[s] = v
+        return v
+
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+@_memo_str_int
 def _pp_size(s: str) -> int:
     g = _SIZE_RE.match(s).groupdict()
     total = 0.0
@@ -71,6 +89,7 @@ def _pp_size(s: str) -> int:
     return int(total)
 
 
+@_memo_str_int
 def _pp_number(s: str) -> int:
     g = _NUM_RE.match(s).groupdict()
     total = 0.0
@@ -80,6 +99,7 @@ def _pp_number(s: str) -> int:
     return int(total)
 
 
+@_memo_str_int
 def _pp_time(s: str) -> int:
     g = _TIME_RE.match(s).groupdict()
     total = 0.0
@@ -127,9 +147,23 @@ _VERSION_RE = re.compile(
 )
 
 
+_DAY_CACHE: dict[str, int] = {}  # "YYYY-MM-DD" -> epoch seconds at midnight
+
+
 def _micros(ts: str) -> int:
+    # fixed-width "YYYY-MM-DD HH:MM:SS.ffffff000" (profile_render._ts);
+    # strptime re-parses the format string every call (~10x slower), and
+    # a corpus clusters on few distinct dates, so the date part is memoized
+    if len(ts) == 29 and ts[19] == ".":
+        day = _DAY_CACHE.get(ts[:10])
+        if day is None:
+            d = datetime.strptime(ts[:10], "%Y-%m-%d")
+            day = int(d.replace(tzinfo=timezone.utc).timestamp())
+            _DAY_CACHE[ts[:10]] = day
+        sec = day + int(ts[11:13]) * 3600 + int(ts[14:16]) * 60 + int(ts[17:19])
+        return sec * 1_000_000 + int(ts[20:26])
     dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f000")
-    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) + 0
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
 
 
 def parse_profile(tree: TRuntimeProfileTree, tag: str):
@@ -204,6 +238,22 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
     curr: dict | None = None
     parent_ops: dict[int, dict | None] = {0: None}
     for line in info["Plan"].split("\n"):
+        # cheap substring dispatch: a plan is mostly predicate/detail lines
+        # that match none of the five patterns — don't pay 5 regex fails
+        if "tuple-ids=" in line:
+            m = _CARD_RE.match(line)
+            if m:
+                card = m.group("cardinality")
+                curr["cardinality"] = -1 if card == "unavailable" else int(card)
+                curr["row_size"] = _pp_size(m.group("row_size"))
+            continue
+        if " files=" in line:
+            m = _SCAN_RE.match(line)
+            if m:
+                curr["size"] = _pp_size(m.group("size"))
+            continue
+        if "DATASTREAM SINK" not in line and ":" not in line:
+            continue
         m = _FRAG_RE.match(line)
         if m:
             fragment = {"id": int(m.group("id")), "query_id": query["query_id"],
@@ -256,16 +306,6 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
                     curr["agg_type"] = "POST"
             parent_ops[0 if indent is None else len(indent)] = curr
             continue
-        m = _CARD_RE.match(line)
-        if m:
-            card = m.group("cardinality")
-            curr["cardinality"] = -1 if card == "unavailable" else int(card)
-            curr["row_size"] = _pp_size(m.group("row_size"))
-            continue
-        m = _SCAN_RE.match(line)
-        if m:
-            curr["size"] = _pp_size(m.group("size"))
-            continue
 
     # S7 counter harvest: linear node walk (profile_analyzer.py:195-270).
     # Counter values come through TCounter.scalar() — DOUBLE_VALUE counters
@@ -273,16 +313,20 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
     is_averaged = False
     curr_frag: dict | None = None
     for node in tree.nodes:
-        matched_hdr = False
-        for hdr, avg in ((_AVG_FRAG_HDR, True), (_COORD_FRAG_HDR, False),
-                         (_INST_FRAG_HDR, False)):
-            m = hdr.match(node.name)
-            if m:
-                is_averaged = avg
-                curr_frag = fragments[int(m.group("id"))]
-                matched_hdr = True
-                break
-        if matched_hdr:
+        name = node.name
+        # fragment headers, matched by fixed prefix (regex equivalents kept
+        # above for reference): "Averaged Fragment F7" / "Coordinator
+        # Fragment F7" / "Fragment F7"
+        fid = None
+        if name.startswith("Averaged Fragment F"):
+            fid, avg = name[19:], True
+        elif name.startswith("Coordinator Fragment F"):
+            fid, avg = name[22:], False
+        elif name.startswith("Fragment F"):
+            fid, avg = name[10:], False
+        if fid is not None and fid.isdigit():
+            is_averaged = avg
+            curr_frag = fragments[int(fid)]
             continue
         if node.name in ("CodeGen", "HdfsTableSink"):
             which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
@@ -297,9 +341,12 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
                 for c in node.counters:
                     store.setdefault(c.name, []).append(c.scalar())
             continue
-        m = _NODE_RE.match(node.name)
-        if m:
-            op = operators[int(m.group("id"))]
+        # "SOME_NODE (id=7)" — direct parse of the _NODE_RE shape
+        if name.endswith(")") and " (id=" in name:
+            stem, _, idpart = name.rpartition(" (id=")
+            if not (stem.endswith("_NODE") and idpart[:-1].isdigit()):
+                continue
+            op = operators[int(idpart[:-1])]
             if is_averaged:
                 op["avg_counters"] = {c.name: c.scalar() for c in node.counters}
             else:

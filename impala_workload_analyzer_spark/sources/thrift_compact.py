@@ -525,13 +525,25 @@ class _FastMiss(Exception):
     order encoding every thrift writer (ours included) produces."""
 
 
+_INTERN: dict[bytes, str] = {}
+_INTERN_CAP = 1 << 14  # distinct node/counter/key names are few; cap anyway
+
+
 def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
     """Specialized decoder: one closure-based scanner, varints and field
     headers inlined, fields expected in declared order with short-form
     headers. Produces objects identical to the generic reader (pinned by
     tests); raises _FastMiss on anything unexpected. ``lean`` skip-scans
-    fields 7/8/10 (never consumed by the analyzer) without materializing."""
+    fields 7/8/10 (never consumed by the analyzer) without materializing.
+
+    Node structs are decoded straight-line — our writer (and Impala's)
+    emits fields 1-8 unconditionally in declared order, so the per-field
+    header dispatch loop only runs for the optional 9/10 tail. Repeated
+    strings (node/counter names, info keys, event labels) are interned
+    through a bytes->str table shared across profiles: the corpus has few
+    distinct names, so most decodes become one dict hit."""
     pos = 0
+    intern = _INTERN
 
     def rv() -> int:  # unsigned varint
         nonlocal pos
@@ -554,6 +566,18 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         s = data[pos : pos + ln]
         pos += ln
         return s.decode("utf-8")
+
+    def ri() -> str:  # length-prefixed utf-8, interned (repeated names)
+        nonlocal pos
+        ln = rv()
+        raw = data[pos : pos + ln]
+        pos += ln
+        out = intern.get(raw)
+        if out is None:
+            out = raw.decode("utf-8")
+            if len(intern) < _INTERN_CAP:
+                intern[raw] = out
+        return out
 
     def skip_s() -> None:  # skip a length-prefixed binary
         nonlocal pos
@@ -588,7 +612,12 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         p += 1
         if ln & 0x80:
             raise _FastMiss
-        name = data[p : p + ln].decode("utf-8")
+        raw = data[p : p + ln]
+        name = intern.get(raw)
+        if name is None:
+            name = raw.decode("utf-8")
+            if len(intern) < _INTERN_CAP:
+                intern[raw] = name
         p += ln
         if data[p] != 0x15:  # field 2: i32, delta 1 (enum: single byte)
             raise _FastMiss
@@ -618,7 +647,156 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
     def node() -> TRuntimeProfileNode:
         nonlocal pos
         out = TRuntimeProfileNode("")
-        last = 0
+        p = pos
+        # field 1: binary name, delta 1
+        if data[p] != 0x18:
+            raise _FastMiss
+        p += 1
+        ln = data[p]
+        p += 1
+        if ln & 0x80:  # node names are short in practice; bail if not
+            raise _FastMiss
+        raw = data[p : p + ln]
+        p += ln
+        name = intern.get(raw)
+        if name is None:
+            name = raw.decode("utf-8")
+            if len(intern) < _INTERN_CAP:
+                intern[raw] = name
+        out.name = name
+        # field 2: i32 num_children, delta 1
+        if data[p] != 0x15:
+            raise _FastMiss
+        p += 1
+        n = data[p]
+        p += 1
+        if n & 0x80:
+            shift = 7
+            n &= 0x7F
+            while True:
+                b = data[p]
+                p += 1
+                n |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        out.num_children = (n >> 1) ^ -(n & 1)
+        # field 3: list<TCounter>, delta 1
+        if data[p] != 0x19:
+            raise _FastMiss
+        p += 1
+        h = data[p]
+        p += 1
+        if h & 0x0F != CT_STRUCT:
+            raise _FastMiss
+        size = h >> 4
+        if size == 0xF:
+            size = shift = 0
+            while True:
+                b = data[p]
+                p += 1
+                size |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        if size:
+            pos = p
+            out.counters = [counter() for _ in range(size)]
+            p = pos
+        # field 4: i64 metadata, delta 1
+        if data[p] != 0x16:
+            raise _FastMiss
+        p += 1
+        n = data[p]
+        p += 1
+        if n & 0x80:
+            shift = 7
+            n &= 0x7F
+            while True:
+                b = data[p]
+                p += 1
+                n |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        out.metadata = (n >> 1) ^ -(n & 1)
+        # field 5: bool indent, delta 1
+        h = data[p]
+        p += 1
+        if h == 0x11:
+            out.indent = True
+        elif h == 0x12:
+            out.indent = False
+        else:
+            raise _FastMiss
+        # field 6: map<string,string> info_strings, delta 1
+        if data[p] != 0x1B:
+            raise _FastMiss
+        p += 1
+        n = data[p]
+        p += 1
+        if n & 0x80:
+            shift = 7
+            n &= 0x7F
+            while True:
+                b = data[p]
+                p += 1
+                n |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        if n:
+            if data[p] != (CT_BINARY << 4) | CT_BINARY:
+                raise _FastMiss
+            pos = p + 1
+            out.info_strings = {ri(): rs() for _ in range(n)}
+            p = pos
+        # field 7: list<string> display order, delta 1
+        if data[p] != 0x19:
+            raise _FastMiss
+        pos = p + 1
+        size = coll(CT_BINARY)
+        if lean:
+            for _ in range(size):
+                skip_s()
+        else:
+            out.info_strings_display_order = [rs() for _ in range(size)]
+        p = pos
+        # field 8: map<string,set<string>> child counters, delta 1
+        if data[p] != 0x1B:
+            raise _FastMiss
+        p += 1
+        n = data[p]
+        p += 1
+        if n & 0x80:
+            shift = 7
+            n &= 0x7F
+            while True:
+                b = data[p]
+                p += 1
+                n |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        if n:
+            if data[p] != (CT_BINARY << 4) | CT_SET:
+                raise _FastMiss
+            pos = p + 1
+            if lean:
+                for _ in range(n):
+                    skip_s()
+                    for _ in range(coll(CT_BINARY)):
+                        skip_s()
+            else:
+                ccm = {}
+                for _ in range(n):
+                    k = ri()
+                    ccm[k] = [ri() for _ in range(coll(CT_BINARY))]
+                out.child_counters_map = ccm
+            p = pos
+        # --- optional tail: fields 9/10 then STOP ---
+        pos = p
+        last = 8
         while True:
             h = data[pos]
             pos += 1
@@ -628,55 +806,13 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
             if delta == 0:
                 raise _FastMiss
             last += delta
-            if last == 1 and ftype == CT_BINARY:
-                out.name = rs()
-            elif last == 2 and ftype == CT_I32:
-                out.num_children = rz()
-            elif last == 3 and ftype == CT_LIST:
-                out.counters = [counter() for _ in range(coll(CT_STRUCT))]
-            elif last == 4 and ftype == CT_I64:
-                out.metadata = rz()
-            elif last == 5 and ftype in (CT_BOOL_TRUE, CT_BOOL_FALSE):
-                out.indent = ftype == CT_BOOL_TRUE
-            elif last == 6 and ftype == CT_MAP:
-                n = rv()
-                if n:
-                    if data[pos] != (CT_BINARY << 4) | CT_BINARY:
-                        raise _FastMiss
-                    pos += 1
-                    out.info_strings = {rs(): rs() for _ in range(n)}
-            elif last == 7 and ftype == CT_LIST:
-                if lean:
-                    for _ in range(coll(CT_BINARY)):
-                        skip_s()
-                else:
-                    out.info_strings_display_order = [
-                        rs() for _ in range(coll(CT_BINARY))
-                    ]
-            elif last == 8 and ftype == CT_MAP:
-                n = rv()
-                if n:
-                    if data[pos] != (CT_BINARY << 4) | CT_SET:
-                        raise _FastMiss
-                    pos += 1
-                    if lean:
-                        for _ in range(n):
-                            skip_s()
-                            for _ in range(coll(CT_BINARY)):
-                                skip_s()
-                    else:
-                        ccm = {}
-                        for _ in range(n):
-                            k = rs()
-                            ccm[k] = [rs() for _ in range(coll(CT_BINARY))]
-                        out.child_counters_map = ccm
-            elif last == 9 and ftype == CT_LIST:
+            if last == 9 and ftype == CT_LIST:
                 seqs = []
                 for _ in range(coll(CT_STRUCT)):
                     if data[pos] != 0x18:
                         raise _FastMiss
                     pos += 1
-                    name = rs()
+                    name = ri()
                     if data[pos] != 0x19:  # field 2: list<i64>
                         raise _FastMiss
                     pos += 1
@@ -684,7 +820,7 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
                     if data[pos] != 0x19:  # field 3: list<string>
                         raise _FastMiss
                     pos += 1
-                    labels = [rs() for _ in range(coll(CT_BINARY))]
+                    labels = [ri() for _ in range(coll(CT_BINARY))]
                     if data[pos] != CT_STOP:
                         raise _FastMiss
                     pos += 1
@@ -699,7 +835,7 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
                     if lean:
                         skip_s()
                     else:
-                        name = rs()
+                        name = ri()
                     if data[pos] != 0x15:
                         raise _FastMiss
                     pos += 1
