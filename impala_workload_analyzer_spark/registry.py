@@ -5,13 +5,11 @@ Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything modified since
 the last driver run, (b) everything no driver round has ever witnessed,
-(c) the block longest unwitnessed. Round-4 window: the ts-fix + decimal-
-sum + banded-LSH + chunking queries (ev*, st*, w1, dd5, sim2), the four
-round-4 additions (dd9/sim6/ev8/tx7), the 15 entries with no driver row
-in r01-r03, then the TPC-H suite (unwitnessed since r01, including the
-repaired tpch_q12; q14 plus the w3/o4/set1 misc shapes yield their slots
-— all four hold green r01 rows, so union driver coverage stays
-complete). Everything in positions 51+ holds a green r01/r02/r03 row.
+(c) the block longest unwitnessed. Round-5 window: the round-5 fix
+targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
+the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
+then the a/f/pt/dd/sim block whose newest green rows date to r02.
+Everything in positions 51+ holds a green r04 row on unchanged code.
 Unlisted names keep module order after the prioritized block, so a new
 query is never silently dropped.
 """
@@ -27,53 +25,52 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = []
 
 _PRIORITY = (
-    # --- modified this round: ts normalization + order-independent
-    # decimal sums + adaptive w1 chunking + banded LSH ---
-    "ev3_sessionize", "ev1_tumbling_hourly", "ev2_sliding_hourly",
-    "ev7_hypertable_rollup",
+    # --- changed this round (r05): HUGEINT oracle casts (ev3/q3), thrift
+    # decode + parse fast paths (ing*, q1 features derive from the same
+    # corpus), live multi-init KMeans (m2/m3), corpus_version memo (w1),
+    # CC convergence guard (dd8/dd9), scan-cache path helper (st*) ---
+    "ev3_sessionize", "q3_features_rollup", "q1_sql_features",
+    "ing1_parsed_operators", "ing2_parsed_fragments",
+    "ing3_parsed_queries", "ing4_delete_by_tag",
+    "m0_cluster_features", "m2_kmeans_elbow", "m3_kmeans_clusters",
+    "w1_concurrency_sweep", "dd8_neardup_components",
+    "dd9_semantic_components",
     "st1_streaming_tumbling", "st2_streaming_sessions",
     "st3_stateful_user_stats",
-    "w1_concurrency_sweep", "dd5_embedding_neardup", "sim2_lsh_topk",
-    # --- round-4 additions ---
-    "dd9_semantic_components", "sim6_range_search",
-    "ev8_windowed_topk", "tx7_tfidf_top_terms",
-    # --- never driver-witnessed in any round (r01-r03) ---
-    "dd7_norm_dedup_keep_best", "dd8_neardup_components",
-    "tx5_stratified_split", "tx6_unigram_logprob",
-    "a18_operator_time_quantiles", "a19_operator_time_quantiles_sketch",
-    "ev5_asof_join", "ev6_range_join", "ev4_json_props_stats",
-    "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
-    "sim5_vectorized_topk", "m2_kmeans_elbow", "m3_kmeans_clusters",
-    # --- TPC-H suite + misc: green in r01 only, unwitnessed since;
-    # tpch_q12's round-2 oracle repair has never had a driver row ---
-    "tpch_q12", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # --- position 51+: green r01/r02/r03 driver rows, unchanged since ---
-    "tpch_q14", "w3_top_customers_per_nation", "o4_topn_orders",
-    "set1_union_party_nations",
+    # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     "a9_join_audit_rollup", "a10_preagg_reduction",
-    "a11_preagg_reduction_hist",
-    "a16_counter_consistency", "w2_time_share_per_query",
-    "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
+    "a11_preagg_reduction_hist", "a16_counter_consistency",
+    "w2_time_share_per_query", "a13_avg_time_pct_per_operator",
+    "a14_abs_time_pct_per_operator",
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
-    "ing1_parsed_operators", "ing2_parsed_fragments",
-    "ing3_parsed_queries", "ing4_delete_by_tag",
-    "q1_sql_features", "q3_features_rollup",
     "pt1_plan_edges", "pt2_plan_paths",
     "dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
     "dd4_simhash_signatures", "dd6_simhash_neardup",
     "sim1_brute_force_topk", "sim3_label_centroids", "sim4_ivf_topk",
+    "a18_operator_time_quantiles",
+    # --- position 51+: green r04 rows, code unchanged since ---
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
-    "tx4_winnow_fingerprints",
-    "m0_cluster_features",
+    "tx4_winnow_fingerprints", "tx5_stratified_split",
+    "tx6_unigram_logprob", "tx7_tfidf_top_terms",
+    "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
+    "sim2_lsh_topk", "sim6_range_search",
+    "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev4_json_props_stats",
+    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
+    "ev8_windowed_topk",
+    "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
+    "sim5_vectorized_topk", "a19_operator_time_quantiles_sketch",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "w3_top_customers_per_nation", "o4_topn_orders",
+    "set1_union_party_nations",
 )
 
 
