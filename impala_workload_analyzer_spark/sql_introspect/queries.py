@@ -185,7 +185,7 @@ _FEATURE_CASE = (
     CASE sql_type
       WHEN 'SelectStmt' THEN CASE k % 4
         WHEN 1 THEN 'SELECT ?, sum(?) FROM ? WHERE ? > 1 GROUP BY ?'
-        WHEN 2 THEN 'SELECT ? FROM ? WHERE ? IN ((SELECT ? FROM ? WHERE ? = 1))'
+        WHEN 2 THEN 'SELECT ? FROM ? WHERE ? IN (SELECT ? FROM ? WHERE ? = 1)'
         WHEN 3 THEN 'SELECT ?, rank() OVER (PARTITION BY ? ORDER BY ? DESC) FROM ? WHERE ? LIKE ''?'''
         ELSE 'SELECT ?, ? FROM ? WHERE ? = 1 ORDER BY ? ASC LIMIT 1' END
       WHEN 'UnionStmt' THEN 'SELECT ? FROM ? WHERE ? = 1 UNION ALL SELECT ? FROM ?'

@@ -165,3 +165,45 @@ def test_insert_not_parameterized():
     feats = extract_sql_features("INSERT OVERWRITE t SELECT a FROM u")
     assert feats["overwrite"] is True
     assert feats["parameterized_stmt"] is None
+
+
+# --- r05 parity pass: templates hand-aligned with the public Impala
+# frontend's toSql() conventions (Parameterizer.java:16-208 applied to
+# each corpus statement shape, rendered per the Apache Impala frontend) --
+
+
+@pytest.mark.parametrize("sql,expected", [
+    # the four corpus SELECT rotations + union (profile_render.sql_stmt_for)
+    ("SELECT c1, c2 FROM t WHERE id = 7 ORDER BY c1 LIMIT 10",
+     "SELECT ?, ? FROM ? WHERE ? = 1 ORDER BY ? ASC LIMIT 1"),
+    ("SELECT c1, sum(c2) FROM t WHERE id > 7 GROUP BY c1",
+     "SELECT ?, sum(?) FROM ? WHERE ? > 1 GROUP BY ?"),
+    # IN-subquery: ONE paren pair (Subquery.toSql supplies it;
+    # InPredicate.toSql adds none)
+    ("SELECT c1 FROM t WHERE id IN (SELECT id FROM u WHERE x = 7)",
+     "SELECT ? FROM ? WHERE ? IN (SELECT ? FROM ? WHERE ? = 1)"),
+    ("SELECT c1, rank() OVER (PARTITION BY c2 ORDER BY c3 DESC) "
+     "FROM t WHERE name LIKE 'a7%'",
+     "SELECT ?, rank() OVER (PARTITION BY ? ORDER BY ? DESC) "
+     "FROM ? WHERE ? LIKE '?'"),
+    ("SELECT c1 FROM a WHERE id = 7 UNION ALL SELECT c1 FROM b",
+     "SELECT ? FROM ? WHERE ? = 1 UNION ALL SELECT ? FROM ?"),
+    # NOT LIKE == NOT (a LIKE b), as the Impala grammar builds it
+    ("SELECT c1 FROM t WHERE name NOT LIKE 'x%'",
+     "SELECT ? FROM ? WHERE NOT ? LIKE '?'"),
+    # window frames parse and render; boundary literals parameterize
+    ("SELECT sum(c2) OVER (ORDER BY c1 ROWS BETWEEN 3 PRECEDING AND "
+     "CURRENT ROW) FROM t",
+     "SELECT sum(?) OVER (ORDER BY ? ASC ROWS BETWEEN 1 PRECEDING AND "
+     "CURRENT ROW) FROM ?"),
+    ("SELECT sum(c2) OVER (ORDER BY c1 RANGE UNBOUNDED PRECEDING) FROM t",
+     "SELECT sum(?) OVER (ORDER BY ? ASC RANGE UNBOUNDED PRECEDING) FROM ?"),
+    # INTERVAL unit keeps its written case (toSql prints it as parsed)
+    ("SELECT c1 FROM t WHERE d > now() - interval 3 days",
+     "SELECT ? FROM ? WHERE ? > now() - INTERVAL 1 days"),
+    # ROWS/RANGE stay non-reserved outside OVER
+    ("SELECT rows FROM t WHERE range = 5",
+     "SELECT ? FROM ? WHERE ? = 1"),
+])
+def test_parameterize_impala_tosql_parity(sql, expected):
+    assert parameterize_sql(sql) == expected
