@@ -290,6 +290,98 @@ _EV1_ORACLE = """
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2"""
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev9 — weekly retention cohorts: cohort = Monday of a user's first
+    event week; for each (cohort_week, week_offset), distinct active
+    users and retention vs the cohort's size.
+
+    Scale shape: ONE full-data shuffle (user_id) producing each user's
+    cohort and distinct active weeks together; exploding the per-user
+    week set then re-aggregating on (cohort, offset) counts each user
+    once with a plain COUNT — no count_distinct over the raw stream, and
+    the post-explode volume is |users| x weeks-per-user, already deduped.
+    Cohort sizes derive from the same per-user pass and broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.date_trunc("week", "ts")).alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    exploded = per_user.select(
+        "cohort_week", F.explode("weeks").alias("week")
+    ).withColumn(
+        "week_offset",
+        ((F.col("week") - F.col("cohort_week")) / F.lit(604800)).cast("bigint"),
+    )
+    sizes = per_user.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    out = exploded.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return out.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 9).alias("retention"),
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev10 — ordered funnel over view -> click -> purchase: a user
+    converts step N when an event of step N's type occurs strictly after
+    their step N-1 conversion time. Output: one row per step with user
+    count and conversion rate vs step 1.
+
+    Scale shape: one filtered agg per step, each keyed by user_id; joins
+    are user-keyed and reuse the same hash partitioning, so the whole
+    funnel is a linear chain of co-partitioned narrow steps after the
+    first shuffle. Step count is a constant (3), not data-driven."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    step_rows = []
+    for i, step in enumerate(_FUNNEL_STEPS):
+        if i:
+            stage = (
+                ev.filter(F.col("event_type") == step)
+                .join(stage, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        step_rows.append(
+            stage.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col("n_users"),
+            )
+        )
+    out = step_rows[0]
+    for r in step_rows[1:]:
+        out = out.unionByName(r)
+    # conversion vs step 1 — a 3-row single-partition window, not a collect
+    base = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(base),
+            9,
+        ).alias("conversion"),
+    )
+
+
 ORACLES = {
     "ev1_tumbling_hourly": _EV1_ORACLE,
     "ev2_sliding_hourly": """
@@ -363,6 +455,55 @@ ORACLES = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, session_id""",
+    "ev9_retention_cohorts": """
+        WITH ev AS (
+          SELECT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, week FROM ev),
+        sizes AS (
+          SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+          FROM first GROUP BY cohort_week),
+        joined AS (
+          SELECT f.cohort_week,
+                 CAST((a.week - f.cohort_week) // 604800 AS BIGINT) AS week_offset,
+                 a.user_id
+          FROM active a JOIN first f USING (user_id))
+        SELECT j.cohort_week, j.week_offset,
+               COUNT(DISTINCT j.user_id) AS n_active,
+               s.cohort_size,
+               ROUND(COUNT(DISTINCT j.user_id) / CAST(s.cohort_size AS DOUBLE), 9)
+                 AS retention
+        FROM joined j JOIN sizes s USING (cohort_week)
+        GROUP BY j.cohort_week, j.week_offset, s.cohort_size""",
+    "ev10_funnel_conversion": f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+          GROUP BY e.user_id),
+        steps AS (
+          SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+                 (SELECT COUNT(*) FROM s1) AS n_users
+          UNION ALL
+          SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM s2)
+          UNION ALL
+          SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM s3))
+        SELECT CAST(step AS BIGINT) AS step, event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               ROUND(n_users / CAST(
+                 MAX(CASE WHEN step = 1 THEN n_users END) OVER () AS DOUBLE),
+                 9) AS conversion
+        FROM steps""",
     "ev8_windowed_topk": f"""
         WITH per AS (
           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
@@ -396,4 +537,6 @@ SPARK_QUERIES = {
     "ev6_range_join": range_join_counts,
     "ev7_hypertable_rollup": hypertable_rollup,
     "ev8_windowed_topk": windowed_topk_users,
+    "ev9_retention_cohorts": retention_cohorts,
+    "ev10_funnel_conversion": funnel_conversion,
 }

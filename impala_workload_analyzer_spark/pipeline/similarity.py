@@ -383,6 +383,41 @@ def semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q_LEVELS = 127  # int8 symmetric quantization
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim7 — int8 scalar quantization of the embedding column: per-vector
+    symmetric scale (max |x| / 127), codes floor(x/scale + 0.5), plus the
+    reconstruction-error and code-checksum columns a quantized ANN index
+    build would persist. 4x memory shrink for the sim* family at 100 TB.
+
+    Pure column HOFs — one pass, zero shuffles, zero Python. Both engines
+    evaluate the same float->double promotions and double ops, so values
+    hash-match exactly; the explicit floor(+0.5) avoids engine-specific
+    round() tie rules."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = f"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / {_Q_LEVELS}.0"
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(scale).alias("scale"),
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / ({scale}) + 0.5) AS BIGINT))"
+        ).alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.expr("aggregate(zip_with(codes, sequence(1, size(codes)), (c, i) -> c * i), CAST(0 AS BIGINT), (a, x) -> a + x)").alias("code_checksum"),
+        F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> greatest(a, abs(c)))").alias("max_code"),
+        F.round(
+            F.expr("aggregate(zip_with(embedding, codes, (x, c) -> abs(CAST(x AS DOUBLE) - c * scale)), CAST(0.0 AS DOUBLE), (a, e) -> greatest(a, e))"),
+            9,
+        ).alias("max_abs_err"),
+    )
+
+
 def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim5 — the vectorized-throughput variant of sim1: the query batch
     (50 x 64, model-sized) is collected and closed over like a broadcast
@@ -465,6 +500,28 @@ _RS_CAND = "\n          UNION\n          ".join(
 )
 
 ORACLES = {
+    "sim7_embedding_quantize": f"""
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') / {_Q_LEVELS}.0 AS scale
+          FROM embeddings),
+        c AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                   AS codes
+          FROM q)
+        SELECT vec_id,
+               ROUND(scale, 9) AS scale,
+               CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                 i -> codes[i] * i)) AS BIGINT) AS code_checksum,
+               CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'max')
+                 AS BIGINT) AS max_code,
+               ROUND(list_aggregate(list_transform(range(1, len(codes) + 1),
+                 i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)),
+                 'max'), 9) AS max_abs_err
+        FROM c""",
     "dd5_embedding_neardup": f"""
         WITH e AS (
           SELECT vec_id, embedding,
@@ -621,4 +678,5 @@ SPARK_QUERIES = {
     "sim4_ivf_topk": ivf_topk,
     "sim5_vectorized_topk": vectorized_topk,
     "sim6_range_search": range_search,
+    "sim7_embedding_quantize": embedding_quantize,
 }

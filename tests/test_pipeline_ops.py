@@ -286,3 +286,52 @@ def test_tfidf_top_terms_shape(spark, sf_dir):
         assert len(members) <= 5
         scores = [m["score"] for m in members]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_retention_cohorts_invariants(spark, sf_dir):
+    """ev9: offset-0 retention is exactly 1.0 for every cohort (a user is
+    active in their own first week by construction), offsets are
+    non-negative, and n_active never exceeds cohort_size."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        retention_cohorts,
+    )
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+    base = [r for r in rows if r["week_offset"] == 0]
+    assert base and all(r["retention"] == 1.0 for r in base)
+
+
+def test_funnel_conversion_monotone(spark, sf_dir):
+    """ev10: step counts are non-increasing (each step requires the
+    previous), step 1 converts at 1.0, and steps arrive in order."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        funnel_conversion,
+    )
+
+    rows = sorted(funnel_conversion(spark, sf_dir).collect(),
+                  key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["conversion"] == 1.0
+    counts = [r["n_users"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    """sim7: codes are int8-range (|code| <= 127), the reconstruction
+    error is bounded by scale/2 (the rounding half-step), and every
+    vector is covered."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == total
+    for r in rows:
+        assert r["max_code"] <= 127
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
