@@ -10,8 +10,10 @@ throwaway count), then each query is planned + executed + fully drained
 with a ``noop``-format write — every column is evaluated executor-side
 but nothing is serialized to the driver. ``count()`` would let Catalyst
 prune projection-only queries down to a row count; ``collect()`` would
-bottleneck on driver serialization — neither measures the query. Each
-query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 2) keeping the best.
+bottleneck on driver serialization — neither measures the query. Each query
+runs once untimed (one-time codegen/JIT compile excluded), then
+``$SPARK_GRAFT_BENCH_REPS`` timed reps (default 2) keeping the best —
+steady-state throughput, which is what a long-running cluster job sees.
 """
 
 from __future__ import annotations
@@ -51,6 +53,8 @@ HEADLINERS = (
     "sim4_ivf_topk",
     "st3_stateful_user_stats",
     "pt2_plan_paths",
+    "ev9_retention_cohorts",
+    "sim7_embedding_quantize",
 )
 
 
@@ -65,8 +69,22 @@ def main() -> int:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen warm-up outside the timed region: a scan + shuffle agg +
+    # broadcast join + window over the small dims exercises the codegen,
+    # shuffle, and parquet reader paths the first timed query would
+    # otherwise pay cold (a bare range-sum left tpch_q1's first rep up to
+    # 3x noisy)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from impala_workload_analyzer_spark.io import load_table
+    warm_n = load_table(spark, sf_dir, "nation")
+    warm_c = load_table(spark, sf_dir, "customer")
+    (
+        warm_c.join(warm_n, warm_c.c_nationkey == warm_n.n_nationkey)
+        .groupBy("n_name").count()
+        .selectExpr("n_name", "count",
+                    "rank() over (order by count desc, n_name) as r")
+        .write.format("noop").mode("overwrite").save()
+    )
     # corpus materialization and profile-log rendering are INGEST-side
     # scaffolding (EP1 inputs), not analytics: build once outside the timed
     # region, like the reference's profile_analyzer run precedes its stats
@@ -89,6 +107,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
+        # one untimed warm-up execution per query: janino codegen compile +
+        # JIT of large generated classes is a one-time cost (dd3's first
+        # run is ~5x its steady state) and was landing in the first timed
+        # rep unevenly across runs; the timed best-of-reps then measures
+        # steady-state throughput
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
