@@ -184,6 +184,34 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st3_out")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st4 — streaming exact deduplication: watermarked ``dropDuplicates``
+    over the (user_id, event_type, minute) action key — the "dedup the
+    arriving shards" stage of a streaming ingestion pipeline. Only the
+    key columns are emitted, so the append-mode output is exactly the
+    distinct key set and deterministic (no arbitrary representative-row
+    pick); the DuckDB oracle is the batch DISTINCT over the same key.
+
+    Scale: state is one entry per in-horizon key, evicted by the
+    watermark — the standard bounded-state streaming dedup; at cluster
+    scale the same plan consumes a Kafka topic and the horizon bounds
+    both state size and the late-duplicate window."""
+    keys = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("minute", "ts")).alias("minute_start"),
+            F.col("ts"),
+        )
+        .dropDuplicates(["user_id", "event_type", "minute_start"])
+        .select("user_id", "event_type", "minute_start")
+    )
+    _run_to_memory(keys, "st4_out", "append")
+    return spark.table("st4_out")
+
+
 # st1 shares ev1's oracle text (batch/stream equivalence IS the check).
 # st2's append-mode emission IS SQL-expressible for a finite source: the
 # final watermark is max(event time) - delay, and exactly the sessions
@@ -218,6 +246,10 @@ _ST2_ORACLE = f"""
 ORACLES = {
     "st1_streaming_tumbling": _EV1_ORACLE,
     "st2_streaming_sessions": _ST2_ORACLE,
+    "st4_streaming_dedup": """
+        SELECT DISTINCT user_id, event_type,
+               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_start
+        FROM events""",
     "st3_stateful_user_stats": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
@@ -231,4 +263,5 @@ SPARK_QUERIES = {
     "st1_streaming_tumbling": streaming_tumbling,
     "st2_streaming_sessions": streaming_sessions,
     "st3_stateful_user_stats": stateful_user_stats,
+    "st4_streaming_dedup": streaming_dedup,
 }

@@ -335,3 +335,27 @@ def test_embedding_quantize_bounds(spark, sf_dir):
     for r in rows:
         assert r["max_code"] <= 127
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    """st4: the streaming watermarked dropDuplicates over the action key
+    emits exactly the batch DISTINCT key set for a finite source."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in streaming_dedup(spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("minute", "ts")).alias("m"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
