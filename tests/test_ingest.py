@@ -220,3 +220,60 @@ def test_ddl_path():
     assert query["num_hosts"] == 1
     assert query["plan_time"] is None  # DDL has no plan (profile_analyzer.py:39-48)
     assert ops == [] and frags == []
+
+
+# --- property-based wire round-trip (hypothesis) ----------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_names = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=200,
+)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_counters = st.lists(
+    st.builds(TC.TCounter, _names, st.integers(0, 6), _i64), max_size=5
+)
+_nodes = st.builds(
+    TC.TRuntimeProfileNode,
+    name=_names,
+    num_children=st.integers(-(2**31), 2**31 - 1),
+    counters=_counters,
+    metadata=_i64,
+    indent=st.booleans(),
+    info_strings=st.dictionaries(_names, _names, max_size=4),
+    info_strings_display_order=st.lists(_names, max_size=4),
+    child_counters_map=st.dictionaries(
+        _names, st.lists(_names, max_size=3), max_size=3
+    ),
+    event_sequences=st.one_of(
+        st.none(),
+        st.lists(
+            st.builds(TC.TEventSequence, _names,
+                      st.lists(_i64, max_size=4), st.lists(_names, max_size=4)),
+            max_size=2,
+        ),
+    ),
+    time_series_counters=st.one_of(
+        st.none(),
+        st.lists(
+            st.builds(TC.TTimeSeriesCounter, _names, st.integers(0, 6),
+                      st.integers(0, 2**31 - 1), st.lists(_i64, max_size=4)),
+            max_size=2,
+        ),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_nodes, max_size=4))
+def test_wire_roundtrip_property(nodes):
+    """Any tree our writer can emit decodes back identically through BOTH
+    the straight-line fast path and the generic reader — including >127
+    byte names (multi-byte varint lengths, which bounce the fast path to
+    the generic one), unicode, negative metadata, and huge i64 values."""
+    tree = TC.TRuntimeProfileTree(nodes)
+    blob = tree.serialize()
+    assert TC.TRuntimeProfileTree.deserialize(blob) == tree
+    assert TC.TRuntimeProfileTree._deserialize_generic(blob) == tree
