@@ -290,6 +290,71 @@ _EV1_ORACLE = """
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2"""
 
+_GAP_US = 30 * 60 * 1_000_000
+_SALT_BUCKET_US = 86_400 * 1_000_000  # 1-day salt buckets
+
+
+def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev11 — ev3's sessionization under a SALTED two-level plan: the
+    skew-proof variant for hot users (VERDICT r04 named per-user windowing
+    as ev3's known 100 TB hot spot).
+
+    Level 1 partitions by (user_id, day): a user's events split across
+    day buckets, so one hot user parallelizes across executors and no
+    single task ever holds a whole user. Each bucket runs the ordinary
+    gaps-and-islands window and reduces events to per-bucket session
+    summaries. Level 2 re-merges ONLY the session summaries per user —
+    volume is |sessions|, not |events| — with one light window: a
+    session continues across a bucket boundary iff the cross-boundary
+    gap is within the session gap (a 30-min gap can span at most one
+    midnight, but the merge rule is general: consecutive-by-time
+    summaries chain while gaps stay small). Output is bit-identical to
+    ev3 (shares its oracle): ordinal ids, exact decimal value sums.
+
+    Trade: +1 shuffle (events keyed by (user, day), then summaries by
+    user) vs ev3's single shuffle — the classic salting price, paid only
+    to break skew."""
+    ev = load_table(spark, sf_dir, "events").withColumn("t", F.unix_micros("ts"))
+    ev = ev.withColumn("day", (F.col("t") / F.lit(_SALT_BUCKET_US)).cast("bigint"))
+    order = Window.partitionBy("user_id", "day").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_local",
+        F.when(
+            F.lag("t").over(order).isNull()
+            | (F.col("t") - F.lag("t").over(order) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = flagged.withColumn("local_sid", F.sum("new_local").over(run))
+    summaries = local.groupBy("user_id", "day", "local_sid").agg(
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("val"),
+    )
+    merge_order = Window.partitionBy("user_id").orderBy("min_t")
+    merged = summaries.withColumn(
+        "new_session",
+        F.when(
+            F.lag("max_t").over(merge_order).isNull()
+            | (F.col("min_t") - F.lag("max_t").over(merge_order) > _GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            merge_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.groupBy("user_id", "session_id").agg(
+        F.min("min_t").alias("session_start_us"),
+        F.max("max_t").alias("session_end_us"),
+        F.sum("n").alias("n_events"),
+        F.sum("val").cast("double").alias("total_value"),
+    )
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -528,6 +593,8 @@ ORACLES = {
         FROM e GROUP BY event_type""",
 }
 
+ORACLES["ev11_sessionize_salted"] = ORACLES["ev3_sessionize"]  # same semantics
+
 SPARK_QUERIES = {
     "ev1_tumbling_hourly": tumbling_hourly,
     "ev2_sliding_hourly": sliding_hourly,
@@ -539,4 +606,5 @@ SPARK_QUERIES = {
     "ev8_windowed_topk": windowed_topk_users,
     "ev9_retention_cohorts": retention_cohorts,
     "ev10_funnel_conversion": funnel_conversion,
+    "ev11_sessionize_salted": sessionize_salted,
 }

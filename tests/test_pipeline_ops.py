@@ -359,3 +359,17 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_salted_sessionize_equals_plain(spark, sf_dir):
+    """ev11 (salted two-level sessionization) must be row-identical to
+    ev3 — same sessions, ordinals, and exact value sums — only the
+    physical plan differs."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    plain = {tuple(r) for r in sessionize(spark, sf_dir).collect()}
+    salted = {tuple(r) for r in sessionize_salted(spark, sf_dir).collect()}
+    assert plain == salted
