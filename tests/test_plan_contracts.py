@@ -78,3 +78,37 @@ def test_q21_semi_anti_self_joins(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     # the two lineitem self-probes are the only sort-merge joins
     assert plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_sim7_is_zero_shuffle_single_scan(spark, sf_dir):
+    """int8 quantization must stay a pure projection: no exchange at all,
+    one parquet scan (higher-order-function lambdas evaluate outside
+    whole-stage codegen in Spark, so no codegen claim here)."""
+    plan = _plan(spark, sf_dir, "sim7_embedding_quantize")
+    assert "Exchange" not in plan, plan
+    assert "Output [2]: [vec_id" in plan, plan  # scan pruned to 2 columns
+
+
+def test_ev11_shuffle_budget(spark, sf_dir):
+    """Salted sessionization pays exactly its documented price: the
+    (user, day) event shuffle plus the summary-sized merge shuffle —
+    never a third full-data exchange."""
+    plan = _plan(spark, sf_dir, "ev11_sessionize_salted")
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 2, plan
+
+
+def test_ev9_single_full_data_shuffle(spark, sf_dir):
+    """Retention cohorts: the user-keyed agg is the only full-data
+    shuffle; everything after operates on per-user/per-cohort volumes
+    and the sizes side joins via broadcast."""
+    plan = _plan(spark, sf_dir, "ev9_retention_cohorts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ev10_funnel_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ev10_funnel_conversion")
+    assert "CartesianProduct" not in plan, plan
