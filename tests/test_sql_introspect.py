@@ -207,3 +207,76 @@ def test_insert_not_parameterized():
 ])
 def test_parameterize_impala_tosql_parity(sql, expected):
     assert parameterize_sql(sql) == expected
+
+
+# --- property-based grammar fuzz: canonicalization is a fixed point ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ident = st.sampled_from(["a", "b2", "c_x", "t", "u", "v1"])
+_lit = st.sampled_from(["1", "3.5", "'s'", "TRUE", "FALSE", "NULL"])
+
+
+def _exprs(depth):
+    base = st.one_of(_ident, _lit)
+    if depth <= 0:
+        return base
+    sub = _exprs(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.sampled_from(["+", "-", "*", "/", "%"]), sub)
+        .map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.tuples(sub, st.sampled_from(["=", "<", ">", "<=", ">=", "<>"]), sub)
+        .map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        sub.map(lambda e: f"NOT {e}"),
+        sub.map(lambda e: f"({e})"),
+        st.tuples(st.sampled_from(["sum", "count", "min", "max", "fn2"]), sub)
+        .map(lambda t: f"{t[0]}({t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"{t[0]} IN ({t[1]}, {t[1]})"),
+        st.tuples(sub, sub, sub).map(
+            lambda t: f"CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END"),
+        sub.map(lambda e: f"CAST({e} AS INT)"),
+        sub.map(lambda e: f"{e} IS NOT NULL"),
+        st.tuples(sub, st.sampled_from(["'x%'", "'%y'"])).map(
+            lambda t: f"{t[0]} LIKE {t[1]}"),
+    )
+
+
+_select = st.builds(
+    lambda items, tbl, where, group, order, limit: (
+        "SELECT " + ", ".join(items)
+        + f" FROM {tbl}"
+        + (f" WHERE {where}" if where else "")
+        + (f" GROUP BY {group}" if group else "")
+        + (f" ORDER BY {order} DESC" if order else "")
+        + (" LIMIT 5" if limit else "")
+    ),
+    st.lists(_exprs(2), min_size=1, max_size=3),
+    _ident,
+    st.one_of(st.none(), _exprs(2)),
+    st.one_of(st.none(), _ident),
+    st.one_of(st.none(), _ident),
+    st.booleans(),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_select)
+def test_parser_canonicalization_fixed_point(sql):
+    """parse -> to_sql must be a canonical form: re-parsing and
+    re-rendering the rendered SQL reproduces it byte-for-byte, and
+    parameterization is idempotent modulo the placeholder spelling."""
+    from impala_workload_analyzer_spark.sql_introspect.parser import (
+        SqlParseError,
+        parse_sql,
+        to_sql,
+    )
+
+    try:
+        stmt = parse_sql(sql)
+    except SqlParseError:
+        return  # grammar corner the mini-parser rejects — fine, just no crash
+    rendered = to_sql(stmt)
+    assert to_sql(parse_sql(rendered)) == rendered
+    assert parameterize_sql(rendered) == parameterize_sql(sql)
