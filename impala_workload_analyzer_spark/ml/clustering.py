@@ -239,23 +239,23 @@ ORACLES = {
     # IN-subquery / analytic+LIKE
     "m0_cluster_features": with_corpus("""
         SELECT query_id, num_tables,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
-                 AS num_subqueries,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
-                 AS max_depth_subqueries,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
-                 AS num_group_by_columns,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
-                 AS num_order_by_columns,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
-                 AS num_limits,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 2 ELSE 1 END
-                 AS num_predicates,
-               0 AS num_where_fn_exprs,
-               CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+                 AS BIGINT) AS num_subqueries,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 1 ELSE 0 END
+                 AS BIGINT) AS max_depth_subqueries,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1 ELSE 0 END
+                 AS BIGINT) AS num_group_by_columns,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS num_order_by_columns,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS num_limits,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 2 THEN 2 ELSE 1 END
+                 AS BIGINT) AS num_predicates,
+               CAST(0 AS BIGINT) AS num_where_fn_exprs,
+               CAST(CASE WHEN sql_type = 'SelectStmt' AND k % 4 = 1 THEN 1
                     WHEN sql_type = 'SelectStmt' AND k % 4 = 3 THEN 2 ELSE 0 END
-                 AS num_select_exprs,
-               0 AS num_select_predicates
+                 AS BIGINT) AS num_select_exprs,
+               CAST(0 AS BIGINT) AS num_select_predicates
         FROM iwa_queries
         WHERE k % 41 <> 0 AND sql_type IN ('SelectStmt', 'UnionStmt')"""),
 }

@@ -359,7 +359,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cands.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        cands.withColumn("hamming", F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -520,7 +520,7 @@ ORACLES = {
             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
            AND x.doc_id < y.doc_id
         )
-        SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}""",
 }
 

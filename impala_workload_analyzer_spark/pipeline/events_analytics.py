@@ -256,7 +256,7 @@ def windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rk = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
-        per.withColumn("rank", F.row_number().over(rk))
+        per.withColumn("rank", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rank") <= _TOPK_USERS)
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),

@@ -122,7 +122,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim")
     )
@@ -157,7 +157,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim")
     )
@@ -275,7 +275,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim", "list_id")
     )
@@ -467,7 +467,7 @@ def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -64,10 +64,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_norm(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        F.length("norm").alias("n_chars"),
-        F.size("words").alias("n_tokens"),
-        F.size(F.array_distinct("words")).alias("n_distinct_tokens"),
-        F.expr(f"size(regexp_extract_all(norm, '{_BPE_PAT}', 0))").alias("n_bpe_tokens"),
+        F.length("norm").cast("bigint").alias("n_chars"),
+        F.size("words").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("words")).cast("bigint").alias("n_distinct_tokens"),
+        F.expr(f"CAST(size(regexp_extract_all(norm, '{_BPE_PAT}', 0)) AS BIGINT)").alias("n_bpe_tokens"),
         (
             F.length(F.regexp_replace("norm", " ", "")).cast("double")
             / F.size("words").cast("double")
@@ -83,8 +83,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     scored = docs.select(
         "doc_id",
-        F.length("norm").alias("n_chars"),
-        F.size("words").alias("n_tokens"),
+        F.length("norm").cast("bigint").alias("n_chars"),
+        F.size("words").cast("bigint").alias("n_tokens"),
         (
             F.length(F.regexp_replace("norm", "[a-z0-9 ]", "")).cast("double")
             / F.length("norm").cast("double")
@@ -171,8 +171,8 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
     tagged = docs.select(
         "lang",
-        F.size("words").alias("n_tokens"),
-        F.length("norm").alias("n_chars"),
+        F.size("words").cast("bigint").alias("n_tokens"),
+        F.length("norm").cast("bigint").alias("n_chars"),
         F.when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").alias("split"),
     )
@@ -250,7 +250,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score"), F.asc("term")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(rk))
+        scored.withColumn("rank", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )

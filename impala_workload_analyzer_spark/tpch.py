@@ -180,7 +180,7 @@ def w3_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        cust.withColumn("rank", F.row_number().over(w))
+        cust.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("c_nationkey", "rank", "c_custkey", "c_name", "c_acctbal")
     )

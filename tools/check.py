@@ -43,6 +43,39 @@ def _norm_rows(rows, cols):
     return out
 
 
+# Canonical cross-engine type signatures: a value-identical result can
+# still hash-mismatch on the driver if the engines disagree on a column's
+# physical type (r02-r04's ev3 red: DuckDB widened a windowed SUM to
+# HUGEINT). Map both engines' types to one vocabulary and compare.
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "REAL": "f32", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
+    "UBIGINT": "u64", "HUGEINT": "i128",
+}
+
+
+def _canon_spark(dtype: str) -> str:
+    if dtype.startswith("array<"):
+        return f"[{_canon_spark(dtype[6:-1])}]"
+    if dtype.startswith("decimal"):
+        return dtype
+    return _SPARK_CANON.get(dtype, dtype)
+
+
+def _canon_duck(dtype: str) -> str:
+    if dtype.endswith("[]"):
+        return f"[{_canon_duck(dtype[:-2])}]"
+    if dtype.startswith("DECIMAL"):
+        return dtype.lower().replace(" ", "")
+    return _DUCK_CANON.get(dtype, dtype)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -87,6 +120,16 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            stypes = dict(sdf.dtypes)
+            dtypes_ = {d[0]: d[1] for d in cur.description and []} 
+            # duckdb cursor description lacks type names; DESCRIBE instead
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            dtypes_ = {row[0]: row[1] for row in desc}
+            for c in scols:
+                a, b = _canon_spark(stypes[c]), _canon_duck(dtypes_[c])
+                if a != b:
+                    problems.append(f"dtype[{c}]: spark={stypes[c]}({a}) duck={dtypes_[c]}({b})")
         if len(srows) != len(drows):
             problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
         if not problems:
