@@ -16,7 +16,8 @@ TSS computed exactly via the variance identity — for mean-centered data
 M3 final clustering: sizes + per-cluster mean of the UNSCALED features
 (``clustering.py:83-92``).
 
-Deviations (documented): k sweep 1..20 and final k=4 instead of 1..69/10
+Deviations (documented): k sweep 1..20 instead of 1..69 (final k=10
+matches the reference, clustering.py:83)
 — the deterministic corpus has a handful of distinct statement shapes
 (the sweep saturates: pct-variance explained is pinned monotone by
 ``tests/test_pipeline_ops``); sklearn's n_init=20 restarts map to
@@ -213,13 +214,15 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m3 — final clustering: cluster sizes + per-cluster mean of the
-    unscaled features (clustering.py:83-92); best-of-_SEEDS fit."""
+    """m3 — final clustering at the reference's K=10: cluster sizes +
+    per-cluster mean of the unscaled features (clustering.py:83-92);
+    best-of-_SEEDS fit. The corpus has 15 distinct feature shapes, so
+    all 10 clusters populate at every fixture scale."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     data = _assembled(spark, sf_dir)
     with ThreadPoolExecutor(max_workers=len(_SEEDS)) as pool:
-        model = _fit_best(data, 4, pool)
+        model = _fit_best(data, 10, pool)  # reference K (clustering.py:83)
     out = (
         model.transform(data)
         .groupBy("prediction")
