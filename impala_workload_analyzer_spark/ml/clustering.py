@@ -16,12 +16,11 @@ TSS computed exactly via the variance identity — for mean-centered data
 M3 final clustering: sizes + per-cluster mean of the UNSCALED features
 (``clustering.py:83-92``).
 
-Deviations (documented): k sweep 1..20 instead of 1..69 (final k=10
-matches the reference, clustering.py:83)
-— the deterministic corpus has a handful of distinct statement shapes
-(the sweep saturates: pct-variance explained is pinned monotone by
-``tests/test_pipeline_ops``); sklearn's n_init=20 restarts map to
-best-of-5 pinned-seed fits (``_SEEDS``). Cluster ids are
+Parity: k sweep 1..69 and final k=10, exactly the reference's ranges
+(clustering.py:67,83); the sweep saturates at the corpus's 15 distinct
+feature shapes (WCSS hits 0), and the pct-variance curve is pinned
+monotone by ``tests/test_pipeline_ops``. sklearn's n_init=20 restarts
+map to best-of-5 pinned-seed fits (``_SEEDS``). Cluster ids are
 seed-dependent -> the KMeans queries are rows-only for the driver; the
 feature extraction itself is fully oracle-checked (m0).
 
@@ -182,7 +181,8 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m2 — elbow sweep: per k, WCSS and %variance explained
     (clustering.py:67-81); TSS via the exact variance identity. Always
     computed live (the driver's rows-only check witnesses real fits);
-    95 single-task fits run threaded, bounded by _FIT_THREADS."""
+    340 single-task fits run threaded (~28 s at sf0.01), bounded by
+    _FIT_THREADS."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
@@ -205,9 +205,9 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda k: min(
                 _fit(data, k, s).summary.trainingCost for s in _SEEDS
             ),
-            range(2, 21),
+            range(2, 70),
         )
-        for k, wcss in zip(range(2, 21), costs):
+        for k, wcss in zip(range(2, 70), costs):
             rows.append((k, float(wcss), float((tss - wcss) / tss * 100.0)))
     data.unpersist()
     return spark.createDataFrame(rows, ["k", "wcss", "pct_variance_explained"])

@@ -90,7 +90,7 @@ def test_stratified_split_partitions_corpus(spark, sf_dir):
 
 def test_kmeans_elbow_deterministic_and_monotone(spark, sf_dir):
     """m2 computes live (best-of-_SEEDS per k): two runs are identical
-    (pinned seeds, canonical input layout), the sweep covers k=1..20, and
+    (pinned seeds, canonical input layout), the sweep covers k=1..69, and
     the variance-explained curve is monotone non-decreasing — multi-init
     keeps a bad single-seed local optimum from denting the curve."""
     from impala_workload_analyzer_spark.ml import clustering as C
@@ -99,7 +99,7 @@ def test_kmeans_elbow_deterministic_and_monotone(spark, sf_dir):
     b = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
     assert [(k, round(w, 6)) for k, w, _ in a] == \
            [(k, round(w, 6)) for k, w, _ in b]
-    assert [k for k, _, _ in a] == list(range(1, 21))
+    assert [k for k, _, _ in a] == list(range(1, 70))
     pcts = [p for _, _, p in a]
     assert all(y >= x - 1e-9 for x, y in zip(pcts, pcts[1:]))
 
