@@ -219,6 +219,50 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_K = 5
 
 
+_CONTAM_TAU = 0.5  # flagged when half a doc's shingles appear in test
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx8 — train/test contamination check (benchmark decontamination):
+    for every train-split document, the fraction of its distinct word-3-
+    gram shingles that occur anywhere in the test split; ``flagged`` when
+    the overlap reaches _CONTAM_TAU. The split is tx5's content-
+    independent doc_id hash bucket, so no join against a split table is
+    needed — the bucket derives on the shingle rows directly.
+
+    Scale shape: the test split is a fixed small fraction (10%), so its
+    distinct-shingle set broadcasts; the single left join + grouped agg
+    over train shingles is one shuffle keyed by doc_id. The standard
+    decontamination pass over a pre-training corpus."""
+    from .dedup import _shingles_df  # noqa: PLC0415
+
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "bucket", F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    )
+    test_set = (
+        sh.filter(F.col("bucket") >= 90).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("bucket") < 80)
+    per_doc = (
+        train.join(F.broadcast(test_set), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(ratio, 9).alias("contamination"),
+        (ratio >= _CONTAM_TAU).alias("flagged"),
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tx7 — per-document top-5 TF-IDF terms: tf(term, doc) * ln(N/df),
     ranked per doc (rounded score desc, term asc — ranking on the ROUNDED
@@ -263,6 +307,30 @@ _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 ORACLES = {
+    "tx8_benchmark_contamination": f"""
+        WITH docs_w AS (
+          SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+        shingles AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))))
+                 AS shingle
+          FROM docs_w WHERE len(w) >= 3),
+        sh AS (
+          SELECT doc_id, shingle,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM shingles),
+        test_set AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 90)
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contaminated,
+               ROUND(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS contamination,
+               (SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                / CAST(COUNT(*) AS DOUBLE)) >= {_CONTAM_TAU} AS flagged
+        FROM sh s LEFT JOIN test_set t ON s.shingle = t.shingle
+        WHERE s.bucket < 80
+        GROUP BY s.doc_id""",
     "tx7_tfidf_top_terms": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
@@ -372,4 +440,5 @@ SPARK_QUERIES = {
     "tx4_winnow_fingerprints": winnow_fingerprints,
     "tx5_stratified_split": stratified_split,
     "tx6_unigram_logprob": unigram_logprob,
+    "tx8_benchmark_contamination": benchmark_contamination,
 }

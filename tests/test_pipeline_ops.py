@@ -373,3 +373,19 @@ def test_salted_sessionize_equals_plain(spark, sf_dir):
     plain = {tuple(r) for r in sessionize(spark, sf_dir).collect()}
     salted = {tuple(r) for r in sessionize_salted(spark, sf_dir).collect()}
     assert plain == salted
+
+
+def test_contamination_bounds_and_split(spark, sf_dir):
+    """tx8: only train docs appear, ratios live in [0,1], flagged iff the
+    ratio reaches the threshold, and counts never exceed totals."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _CONTAM_TAU,
+        benchmark_contamination,
+    )
+
+    rows = benchmark_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_shingles"]
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["flagged"] == (r["contamination"] >= _CONTAM_TAU)
