@@ -238,7 +238,7 @@ class _Reader:
 # --- RuntimeProfile.thrift structs ------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class TCounter:
     """RuntimeProfile.thrift:29-34."""
 
@@ -286,7 +286,7 @@ def pack_double(v: float) -> int:
     return _struct.unpack("<q", _struct.pack("<d", float(v)))[0]
 
 
-@dataclass
+@dataclass(slots=True)
 class TEventSequence:
     """RuntimeProfile.thrift:38-42."""
 
@@ -328,7 +328,7 @@ class TEventSequence:
         return out
 
 
-@dataclass
+@dataclass(slots=True)
 class TTimeSeriesCounter:
     """RuntimeProfile.thrift:50-59 (declared by the IDL; written for
     completeness, never consumed by the reference analytics)."""
@@ -372,7 +372,7 @@ class TTimeSeriesCounter:
         return out
 
 
-@dataclass
+@dataclass(slots=True)
 class TRuntimeProfileNode:
     """RuntimeProfile.thrift:62-88."""
 
@@ -468,7 +468,7 @@ class TRuntimeProfileNode:
         return out
 
 
-@dataclass
+@dataclass(slots=True)
 class TRuntimeProfileTree:
     """RuntimeProfile.thrift:92-95 — pre-order flattened node list."""
 
