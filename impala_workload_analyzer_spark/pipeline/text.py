@@ -219,6 +219,45 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_K = 5
 
 
+_PACK_BUDGET = 2048  # token budget per packed training sequence
+_PACK_SHARDS = 64    # packing is shard-local: no global sort at scale
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx9 — deterministic greedy sequence packing: documents are hashed
+    into shards, ordered longest-first within each shard, and cut into
+    fixed-token-budget bins by running-sum arithmetic (a doc whose
+    cumulative total crosses a budget boundary starts the next bin) —
+    the standard chunked-greedy packer for pre-training batch
+    construction. Output is one row per bin with its fill statistics.
+
+    Scale shape: packing is SHARD-LOCAL — one shuffle to shards, a
+    within-shard window (shard sizes are uniform by hash), and a grouped
+    agg; there is no global sort, so the plan is flat at any corpus
+    size. Bin quality loses a little to a global longest-first pack,
+    which is the accepted trade for parallelism."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.least(
+            F.size("words").cast("bigint"), F.lit(_PACK_BUDGET)
+        ).alias("n_tokens"),  # oversize docs truncate to one full bin
+        (F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+         % _PACK_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", ((F.col("cum") - 1) / F.lit(_PACK_BUDGET)).cast("bigint")
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
 _CONTAM_TAU = 0.5  # flagged when half a doc's shingles appear in test
 
 
@@ -307,6 +346,27 @@ _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 ORACLES = {
+    "tx9_sequence_packing": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 LEAST(CAST(len({_DUCK_WORDS}) AS BIGINT), {_PACK_BUDGET})
+                   AS n_tokens,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+                   AS shard
+          FROM documents),
+        packed AS (
+          SELECT shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT shard,
+               CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM packed GROUP BY 1, 2""",
     "tx8_benchmark_contamination": f"""
         WITH docs_w AS (
           SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
@@ -441,4 +501,5 @@ SPARK_QUERIES = {
     "tx5_stratified_split": stratified_split,
     "tx6_unigram_logprob": unigram_logprob,
     "tx8_benchmark_contamination": benchmark_contamination,
+    "tx9_sequence_packing": sequence_packing,
 }

@@ -389,3 +389,26 @@ def test_contamination_bounds_and_split(spark, sf_dir):
         assert 0 <= r["n_contaminated"] <= r["n_shingles"]
         assert 0.0 <= r["contamination"] <= 1.0
         assert r["flagged"] == (r["contamination"] >= _CONTAM_TAU)
+
+
+def test_sequence_packing_budget_and_coverage(spark, sf_dir):
+    """tx9: every document lands in exactly one bin (token totals add up),
+    no bin exceeds budget + its largest doc's slack, and bins are densely
+    numbered from 0 within each shard."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _PACK_BUDGET,
+        sequence_packing,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+    shards = {}
+    for r in rows:
+        assert r["total_tokens"] <= _PACK_BUDGET + r["max_tokens"] - 1
+        shards.setdefault(r["shard"], []).append(r["bin"])
+    for bins in shards.values():
+        assert sorted(bins) == list(range(len(bins)))
