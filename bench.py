@@ -55,6 +55,8 @@ HEADLINERS = (
     "pt2_plan_paths",
     "ev9_retention_cohorts",
     "sim7_embedding_quantize",
+    "ev11_sessionize_salted",
+    "tx8_benchmark_contamination",
 )
 
 
