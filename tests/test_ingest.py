@@ -277,3 +277,40 @@ def test_wire_roundtrip_property(nodes):
     blob = tree.serialize()
     assert TC.TRuntimeProfileTree.deserialize(blob) == tree
     assert TC.TRuntimeProfileTree._deserialize_generic(blob) == tree
+
+
+def test_scan_cache_concurrent_builders(tmp_path):
+    """Two processes racing to build the same scan-cache table must both
+    succeed (flock serializes the build) and agree on one immutable
+    signature directory."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import impala_workload_analyzer_spark.io as io
+io._REPO_ROOT = sys.argv[1]          # cache under the test's tmp dir
+from impala_workload_analyzer_spark.session import get_spark
+spark = get_spark("cc-race")
+d = io.scan_cache_dir(spark, "/root/testdata/sf0.001", "supplier")
+n = spark.read.parquet(d).count()
+print(f"OK {n} {d}")
+"""
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         env=env, text=True)
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    lines = [o.strip().splitlines()[-1] for o in outs]
+    counts = {ln.split()[1] for ln in lines}
+    dirs = {ln.split()[2] for ln in lines}
+    assert len(counts) == 1 and len(dirs) == 1, lines
+    sig_dirs = [d for d in os.listdir(os.path.dirname(dirs.pop()))
+                if d != ".lock"]
+    assert len(sig_dirs) == 1
