@@ -409,8 +409,21 @@ QUERY_SCHEMA = _schema(
 )
 
 
-def _decoded_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1: read log lines; payload is the 3rd space-separated field."""
+def _decoded_lines(spark: SparkSession, sf_dir: str,
+                   input_dir: str | None = None,
+                   tag: str | None = None) -> DataFrame:
+    """S1: read log lines; payload is the 3rd space-separated field.
+
+    Default source is the rendered fixture corpus (tag from its partition
+    column); ``input_dir`` points the same reader at any directory of
+    profile log lines with the given ``tag`` — the CLI ``ingest --input``
+    path, i.e. the reference's ``analyze_profiles.py tag file`` loop as
+    one job."""
+    if input_dir is not None:
+        return spark.read.text(input_dir).select(
+            F.split("value", " ").getItem(2).alias("blob"),
+            F.lit(tag or "default").alias("tag"),
+        )
     path = ensure_profiles(spark, sf_dir)
     return spark.read.text(path).select(
         F.split("value", " ").getItem(2).alias("blob"),
@@ -451,13 +464,15 @@ def _query_row(q: dict) -> tuple:
 
 
 def _parse_table(spark: SparkSession, sf_dir: str, which: str,
-                 schema: T.StructType) -> DataFrame:
+                 schema: T.StructType,
+                 input_dir: str | None = None,
+                 tag: str | None = None) -> DataFrame:
     # decode+parse is CPU-bound per profile, not byte-bound: the log dir's
     # file count (not core count) would otherwise set task parallelism.
     # Only pay the repartition shuffle when the source actually has too few
     # splits — the rendered logs land as ~2x core-count uniform files, so
     # the common case reads pre-parallel with zero extra exchange.
-    lines = _decoded_lines(spark, sf_dir)
+    lines = _decoded_lines(spark, sf_dir, input_dir, tag)
     if lines.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         lines = lines.repartition(spark.sparkContext.defaultParallelism)
 
@@ -501,10 +516,12 @@ def parsed_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parse_table(spark, sf_dir, "fragments", FRAG_SCHEMA)
 
 
-def parsed_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def parsed_queries(spark: SparkSession, sf_dir: str,
+                   input_dir: str | None = None,
+                   tag: str | None = None) -> DataFrame:
     """ing3 — full ingest to the queries table (incl. DDL path + status
-    gate)."""
-    return _parse_table(spark, sf_dir, "queries", QUERY_SCHEMA)
+    gate). ``input_dir``/``tag`` ingest an arbitrary log directory."""
+    return _parse_table(spark, sf_dir, "queries", QUERY_SCHEMA, input_dir, tag)
 
 
 def _ingest_cache_dir(sf_dir: str) -> str:
