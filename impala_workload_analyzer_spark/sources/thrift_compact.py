@@ -490,12 +490,16 @@ class TRuntimeProfileTree:
         dispatch costs ~4x); any structural surprise falls back to the
         fully general reader.
 
-        ``lean=True`` is a projection decode for the ingest hot path: the
-        fields no analytics consumer reads (``info_strings_display_order``,
-        ``child_counters_map``, ``time_series_counters`` —
-        profile_analyzer.py never touches them) are skip-scanned instead of
-        materialized, leaving their defaults. Everything else is identical
-        to a full decode."""
+        ``lean=True`` is a projection decode for the ingest hot path: data
+        no analytics consumer reads is skip-scanned instead of
+        materialized, leaving defaults — ``info_strings_display_order``,
+        ``child_counters_map``, ``time_series_counters`` (never touched by
+        profile_analyzer.py), counters other than RowsReturned/TotalTime
+        (the only ones _op_row/_frag_row emit), event sequences other than
+        "Query Timeline", and info strings on every node but the Summary
+        (index 1, the only node whose info parse_profile reads). The
+        parsed output rows are identical to a full decode's (pinned by
+        tests/test_ingest.py)."""
         try:
             return _fast_deserialize(data, lean)
         except _FastMiss:
@@ -528,13 +532,20 @@ class _FastMiss(Exception):
 _INTERN: dict[bytes, str] = {}
 _INTERN_CAP = 1 << 14  # distinct node/counter/key names are few; cap anyway
 
+# The only counter names / event sequence the analyzer's output rows ever
+# consume (profiles._op_row, _frag_row, parse_profile's timeline scan).
+# Everything else is byte-skipped in lean mode.
+_LEAN_COUNTERS = frozenset((b"RowsReturned", b"TotalTime"))
+_LEAN_EVENT_SEQ = "Query Timeline"
+
 
 def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
     """Specialized decoder: one closure-based scanner, varints and field
     headers inlined, fields expected in declared order with short-form
     headers. Produces objects identical to the generic reader (pinned by
     tests); raises _FastMiss on anything unexpected. ``lean`` skip-scans
-    fields 7/8/10 (never consumed by the analyzer) without materializing.
+    fields 7/8/10 plus unconsumed counters / event sequences / non-Summary
+    info strings (see ``deserialize``) without materializing.
 
     Node structs are decoded straight-line — our writer (and Impala's)
     emits fields 1-8 unconditionally in declared order, so the per-field
@@ -599,10 +610,13 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         size = h >> 4
         return rv() if size == 0xF else size
 
-    def counter() -> TCounter:
+    def counter() -> TCounter | None:
         # fully inlined: counters are the highest-count struct (~60 per
         # profile x ~150k profiles per ingest), so even the closure-call
-        # overhead of rs/rz is worth removing
+        # overhead of rs/rz is worth removing. In lean mode only the two
+        # names the analyzer ever emits (RowsReturned / TotalTime — see
+        # profiles._op_row/_frag_row) are materialized; the rest are
+        # byte-skipped and returned as None.
         nonlocal pos
         p = pos
         if data[p] != 0x18:  # field 1: string, delta 1
@@ -613,12 +627,29 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         if ln & 0x80:
             raise _FastMiss
         raw = data[p : p + ln]
+        p += ln
+        if lean and raw not in _LEAN_COUNTERS:
+            if data[p] != 0x15:  # field 2 header
+                raise _FastMiss
+            p += 1
+            while data[p] & 0x80:  # zigzag i32 payload
+                p += 1
+            p += 1
+            if data[p] != 0x16:  # field 3 header
+                raise _FastMiss
+            p += 1
+            while data[p] & 0x80:  # zigzag i64 payload
+                p += 1
+            p += 1
+            if data[p] != CT_STOP:
+                raise _FastMiss
+            pos = p + 1
+            return None
         name = intern.get(raw)
         if name is None:
             name = raw.decode("utf-8")
             if len(intern) < _INTERN_CAP:
                 intern[raw] = name
-        p += ln
         if data[p] != 0x15:  # field 2: i32, delta 1 (enum: single byte)
             raise _FastMiss
         p += 1
@@ -644,7 +675,7 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         pos = p + 1
         return TCounter(name, ctype, value)
 
-    def node() -> TRuntimeProfileNode:
+    def node(keep_info: bool = True) -> TRuntimeProfileNode:
         nonlocal pos
         out = TRuntimeProfileNode("")
         p = pos
@@ -701,7 +732,15 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
                 shift += 7
         if size:
             pos = p
-            out.counters = [counter() for _ in range(size)]
+            if lean:
+                kept = []
+                for _ in range(size):
+                    c = counter()
+                    if c is not None:
+                        kept.append(c)
+                out.counters = kept
+            else:
+                out.counters = [counter() for _ in range(size)]
             p = pos
         # field 4: i64 metadata, delta 1
         if data[p] != 0x16:
@@ -749,7 +788,15 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
             if data[p] != (CT_BINARY << 4) | CT_BINARY:
                 raise _FastMiss
             pos = p + 1
-            out.info_strings = {ri(): rs() for _ in range(n)}
+            if lean and not keep_info:
+                # only the Summary node's info strings are ever read
+                # (profiles.parse_profile: tree.nodes[1].info_strings);
+                # instance-node info is harvested but never emitted
+                for _ in range(n):
+                    skip_s()
+                    skip_s()
+            else:
+                out.info_strings = {ri(): rs() for _ in range(n)}
             p = pos
         # field 7: list<string> display order, delta 1
         if data[p] != 0x19:
@@ -813,6 +860,23 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
                         raise _FastMiss
                     pos += 1
                     name = ri()
+                    if lean and name != _LEAN_EVENT_SEQ:
+                        # only "Query Timeline" is read (parse_profile's
+                        # timeline scan); skip the rest without decoding
+                        if data[pos] != 0x19:
+                            raise _FastMiss
+                        pos += 1
+                        for _ in range(coll(CT_I64)):
+                            skip_v()
+                        if data[pos] != 0x19:
+                            raise _FastMiss
+                        pos += 1
+                        for _ in range(coll(CT_BINARY)):
+                            skip_s()
+                        if data[pos] != CT_STOP:
+                            raise _FastMiss
+                        pos += 1
+                        continue
                     if data[pos] != 0x19:  # field 2: list<i64>
                         raise _FastMiss
                     pos += 1
@@ -873,7 +937,8 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         if data[pos] != (1 << 4) | CT_LIST:  # tree field 1: list<struct>
             raise _FastMiss
         pos += 1
-        nodes = [node() for _ in range(coll(CT_STRUCT))]
+        # in lean mode only the Summary node (index 1) keeps info strings
+        nodes = [node(not lean or i == 1) for i in range(coll(CT_STRUCT))]
         if data[pos] != CT_STOP:
             raise _FastMiss
         return TRuntimeProfileTree(nodes)

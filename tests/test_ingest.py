@@ -139,12 +139,19 @@ def test_plan_tree_parse_right_child_first():
 
 def test_lean_decode_equals_full_on_consumed_fields():
     """The ingest hot path's projection decode must agree with a full
-    decode on every field the analyzer reads, and parse identically."""
+    decode on every field the analyzer reads, and the emitted output rows
+    (the actual contract — lean drops data parse harvests but never
+    emits, e.g. non-RowsReturned/TotalTime counters and instance-node
+    info strings) must be identical."""
     tree = _query_tree()
     tree.nodes.append(TC.TRuntimeProfileNode(
         "Averaged Fragment F00",
+        counters=[TC.TCounter("TotalTime", TC.TCounterType.TIME_NS, 7),
+                  TC.TCounter("PeakMemoryUsage", TC.TCounterType.BYTES, 9)],
+        info_strings={"ExecOption": "Codegen Enabled"},
         info_strings_display_order=["x"],
         child_counters_map={"": ["TotalTime"]},
+        event_sequences=[TC.TEventSequence("Node Lifecycle", [1, 2], ["a", "b"])],
         time_series_counters=[TC.TTimeSeriesCounter("m", 3, 500, [1, 2])],
     ))
     blob = tree.serialize()
@@ -152,12 +159,24 @@ def test_lean_decode_equals_full_on_consumed_fields():
     lean = TC.TRuntimeProfileTree.deserialize(blob, lean=True)
     assert full == tree
     for nf, nl in zip(full.nodes, lean.nodes):
-        assert (nf.name, nf.num_children, nf.counters, nf.metadata, nf.indent,
-                nf.info_strings, nf.event_sequences) == \
-               (nl.name, nl.num_children, nl.counters, nl.metadata, nl.indent,
-                nl.info_strings, nl.event_sequences)
+        assert (nf.name, nf.num_children, nf.metadata, nf.indent) == \
+               (nl.name, nl.num_children, nl.metadata, nl.indent)
+        # lean keeps exactly the consumed counter names, in order
+        assert nl.counters == [
+            c for c in nf.counters if c.name in ("RowsReturned", "TotalTime")]
+        for es in nl.event_sequences or ():
+            assert es.name == "Query Timeline"
+    assert lean.nodes[1].info_strings == full.nodes[1].info_strings  # Summary
+    assert not lean.nodes[-1].info_strings  # instance info skipped
     assert not lean.nodes[-1].child_counters_map  # skipped, default left
-    assert P.parse_profile(lean, "t") == P.parse_profile(full, "t")
+    assert not lean.nodes[-1].event_sequences  # non-timeline seq skipped
+
+    # the contract: identical emitted rows
+    qf, opsf, frf = P.parse_profile(full, "t")
+    ql, opsl, frl = P.parse_profile(lean, "t")
+    assert P._query_row(ql) == P._query_row(qf)
+    assert [P._op_row("t", o) for o in opsl] == [P._op_row("t", o) for o in opsf]
+    assert [P._frag_row("t", f) for f in frl] == [P._frag_row("t", f) for f in frf]
 
 
 def test_parse_survives_thrift_round_trip():
