@@ -447,7 +447,45 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_TAU = 3  # |z| threshold for outlier flagging
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev12 — per-event-type z-score outlier detection: events whose value
+    deviates more than _Z_TAU sample standard deviations from the type
+    mean. The classic two-pass anomaly scan: a tiny per-type stats
+    aggregate, broadcast back over the stream, filter.
+
+    Scale shape: pass 1 is a partial-agg'd groupBy over ~5 keys (bytes of
+    state per executor); pass 2 is a broadcast join + filter fused into
+    the scan — no shuffle of the event stream itself. Cross-engine
+    floats: the filter and output use z ROUNDED to 6 decimals so the
+    engines' sum-order ulp differences (distributed vs sequential mean /
+    stddev) cannot flip a boundary row differently on each side."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _Z_TAU)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
 ORACLES = {
+    "ev12_anomaly_zscore": f"""
+        WITH s AS (
+          SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS s
+          FROM events GROUP BY 1),
+        z AS (
+          SELECT event_id, e.event_type, value,
+                 ROUND((value - m) / s, 6) AS z
+          FROM events e JOIN s ON e.event_type = s.event_type)
+        SELECT event_id, event_type, value, z FROM z
+        WHERE ABS(z) > {_Z_TAU}""",
     "ev1_tumbling_hourly": _EV1_ORACLE,
     "ev2_sliding_hourly": """
         WITH offsets(off) AS (VALUES (0), (1800))
@@ -607,4 +645,5 @@ SPARK_QUERIES = {
     "ev9_retention_cohorts": retention_cohorts,
     "ev10_funnel_conversion": funnel_conversion,
     "ev11_sessionize_salted": sessionize_salted,
+    "ev12_anomaly_zscore": anomaly_zscore,
 }

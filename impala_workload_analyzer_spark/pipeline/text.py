@@ -258,6 +258,135 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ("slow", "error", "drop", "crash")  # policy-banned terms
+
+# deterministic per-source sampling rates for corpus mixture construction;
+# sources not listed fall through to _MIX_DEFAULT
+_MIX_RATES = {"src0": 1.0, "src1": 1.0, "src2": 0.75, "src3": 0.75,
+              "src4": 0.5, "src5": 0.5}
+_MIX_DEFAULT = 0.25
+
+# Gopher-style repetition gates (Rae et al. 2021, table A1 shape): docs
+# dominated by one token or with few distinct tokens are dropped
+_REP_MAX_TOP_FRAC = 0.15
+_REP_MAX_DUP_FRAC = 0.75
+
+
+def blocklist_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx10 — blocklist policy filter rollup: per source, how many
+    documents contain any banned term and the per-doc mean count of
+    distinct banned terms present. The standard safety/policy gate over a
+    crawl corpus, here as membership tests against a tiny in-expression
+    term list.
+
+    Scale: the blocklist is a constant folded into the projection (a real
+    1k-term list would broadcast-join an exploded token stream instead);
+    the rollup is one partial-agg'd groupBy(source) — a single shuffle of
+    20 rows per partition."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    n_banned = sum(
+        (F.array_contains("words", t).cast("int") for t in _BLOCKLIST),
+        F.lit(0),
+    ).cast("bigint")
+    per_doc = docs.select(
+        "source", n_banned.alias("n_banned"),
+        (n_banned > 0).cast("int").alias("flagged"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.round(F.avg(F.col("flagged").cast("double")), 9).alias("flag_rate"),
+        F.round(F.avg(F.col("n_banned").cast("double")), 9)
+        .alias("avg_banned_terms"),
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx11 — Gopher-style repetition signals per document: duplicate-word
+    fraction (1 - distinct/total), top-word fraction (most frequent
+    word's share), duplicate-2-gram fraction, and the keep gate.
+
+    Scale shape: both signal families are two-level aggregations —
+    groupBy(doc, word) then groupBy(doc) — so the map-side partial agg
+    collapses each doc's tokens before the shuffle; the final join is
+    doc_id-keyed between two already-aggregated sides. No per-doc O(L^2)
+    higher-order-function scans, so a single 1 GB document costs L log L,
+    not L^2."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("words").alias("word"))
+    word_stats = (
+        toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    grams = docs.filter(F.size("words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(words) - 1),"
+                   " i -> concat_ws(' ', slice(words, i, 2)))")
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct_grams"),
+        )
+    )
+    dup_word = 1 - F.col("n_distinct") / F.col("n_words").cast("double")
+    top_word = F.col("top_count") / F.col("n_words").cast("double")
+    dup_gram = 1 - F.col("n_distinct_grams") / F.col("n_grams").cast("double")
+    return (
+        word_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct", "top_count",
+            F.round(dup_word, 9).alias("dup_word_frac"),
+            F.round(top_word, 9).alias("top_word_frac"),
+            F.round(F.coalesce(dup_gram, F.lit(0.0)), 9).alias("dup_2gram_frac"),
+            ((top_word <= _REP_MAX_TOP_FRAC)
+             & (dup_word <= _REP_MAX_DUP_FRAC)).alias("keep"),
+        )
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx12 — deterministic source-mixture sampling: each source gets a
+    target sampling rate (_MIX_RATES, the domain-weighting step of
+    pre-training corpus construction) and a document is kept when its
+    content-independent hash bucket falls under the rate. Output is the
+    per-source realized mixture. The hash is salted ('mix:' prefix) so
+    the decision is independent of tx5's split buckets.
+
+    Scale: pure projection + one grouped aggregate; the rate lookup is a
+    constant-folded CASE (a large domain->rate table would broadcast)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    rate = F.lit(_MIX_DEFAULT)
+    for src, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = F.expr(
+        _SPARK_H.format(x="concat('mix:', CAST(doc_id AS STRING))")
+    ) % 10000
+    tagged = docs.select(
+        "source",
+        F.size("words").cast("bigint").alias("n_tokens"),
+        rate.alias("rate"),
+        (bucket < (rate * 10000).cast("bigint")).cast("int").alias("kept"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.avg(F.col("kept").cast("double")), 9).alias("kept_rate"),
+        F.sum(F.col("n_tokens") * F.col("kept")).cast("bigint")
+        .alias("sum_kept_tokens"),
+        F.max("rate").alias("target_rate"),
+    )
+
+
 _CONTAM_TAU = 0.5  # flagged when half a doc's shingles appear in test
 
 
@@ -345,7 +474,76 @@ _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+_BLOCK_SUM = " + ".join(
+    f"CAST(list_contains(words, '{t}') AS INT)" for t in _BLOCKLIST
+)
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+) + f" ELSE {_MIX_DEFAULT} END"
+
 ORACLES = {
+    "tx10_blocklist_policy": f"""
+        WITH d AS (
+          SELECT source, {_DUCK_WORDS} AS words FROM documents),
+        per_doc AS (
+          SELECT source,
+                 CAST({_BLOCK_SUM} AS BIGINT) AS n_banned
+          FROM d)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_banned > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               ROUND(AVG(CASE WHEN n_banned > 0 THEN 1.0 ELSE 0.0 END), 9)
+                 AS flag_rate,
+               ROUND(AVG(CAST(n_banned AS DOUBLE)), 9) AS avg_banned_terms
+        FROM per_doc GROUP BY source""",
+    "tx11_repetition_stats": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+        toks AS (SELECT doc_id, unnest(w) AS word FROM d),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ws AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                 COUNT(*) AS n_distinct, MAX(c) AS top_count
+          FROM wc GROUP BY doc_id),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> array_to_string(w[i:i+1], ' '))) AS gram
+          FROM d WHERE len(w) >= 2),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        gs AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 COUNT(*) AS n_distinct_grams
+          FROM gc GROUP BY doc_id)
+        SELECT ws.doc_id, ws.n_words, ws.n_distinct, ws.top_count,
+               ROUND(1 - ws.n_distinct / CAST(ws.n_words AS DOUBLE), 9)
+                 AS dup_word_frac,
+               ROUND(ws.top_count / CAST(ws.n_words AS DOUBLE), 9)
+                 AS top_word_frac,
+               ROUND(COALESCE(
+                 1 - gs.n_distinct_grams / CAST(gs.n_grams AS DOUBLE), 0.0), 9)
+                 AS dup_2gram_frac,
+               (ws.top_count / CAST(ws.n_words AS DOUBLE) <= {_REP_MAX_TOP_FRAC}
+                AND 1 - ws.n_distinct / CAST(ws.n_words AS DOUBLE)
+                    <= {_REP_MAX_DUP_FRAC}) AS keep
+        FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id""",
+    "tx12_mixture_sample": f"""
+        WITH d AS (
+          SELECT source, len({_DUCK_WORDS}) AS n_tokens,
+                 CAST({_MIX_CASE} AS DOUBLE) AS rate,
+                 {_DUCK_H.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}
+                   % 10000 AS bucket
+          FROM documents),
+        tagged AS (
+          SELECT source, n_tokens, rate,
+                 CASE WHEN bucket < CAST(rate * 10000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS kept
+          FROM d)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               ROUND(AVG(CAST(kept AS DOUBLE)), 9) AS kept_rate,
+               CAST(SUM(n_tokens * kept) AS BIGINT) AS sum_kept_tokens,
+               MAX(rate) AS target_rate
+        FROM tagged GROUP BY source""",
     "tx9_sequence_packing": f"""
         WITH d AS (
           SELECT doc_id,
@@ -502,4 +700,7 @@ SPARK_QUERIES = {
     "tx6_unigram_logprob": unigram_logprob,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
+    "tx10_blocklist_policy": blocklist_policy,
+    "tx11_repetition_stats": repetition_stats,
+    "tx12_mixture_sample": mixture_sample,
 }

@@ -41,7 +41,8 @@ _PRIORITY = (
     "ev9_retention_cohorts", "ev10_funnel_conversion",
     "sim7_embedding_quantize", "st4_streaming_dedup",
     "ev11_sessionize_salted", "tx8_benchmark_contamination",
-    "tx9_sequence_packing",
+    "tx9_sequence_packing", "tx10_blocklist_policy",
+    "tx11_repetition_stats", "tx12_mixture_sample", "ev12_anomaly_zscore",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",

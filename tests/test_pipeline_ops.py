@@ -412,3 +412,90 @@ def test_sequence_packing_budget_and_coverage(spark, sf_dir):
         shards.setdefault(r["shard"], []).append(r["bin"])
     for bins in shards.values():
         assert sorted(bins) == list(range(len(bins)))
+
+
+def test_blocklist_policy_counts_consistent(spark, sf_dir):
+    """tx10: per-source counts are internally consistent and flag_rate is
+    the exact n_flagged / n_docs ratio."""
+    from impala_workload_analyzer_spark.pipeline.text import blocklist_policy
+
+    rows = blocklist_policy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert abs(r["flag_rate"] - r["n_flagged"] / r["n_docs"]) < 1e-8
+        # avg distinct banned terms per doc is bounded by the list size
+        from impala_workload_analyzer_spark.pipeline.text import _BLOCKLIST
+        assert 0.0 <= r["avg_banned_terms"] <= len(_BLOCKLIST)
+
+
+def test_repetition_stats_bounds_and_gate(spark, sf_dir):
+    """tx11: fractions are in [0,1], top_count is attainable, and the keep
+    gate matches its definition."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _REP_MAX_DUP_FRAC,
+        _REP_MAX_TOP_FRAC,
+        repetition_stats,
+    )
+
+    rows = repetition_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_words"]
+        assert 1 <= r["top_count"] <= r["n_words"]
+        for c in ("dup_word_frac", "top_word_frac", "dup_2gram_frac"):
+            assert 0.0 <= r[c] <= 1.0
+        assert r["keep"] == (
+            r["top_word_frac"] <= _REP_MAX_TOP_FRAC
+            and r["dup_word_frac"] <= _REP_MAX_DUP_FRAC
+        )
+
+
+def test_mixture_sample_tracks_target_rates(spark, sf_dir):
+    """tx12: realized rates are within a loose tolerance of the target
+    (hash buckets are uniform), and a rate-1.0 source keeps everything."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _MIX_DEFAULT,
+        _MIX_RATES,
+        mixture_sample,
+    )
+
+    rows = mixture_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        target = _MIX_RATES.get(r["source"], _MIX_DEFAULT)
+        assert r["target_rate"] == target
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if target == 1.0:
+            assert r["n_kept"] == r["n_docs"]
+        else:  # uniform hash: loose binomial bound for small fixtures
+            assert abs(r["kept_rate"] - target) < 0.45
+
+
+def test_anomaly_zscore_flags_true_outliers(spark, sf_dir):
+    """ev12: every returned event is beyond the threshold, and a recompute
+    from raw data agrees on the flagged set."""
+    import statistics
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _Z_TAU,
+        anomaly_zscore,
+    )
+
+    flagged = {r["event_id"]: r for r in anomaly_zscore(spark, sf_dir).collect()}
+    for r in flagged.values():
+        assert abs(r["z"]) > _Z_TAU
+    by_type = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect():
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    expect = set()
+    for rows in by_type.values():
+        vals = [v for _, v in rows]
+        m, s = statistics.fmean(vals), statistics.stdev(vals)
+        for eid, v in rows:
+            if abs(round((v - m) / s, 6)) > _Z_TAU:
+                expect.add(eid)
+    assert expect == set(flagged)
