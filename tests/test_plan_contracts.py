@@ -112,3 +112,35 @@ def test_ev9_single_full_data_shuffle(spark, sf_dir):
 def test_ev10_funnel_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev10_funnel_conversion")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tx10_single_shuffle_pruned_scan(spark, sf_dir):
+    """Blocklist policy: the banned-term membership tests fold into the
+    projection, so the only exchange is the source rollup; the scan reads
+    just (text, source)."""
+    plan = _plan(spark, sf_dir, "tx10_blocklist_policy")
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 1, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "doc_id" not in read_schema, read_schema
+
+
+def test_tx12_single_shuffle(spark, sf_dir):
+    """Mixture sampling is projection + one grouped agg: the rate CASE and
+    hash bucket must not introduce extra exchanges."""
+    plan = _plan(spark, sf_dir, "tx12_mixture_sample")
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 1, plan
+
+
+def test_ev12_broadcasts_stats_no_event_shuffle(spark, sf_dir):
+    """Anomaly scan: the 5-row per-type stats join back by broadcast; the
+    event stream itself is never exchanged (the only shuffle is the tiny
+    stats agg)."""
+    plan = _plan(spark, sf_dir, "ev12_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
