@@ -184,6 +184,87 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st3_out")
 
 
+_ANOM_WARMUP = 30  # events per key before z-scores are meaningful
+_ANOM_TAU = 3
+
+
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st5 — streaming anomaly detection: per event_type the state holds
+    Welford running moments (n, mean, M2); each arriving event is scored
+    against the statistics of the events BEFORE it and emitted when
+    |z| > _ANOM_TAU after a warm-up. This is ev12's scan re-expressed as
+    a one-pass keyed-state operator — the form a live pipeline needs,
+    where the two-pass batch scan is impossible.
+
+    Determinism: events are processed in event_id order within each key
+    (the finite single-batch source makes that the arrival order), and z
+    is rounded to 6 decimals before the threshold test on both engines,
+    so Welford-vs-windowed-SQL ulp drift cannot flip a boundary row.
+
+    Scale: state is three doubles per key, partitioned by the grouping
+    key — constant memory per key regardless of stream length; the same
+    code consumes a Kafka topic unchanged."""
+    import math  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", "event_id", "value"
+    )
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        rows = []
+        if len(chunk):
+            chunk = chunk.sort_values("event_id")
+            for eid, v in zip(chunk["event_id"].tolist(),
+                              chunk["value"].tolist()):
+                if n >= _ANOM_WARMUP:
+                    std = math.sqrt(m2 / (n - 1))
+                    z = round((v - mean) / std, 6)
+                    if abs(z) > _ANOM_TAU:
+                        rows.append((int(eid), key[0], float(v), z))
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(rows, columns=["event_id", "event_type", "value", "z"])
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(out, "st5_out", "append")
+    return spark.table("st5_out")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st4 — streaming exact deduplication: watermarked ``dropDuplicates``
     over the (user_id, event_type, minute) action key — the "dedup the
@@ -250,6 +331,18 @@ ORACLES = {
         SELECT DISTINCT user_id, event_type,
                CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_start
         FROM events""",
+    "st5_streaming_anomaly": f"""
+        WITH o AS (
+          SELECT event_id, event_type, value,
+                 AVG(value) OVER w AS m,
+                 STDDEV_SAMP(value) OVER w AS s,
+                 COUNT(*) OVER w AS n_prev
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, event_type, value, ROUND((value - m) / s, 6) AS z
+        FROM o
+        WHERE n_prev >= {_ANOM_WARMUP} AND ABS(ROUND((value - m) / s, 6)) > {_ANOM_TAU}""",
     "st3_stateful_user_stats": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
@@ -264,4 +357,5 @@ SPARK_QUERIES = {
     "st2_streaming_sessions": streaming_sessions,
     "st3_stateful_user_stats": stateful_user_stats,
     "st4_streaming_dedup": streaming_dedup,
+    "st5_streaming_anomaly": streaming_anomaly,
 }

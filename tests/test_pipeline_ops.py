@@ -499,3 +499,36 @@ def test_anomaly_zscore_flags_true_outliers(spark, sf_dir):
             if abs(round((v - m) / s, 6)) > _Z_TAU:
                 expect.add(eid)
     assert expect == set(flagged)
+
+
+def test_streaming_anomaly_matches_sequential_recompute(spark, sf_dir):
+    """st5: the keyed-state Welford scan must flag exactly the events a
+    sequential recompute over event_id order flags."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        _ANOM_TAU,
+        _ANOM_WARMUP,
+        streaming_anomaly,
+    )
+
+    got = {r["event_id"]: r["z"] for r in streaming_anomaly(spark, sf_dir).collect()}
+    by_type = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect():
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    expect = {}
+    for rows in by_type.values():
+        n, mean, m2 = 0, 0.0, 0.0
+        for eid, v in sorted(rows):
+            if n >= _ANOM_WARMUP:
+                z = round((v - mean) / math.sqrt(m2 / (n - 1)), 6)
+                if abs(z) > _ANOM_TAU:
+                    expect[eid] = z
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    assert got == expect
