@@ -499,7 +499,68 @@ _RS_CAND = "\n          UNION\n          ".join(
     for b in range(_RS_BANDS)
 )
 
+def knn_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim8 — k-NN majority-label assignment: each query vector takes the
+    majority label of its exact cosine top-k (sim1's neighbor set), ties
+    broken toward the smallest label — the semantic auto-labeling /
+    weak-supervision step of an embedding pipeline. Output carries the
+    query's own label so downstream can measure leave-one-out agreement.
+
+    Scale: reuses sim1's broadcast-query scan; the vote is a groupBy over
+    (query, label) — at most k rows per query — and the label lookup
+    joins the tiny query batch. Swap the sim1 stage for sim2/sim4's
+    banded or IVF candidates at corpus scale, unchanged downstream."""
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        brute_force_topk(spark, sf_dir)
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "pred_label", "votes", "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("agree"),
+    )
+
+
 ORACLES = {
+    "sim8_knn_label_assign": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim),
+        votes AS (
+          SELECT query_id, label, COUNT(*) AS votes
+          FROM ranked WHERE rank <= {_TOP_K} GROUP BY 1, 2),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label ASC) AS rn
+          FROM votes)
+        SELECT b.query_id, b.label AS pred_label,
+               CAST(b.votes AS BIGINT) AS votes,
+               t.label AS true_label,
+               b.label = t.label AS agree
+        FROM best b JOIN embeddings t ON t.vec_id = b.query_id
+        WHERE b.rn = 1""",
     "sim7_embedding_quantize": f"""
         WITH q AS (
           SELECT vec_id, embedding,
@@ -679,4 +740,5 @@ SPARK_QUERIES = {
     "sim5_vectorized_topk": vectorized_topk,
     "sim6_range_search": range_search,
     "sim7_embedding_quantize": embedding_quantize,
+    "sim8_knn_label_assign": knn_label_assign,
 }

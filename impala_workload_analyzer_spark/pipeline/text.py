@@ -387,6 +387,52 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_TAU = 0.2  # a 2-gram is boilerplate when it spans >= 20% of a source's docs
+
+
+def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx13 — C4-style boilerplate detection: a word-2-gram is boilerplate
+    for a source when it appears in at least _BOILER_TAU of that source's
+    documents (navigation chrome, headers, license footers in a real
+    crawl); each document is scored by the fraction of its distinct
+    2-grams that are boilerplate.
+
+    Scale shape: the document-frequency agg shuffles once on
+    (source, gram); the boilerplate set it yields is tiny by construction
+    (high-df tail), so it broadcasts back against the shingle stream and
+    the per-doc rollup is the only other shuffle. No big-big join."""
+    d = _with_norm(load_table(spark, sf_dir, "documents")).filter(
+        F.size("words") >= 2
+    )
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(words) - 1),"
+            " i -> concat_ws(' ', slice(words, i, 2)))"
+        ))).alias("gram"),
+    )
+    n_docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        sh.groupBy("source", "gram").agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs), "source")
+        .filter(F.col("df") / F.col("n_docs").cast("double") >= _BOILER_TAU)
+        .select("source", "gram", F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(boiler), ["source", "gram"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "source", "n_grams", "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 9)
+        .alias("boiler_frac"),
+    )
+
+
 _CONTAM_TAU = 0.5  # flagged when half a doc's shingles appear in test
 
 
@@ -482,6 +528,30 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx13_boilerplate_stats": f"""
+        WITH d AS (
+          SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(range(1, len(w)),
+                   i -> array_to_string(w[i:i+1], ' ')))) AS gram
+          FROM d WHERE len(w) >= 2),
+        nd AS (SELECT source, COUNT(*) AS n_docs FROM d
+               WHERE len(w) >= 2 GROUP BY source),
+        boiler AS (
+          SELECT source, gram
+          FROM (SELECT source, gram, COUNT(*) AS df FROM sh GROUP BY 1, 2)
+          JOIN nd USING (source)
+          WHERE df / CAST(n_docs AS DOUBLE) >= {_BOILER_TAU})
+        SELECT sh.doc_id, sh.source,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_boiler,
+               ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS boiler_frac
+        FROM sh LEFT JOIN boiler b
+          ON sh.source = b.source AND sh.gram = b.gram
+        GROUP BY sh.doc_id, sh.source""",
     "tx10_blocklist_policy": f"""
         WITH d AS (
           SELECT source, {_DUCK_WORDS} AS words FROM documents),
@@ -703,4 +773,5 @@ SPARK_QUERIES = {
     "tx10_blocklist_policy": blocklist_policy,
     "tx11_repetition_stats": repetition_stats,
     "tx12_mixture_sample": mixture_sample,
+    "tx13_boilerplate_stats": boilerplate_stats,
 }

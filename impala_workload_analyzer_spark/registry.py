@@ -43,7 +43,7 @@ _PRIORITY = (
     "ev11_sessionize_salted", "tx8_benchmark_contamination",
     "tx9_sequence_packing", "tx10_blocklist_policy",
     "tx11_repetition_stats", "tx12_mixture_sample", "ev12_anomaly_zscore",
-    "st5_streaming_anomaly",
+    "st5_streaming_anomaly", "tx13_boilerplate_stats", "sim8_knn_label_assign",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",

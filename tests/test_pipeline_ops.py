@@ -532,3 +532,67 @@ def test_streaming_anomaly_matches_sequential_recompute(spark, sf_dir):
             mean += d / n
             m2 += d * (v - mean)
     assert got == expect
+
+
+def test_boilerplate_stats_matches_recompute(spark, sf_dir):
+    """tx13: per-doc boilerplate fractions match an exact Python recompute
+    of the source-level document-frequency rule."""
+    import re as _re
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _BOILER_TAU,
+        boilerplate_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    grams = {}
+    by_source = {}
+    for r in docs:
+        w = _re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        if len(w) < 2:
+            continue
+        g = {f"{a} {b}" for a, b in zip(w, w[1:])}
+        grams[r["doc_id"]] = (r["source"], g)
+        by_source.setdefault(r["source"], []).append(g)
+    boiler = {}
+    for src, sets in by_source.items():
+        df = Counter(g for s in sets for g in s)
+        boiler[src] = {g for g, c in df.items() if c / len(sets) >= _BOILER_TAU}
+    rows = {r["doc_id"]: r for r in boilerplate_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(grams)
+    for doc_id, (src, g) in grams.items():
+        r = rows[doc_id]
+        n_boiler = len(g & boiler[src])
+        assert (r["source"], r["n_grams"], r["n_boiler"]) == (src, len(g), n_boiler)
+        assert abs(r["boiler_frac"] - n_boiler / len(g)) < 1e-8
+
+
+def test_knn_label_assign_matches_topk_vote(spark, sf_dir):
+    """sim8: the assigned label is the majority vote over sim1's exact
+    top-k, smallest label on ties."""
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        brute_force_topk,
+        knn_label_assign,
+    )
+
+    labels = {r["vec_id"]: r["label"] for r in load_table(
+        spark, sf_dir, "embeddings").select("vec_id", "label").collect()}
+    topk = {}
+    for r in brute_force_topk(spark, sf_dir).collect():
+        topk.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    out = {r["query_id"]: r for r in knn_label_assign(spark, sf_dir).collect()}
+    assert set(out) == set(topk)
+    for qid, neighbors in topk.items():
+        votes = Counter(labels[n] for n in neighbors)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        r = out[qid]
+        assert (r["pred_label"], r["votes"]) == best
+        assert r["true_label"] == labels[qid]
+        assert r["agree"] == (best[0] == labels[qid])
