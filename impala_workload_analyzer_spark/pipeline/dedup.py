@@ -18,7 +18,7 @@ Scale design (the point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -403,7 +403,72 @@ _DUCK_BANDS = (
     + "\n)"
 )
 
+_INCR_SPLIT = 80  # hash buckets < 80 = the already-ingested "seen" corpus
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd10 — incremental exact dedup: the nightly-shard shape. The corpus
+    splits by content-independent doc_id hash into a "seen" index
+    (buckets < _INCR_SPLIT, modeling yesterday's deduped corpus) and a
+    "new" shard; each new document is dropped when its md5(text) digest
+    already exists in the index (``dup_of_seen``), or when an earlier new
+    doc in the same shard has it (``dup_in_shard``), else ``kept``.
+    ``canonical_doc_id`` points at the retained representative.
+
+    Scale shape: the seen side is the persisted digest->canonical index —
+    at 100 TB it is far too large to broadcast, so the lookup is a
+    digest-keyed shuffle join (both sides hash-partition on digest); the
+    within-shard pick is a window over the same key, reusing the
+    partitioning. One logical shuffle key end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("digest"), bucket.alias("bucket")
+    )
+    seen = (
+        tagged.filter(F.col("bucket") < _INCR_SPLIT)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("seen_canonical"))
+    )
+    new = tagged.filter(F.col("bucket") >= _INCR_SPLIT).select("doc_id", "digest")
+    wd = Window.partitionBy("digest")
+    ranked = (
+        new.join(seen, "digest", "left")
+        .withColumn("first_doc", F.min("doc_id").over(wd))
+    )
+    status = (
+        F.when(F.col("seen_canonical").isNotNull(), "dup_of_seen")
+        .when(F.col("doc_id") != F.col("first_doc"), "dup_in_shard")
+        .otherwise("kept")
+    )
+    return ranked.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("seen_canonical", "first_doc").alias("canonical_doc_id"),
+    )
+
+
 ORACLES = {
+    "dd10_incremental_dedup": f"""
+        WITH tagged AS (
+          SELECT doc_id, md5(text) AS digest,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM documents),
+        seen AS (
+          SELECT digest, MIN(doc_id) AS seen_canonical
+          FROM tagged WHERE bucket < {_INCR_SPLIT} GROUP BY digest),
+        new AS (
+          SELECT doc_id, digest FROM tagged WHERE bucket >= {_INCR_SPLIT}),
+        ranked AS (
+          SELECT n.doc_id, n.digest, s.seen_canonical,
+                 MIN(n.doc_id) OVER (PARTITION BY n.digest) AS first_doc
+          FROM new n LEFT JOIN seen s ON n.digest = s.digest)
+        SELECT doc_id,
+               CASE WHEN seen_canonical IS NOT NULL THEN 'dup_of_seen'
+                    WHEN doc_id <> first_doc THEN 'dup_in_shard'
+                    ELSE 'kept' END AS status,
+               COALESCE(seen_canonical, first_doc) AS canonical_doc_id
+        FROM ranked""",
     "dd1_exact_dedup": """
         SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS num_docs
         FROM documents GROUP BY md5(text)""",
@@ -526,6 +591,7 @@ ORACLES = {
 
 SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
+    "dd10_incremental_dedup": incremental_dedup,
     "dd2_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
     "dd4_simhash_signatures": simhash_signatures,

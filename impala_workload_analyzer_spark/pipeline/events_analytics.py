@@ -447,6 +447,53 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RATE_TAU = 2.0    # alert when an hour's count reaches 2x its trailing mean
+_RATE_LOOKBACK = 24  # trailing observed hourly buckets in the baseline
+
+
+def rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev13 — traffic rate alerting: per event_type, an hourly bucket
+    alerts when its event count reaches _RATE_TAU times the mean of the
+    _RATE_LOOKBACK preceding OBSERVED buckets (a full lookback of history
+    required — the warm-up). "Observed buckets" (ROWS frame), not wall
+    hours: gaps in sparse streams shrink the baseline window rather than
+    zero-diluting it, and the frame is engine-exact where a RANGE frame
+    over missing hours would need a zero-filled spine.
+
+    Scale: one shuffle for the hourly pre-agg (the raw stream never
+    re-shuffles); the window then runs over ~(types x hours) rows —
+    pre-agg'd data orders of magnitude smaller than the input. Float
+    determinism: the baseline mean is an exact integer sum / constant,
+    identical across engines; the alert compare is on that exact value."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        -_RATE_LOOKBACK, -1
+    )
+    scored = hourly.select(
+        "hour_start", "event_type", "n_events",
+        F.avg("n_events").over(w).alias("baseline"),
+        F.count("n_events").over(w).alias("n_prev"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_prev") >= _RATE_LOOKBACK)
+            & (F.col("n_events") >= _RATE_TAU * F.col("baseline"))
+        )
+        .select(
+            "hour_start", "event_type", "n_events",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(F.col("n_events") / F.col("baseline"), 6).alias("rate_ratio"),
+        )
+    )
+
+
 _Z_TAU = 3  # |z| threshold for outlier flagging
 
 
@@ -476,6 +523,23 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev13_rate_alerts": f"""
+        WITH h AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+                 event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT hour_start, event_type, n_events,
+                 AVG(n_events) OVER w AS baseline,
+                 COUNT(*) OVER w AS n_prev
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                       ROWS BETWEEN {_RATE_LOOKBACK} PRECEDING AND 1 PRECEDING))
+        SELECT hour_start, event_type, n_events,
+               ROUND(baseline, 6) AS baseline,
+               ROUND(n_events / baseline, 6) AS rate_ratio
+        FROM scored
+        WHERE n_prev >= {_RATE_LOOKBACK} AND n_events >= {_RATE_TAU} * baseline""",
     "ev12_anomaly_zscore": f"""
         WITH s AS (
           SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS s
@@ -646,4 +710,5 @@ SPARK_QUERIES = {
     "ev10_funnel_conversion": funnel_conversion,
     "ev11_sessionize_salted": sessionize_salted,
     "ev12_anomaly_zscore": anomaly_zscore,
+    "ev13_rate_alerts": rate_alerts,
 }

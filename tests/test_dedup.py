@@ -79,3 +79,40 @@ def test_simhash_deterministic(spark, sf_dir):
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
     assert a == b
     assert all(v >= 0 for v in a.values())
+
+
+def test_incremental_dedup_matches_recompute(spark, sf_dir):
+    """dd10: status and canonical assignment match a sequential recompute
+    of the seen-index rule."""
+    import hashlib
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _INCR_SPLIT,
+        incremental_dedup,
+    )
+
+    docs = [
+        (r["doc_id"], hashlib.md5(r["text"].encode()).hexdigest(),
+         int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % 100)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    ]
+    seen = {}
+    for doc_id, dig, b in sorted(docs):
+        if b < _INCR_SPLIT:
+            seen.setdefault(dig, doc_id)
+    new = sorted((d, dig) for d, dig, b in docs if b >= _INCR_SPLIT)
+    first = {}
+    expect = {}
+    for doc_id, dig in new:
+        if dig in seen:
+            expect[doc_id] = ("dup_of_seen", seen[dig])
+        elif dig in first:
+            expect[doc_id] = ("dup_in_shard", first[dig])
+        else:
+            first[dig] = doc_id
+            expect[doc_id] = ("kept", doc_id)
+    got = {r["doc_id"]: (r["status"], r["canonical_doc_id"])
+           for r in incremental_dedup(spark, sf_dir).collect()}
+    assert got == expect

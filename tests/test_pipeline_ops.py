@@ -596,3 +596,35 @@ def test_knn_label_assign_matches_topk_vote(spark, sf_dir):
         assert (r["pred_label"], r["votes"]) == best
         assert r["true_label"] == labels[qid]
         assert r["agree"] == (best[0] == labels[qid])
+
+
+def test_rate_alerts_recompute(spark, sf_dir):
+    """ev13: alerts match a sequential recompute over observed hourly
+    buckets."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _RATE_LOOKBACK,
+        _RATE_TAU,
+        rate_alerts,
+    )
+    from pyspark.sql import functions as F
+
+    hourly = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+                 "event_type")
+        .count()
+        .collect()
+    ):
+        hourly.setdefault(r["event_type"], []).append((r["h"], r["count"]))
+    expect = {}
+    for et, rows in hourly.items():
+        rows.sort()
+        for i, (h, c) in enumerate(rows):
+            prev = [c2 for _, c2 in rows[max(0, i - _RATE_LOOKBACK):i]]
+            if len(prev) >= _RATE_LOOKBACK and c >= _RATE_TAU * (sum(prev) / len(prev)):
+                expect[(h, et)] = (c, round(c / (sum(prev) / len(prev)), 6))
+    got = {(r["hour_start"], r["event_type"]): (r["n_events"], r["rate_ratio"])
+           for r in rate_alerts(spark, sf_dir).collect()}
+    assert got == expect
