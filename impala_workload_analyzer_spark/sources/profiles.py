@@ -579,6 +579,64 @@ def delete_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEALTH_SCHEMA = _schema([
+    ("tag", _S), ("n_lines", _L), ("n_parsed", _L),
+    ("n_rejected", _L), ("n_bad", _L),
+])
+
+
+def ingest_health(spark: SparkSession, sf_dir: str,
+                  input_dir: str | None = None,
+                  tag: str | None = None) -> DataFrame:
+    """ing5 — ingest health / quarantine accounting: per tag, how many log
+    lines arrived, parsed into query rows, were rejected by the status
+    gate (S3: non-FINISHED/OK, unknown types, missing ExecSummary), or
+    failed to decode at all (corrupt base64/zlib/thrift). A 100 TB ingest
+    cannot abort on one bad blob — undecodable lines are counted and
+    skipped (the badRecordsPath pattern), never raised.
+
+    Scale: the counters aggregate per Arrow batch inside the scan (a few
+    rows per task), then one tiny groupBy(tag) — the profile stream is
+    read once and never shuffled."""
+    lines = _decoded_lines(spark, sf_dir, input_dir, tag)
+    if lines.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        lines = lines.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: dict[str, list[int]] = {}
+            for blob, tg in zip(pdf["blob"].tolist(), pdf["tag"].tolist()):
+                c = counts.setdefault(tg, [0, 0, 0, 0])
+                c[0] += 1
+                try:
+                    tree = TRuntimeProfileTree.deserialize(
+                        zlib.decompress(base64.b64decode(blob)), lean=True
+                    )
+                    query, _ops, _frags = parse_profile(tree, tg)
+                except Exception:  # noqa: BLE001 — quarantine, don't abort
+                    c[3] += 1
+                    continue
+                if query is None:
+                    c[2] += 1
+                else:
+                    c[1] += 1
+            yield pd.DataFrame(
+                [(t, *c) for t, c in counts.items()],
+                columns=[f.name for f in HEALTH_SCHEMA.fields],
+            )
+
+    return (
+        lines.mapInPandas(run, schema=HEALTH_SCHEMA)
+        .groupBy("tag")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_parsed").alias("n_parsed"),
+            F.sum("n_rejected").alias("n_rejected"),
+            F.sum("n_bad").alias("n_bad"),
+        )
+    )
+
+
 # --- DuckDB oracles: expected parse output re-derived from the corpus -------
 
 _K = "CAST(query_id AS BIGINT)"
@@ -641,6 +699,17 @@ ORACLES = {
     "ing4_delete_by_tag": with_corpus(f"""
         SELECT query_id, id, name
         FROM iwa_operators WHERE {_K} % 41 <> 0 AND {_K} % 2 = 0"""),
+    # the fixture corpus has no undecodable blobs, so n_bad = 0; the
+    # corrupt-line quarantine path is pinned by tests/test_ingest.py
+    "ing5_ingest_health": with_corpus(f"""
+        SELECT {_TAG} AS tag,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN k % 41 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_parsed,
+               CAST(SUM(CASE WHEN k % 41 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rejected,
+               CAST(0 AS BIGINT) AS n_bad
+        FROM iwa_queries GROUP BY 1"""),
 }
 
 SPARK_QUERIES = {
@@ -648,4 +717,5 @@ SPARK_QUERIES = {
     "ing2_parsed_fragments": parsed_fragments,
     "ing3_parsed_queries": parsed_queries,
     "ing4_delete_by_tag": delete_by_tag,
+    "ing5_ingest_health": ingest_health,
 }

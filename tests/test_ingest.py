@@ -333,3 +333,33 @@ print(f"OK {n} {d}")
     sig_dirs = [d for d in os.listdir(os.path.dirname(dirs.pop()))
                 if d != ".lock"]
     assert len(sig_dirs) == 1
+
+
+def test_ingest_health_quarantines_corrupt_lines(spark, tmp_path):
+    """ing5: undecodable blobs are counted as n_bad and skipped — the
+    ingest never aborts on a corrupt line; status-gate rejects and good
+    parses are tallied separately."""
+    import base64
+    import zlib
+
+    good = base64.b64encode(
+        zlib.compress(_query_tree().serialize())
+    ).decode()
+    rejected = base64.b64encode(
+        zlib.compress(_query_tree(state="EXCEPTION").serialize())
+    ).decode()
+    lines = [
+        f"ts1 host {good}",
+        f"ts2 host {rejected}",
+        "ts3 host !!!not-base64!!!",
+        f"ts4 host {base64.b64encode(b'not zlib').decode()}",
+        f"ts5 host {base64.b64encode(zlib.compress(b'not thrift')).decode()}",
+    ]
+    (tmp_path / "profiles.log").write_text("\n".join(lines) + "\n")
+    rows = P.ingest_health(
+        spark, sf_dir="", input_dir=str(tmp_path), tag="q"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["tag"], r["n_lines"], r["n_parsed"], r["n_rejected"], r["n_bad"]) \
+        == ("q", 5, 1, 1, 3)
