@@ -447,6 +447,51 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64  # k-minimum-values sketch size
+_H60 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"  # 60-bit hash
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev14 — KMV (k-minimum-values) distinct-count sketch per event_type,
+    next to the exact count and its realized relative error. Unlike HLL,
+    the KMV estimate is a pure function of the k smallest 60-bit hashes —
+    deterministic and engine-exact, so the sketch itself is oracle-checked
+    (a19's GK quantile twin is the same pattern for rank queries).
+    Estimator: exact when n <= k, else (k-1) / (h_k / 2^60) with h_k the
+    k-th smallest distinct hash (Bar-Yossef et al. 2002).
+
+    Scale: at fixture scale the k-minimum set derives from a distinct +
+    rank plan; a production stream replaces it with a bounded-state
+    aggregator (k hashes per group — the whole point of the sketch), the
+    estimator arithmetic unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        "event_type",
+        F.expr(_H60.format(x="CAST(user_id AS STRING)")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    per_type = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    est = F.when(
+        F.col("n_distinct") <= _KMV_K, F.col("n_distinct").cast("double")
+    ).otherwise((_KMV_K - 1) * 2.0**60 / F.col("hk").cast("double"))
+    return per_type.select(
+        "event_type",
+        "n_distinct",
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("n_distinct")) / F.col("n_distinct").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
 _RATE_TAU = 2.0    # alert when an hour's count reaches 2x its trailing mean
 _RATE_LOOKBACK = 24  # trailing observed hourly buckets in the baseline
 
@@ -523,6 +568,32 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev14_kmv_distinct": f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+          FROM events),
+        ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h),
+        per_type AS (
+          SELECT event_type, COUNT(*) AS n_distinct,
+                 MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk
+          FROM ranked GROUP BY event_type),
+        est AS (
+          SELECT event_type, n_distinct,
+                 CASE WHEN n_distinct <= {_KMV_K}
+                      THEN CAST(n_distinct AS DOUBLE)
+                      ELSE {_KMV_K - 1} * 1152921504606846976.0
+                           / CAST(hk AS DOUBLE) END AS e
+          FROM per_type)
+        SELECT event_type, n_distinct,
+               ROUND(e, 6) AS kmv_estimate,
+               ROUND(ABS(e - n_distinct) / CAST(n_distinct AS DOUBLE), 6)
+                 AS rel_error
+        FROM est""",
     "ev13_rate_alerts": f"""
         WITH h AS (
           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
@@ -711,4 +782,5 @@ SPARK_QUERIES = {
     "ev11_sessionize_salted": sessionize_salted,
     "ev12_anomaly_zscore": anomaly_zscore,
     "ev13_rate_alerts": rate_alerts,
+    "ev14_kmv_distinct": kmv_distinct,
 }

@@ -387,6 +387,44 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_SIZE = 20  # tokenizer vocabulary: top-V corpus words
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx14 — tokenizer-vocabulary coverage: build the top-_VOCAB_SIZE
+    word vocabulary from corpus counts (ties to the lexicographically
+    smaller word) and score every document's out-of-vocabulary rate —
+    the coverage check run before committing a tokenizer to a corpus.
+
+    Scale: the vocab derives from one token groupBy and is V rows by
+    construction, so it broadcasts; scoring is a broadcast left join on
+    the token stream plus one groupBy(doc_id). A 100k-type vocabulary is
+    still a few MB — the broadcast holds at any corpus size."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("words").alias("word"))
+    wv = Window.orderBy(F.desc("c"), F.asc("word"))
+    vocab = (
+        toks.groupBy("word").agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "word", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.count("*") - F.coalesce(F.sum("in_vocab"), F.lit(0)))
+            .cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 9)
+            .alias("oov_rate"),
+        )
+    )
+
+
 _BOILER_TAU = 0.2  # a 2-gram is boilerplate when it spans >= 20% of a source's docs
 
 
@@ -528,6 +566,23 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx14_vocab_coverage": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC)
+                     AS rk
+            FROM toks GROUP BY word)
+          WHERE rk <= {_VOCAB_SIZE})
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.word = v.word
+        GROUP BY t.doc_id""",
     "tx13_boilerplate_stats": f"""
         WITH d AS (
           SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents),
@@ -774,4 +829,5 @@ SPARK_QUERIES = {
     "tx11_repetition_stats": repetition_stats,
     "tx12_mixture_sample": mixture_sample,
     "tx13_boilerplate_stats": boilerplate_stats,
+    "tx14_vocab_coverage": vocab_coverage,
 }

@@ -628,3 +628,51 @@ def test_rate_alerts_recompute(spark, sf_dir):
     got = {(r["hour_start"], r["event_type"]): (r["n_events"], r["rate_ratio"])
            for r in rate_alerts(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_vocab_coverage_recompute(spark, sf_dir):
+    """tx14: OOV rates match a Python recompute of the top-V vocabulary."""
+    import re as _re
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _VOCAB_SIZE,
+        vocab_coverage,
+    )
+
+    words_by_doc = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        words_by_doc[r["doc_id"]] = _re.sub(
+            r"\s+", " ", r["text"].lower()).strip().split(" ")
+    counts = Counter(w for ws in words_by_doc.values() for w in ws)
+    vocab = {w for w, _ in sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_SIZE]}
+    got = {r["doc_id"]: r for r in vocab_coverage(spark, sf_dir).collect()}
+    assert set(got) == set(words_by_doc)
+    for doc_id, ws in words_by_doc.items():
+        n_oov = sum(1 for w in ws if w not in vocab)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_oov"]) == (len(ws), n_oov)
+        assert abs(r["oov_rate"] - n_oov / len(ws)) < 1e-8
+
+
+def test_kmv_estimate_within_theoretical_error(spark, sf_dir):
+    """ev14: the KMV estimate is the textbook function of the k-th
+    smallest hash and stays inside ~4/sqrt(k) relative error on the
+    uniform-hash fixture."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _KMV_K,
+        kmv_distinct,
+    )
+
+    rows = kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_distinct"] <= _KMV_K:
+            assert r["kmv_estimate"] == float(r["n_distinct"])
+            assert r["rel_error"] == 0.0
+        else:
+            assert r["rel_error"] <= 4.0 / (_KMV_K ** 0.5)
