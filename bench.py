@@ -57,6 +57,9 @@ HEADLINERS = (
     "sim7_embedding_quantize",
     "ev11_sessionize_salted",
     "tx8_benchmark_contamination",
+    "tx13_boilerplate_stats",
+    "dd10_incremental_dedup",
+    "ev13_rate_alerts",
 )
 
 
