@@ -476,6 +476,20 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
     if lines.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         lines = lines.repartition(spark.sparkContext.defaultParallelism)
 
+    out = lines.mapInPandas(batch_parser(which, schema), schema=schema)
+    if which in ("operators", "fragments"):
+        # S8: replaces the unique (query_id, id) index (profile_analyzer.py:15-21)
+        out = out.dropDuplicates(["query_id", "id"])
+    else:
+        out = out.dropDuplicates(["query_id"])
+    return out
+
+
+def batch_parser(which: str, schema: T.StructType):
+    """The decode+parse Arrow-batch worker, shared by the batch ingest
+    (``_parse_table``) and the streaming ingest
+    (``streaming.stream_queries.streaming_profile_ingest``) — identical
+    rows either way, which is what the stream's ing1-oracle check pins."""
     col_names = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -505,13 +519,7 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
                 {n: pd.Series(c, dtype=object) for n, c in zip(col_names, cols)}
             )
 
-    out = lines.mapInPandas(run, schema=schema)
-    if which in ("operators", "fragments"):
-        # S8: replaces the unique (query_id, id) index (profile_analyzer.py:15-21)
-        out = out.dropDuplicates(["query_id", "id"])
-    else:
-        out = out.dropDuplicates(["query_id"])
-    return out
+    return run
 
 
 def parsed_operators(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,6 +184,33 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st3_out")
 
 
+def streaming_profile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st6 — the reference's operational mode as a stream: tail the
+    profile log directory (``readStream.text``), decode + parse each
+    arriving line with the SAME Arrow-batch worker the batch ingest uses
+    (``profiles.batch_parser``), and maintain the deduped operators
+    table. Batch/stream equivalence IS the check: the oracle is ing1's.
+
+    Scale: this is the deployment shape — new log files land, the file
+    source picks them up per trigger, and the dedup state replaces the
+    reference's unique MongoDB index. State is keyed by (query_id, id);
+    a production run bounds it with a watermark on ingest time (the
+    fixture is a finite replay, so none is needed for the check)."""
+    from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
+    from ..sources.profiles import OP_SCHEMA, batch_parser  # noqa: PLC0415
+
+    path = ensure_profiles(spark, sf_dir)
+    lines = spark.readStream.text(path).select(
+        F.split("value", " ").getItem(2).alias("blob"),
+        F.col("tag").cast("string").alias("tag"),
+    )
+    ops = lines.mapInPandas(
+        batch_parser("operators", OP_SCHEMA), schema=OP_SCHEMA
+    ).dropDuplicates(["query_id", "id"])
+    _run_to_memory(ops, "st6_out", "append")
+    return spark.table("st6_out")
+
+
 _ANOM_WARMUP = 30  # events per key before z-scores are meaningful
 _ANOM_TAU = 3
 
@@ -324,7 +351,10 @@ _ST2_ORACLE = f"""
     SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events, s.total_value
     FROM s, wm WHERE s.session_end_us < wm.watermark_us"""
 
+from ..sources.profiles import ORACLES as _ING_ORACLES  # noqa: E402
+
 ORACLES = {
+    "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
     "st1_streaming_tumbling": _EV1_ORACLE,
     "st2_streaming_sessions": _ST2_ORACLE,
     "st4_streaming_dedup": """
@@ -358,4 +388,5 @@ SPARK_QUERIES = {
     "st3_stateful_user_stats": stateful_user_stats,
     "st4_streaming_dedup": streaming_dedup,
     "st5_streaming_anomaly": streaming_anomaly,
+    "st6_streaming_ingest": streaming_profile_ingest,
 }
