@@ -176,6 +176,30 @@ def rollup_by_sql_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def workload_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a20 — multidimensional workload CUBE over (query_type, sql_type,
+    cluster): query counts, total runtime (ms, py2 floor), and max hosts
+    at every grouping-set granularity — the OLAP drill-down surface the
+    reference approximates with one hand-written rollup per dimension
+    (stats.py:407-411 does only sql_type). NULL dimension values mark the
+    rolled-up axes, exactly as DuckDB's CUBE emits them.
+
+    Scale: Catalyst expands the cube into an Expand + single hash
+    aggregate — one shuffle regardless of how many grouping sets, with
+    map-side partial aggregation on the expanded rows."""
+    q = corpus_queries(spark, sf_dir)
+    return (
+        q.cube("query_type", "sql_type", "cluster")
+        .agg(
+            F.count("*").alias("num_queries"),
+            F.expr(
+                "CAST(FLOOR(SUM(runtime) / CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("total_runtime_ms"),
+            F.max("num_hosts").alias("max_hosts"),
+        )
+    )
+
+
 def query_num_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 — num_hosts = max over the query's operators
     (profile_analyzer.py:303); output kept alongside the stored value so the
@@ -352,6 +376,13 @@ ORACLES: dict[str, str] = {
                {IDIV('SUM(runtime)', 1000000)} AS total_runtime_ms,
                COUNT(*) AS num_queries
         FROM iwa_queries WHERE tag = 'tpch' GROUP BY sql_type"""),
+    "a20_workload_cube": with_corpus(f"""
+        SELECT query_type, sql_type, cluster,
+               COUNT(*) AS num_queries,
+               {IDIV('SUM(runtime)', 1000000)} AS total_runtime_ms,
+               MAX(num_hosts) AS max_hosts
+        FROM iwa_queries
+        GROUP BY CUBE (query_type, sql_type, cluster)"""),
     "a17_query_num_hosts": with_corpus("""
         SELECT o.query_id, MAX(o.num_hosts) AS max_op_num_hosts, q.num_hosts
         FROM iwa_operators o
@@ -374,6 +405,7 @@ SPARK_QUERIES = {
     "a5_scan_size_per_query": scan_size_per_query,
     "a6_workload_distributions": workload_distributions,
     "a15_rollup_by_sql_type": rollup_by_sql_type,
+    "a20_workload_cube": workload_cube,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,
