@@ -13,7 +13,7 @@ integer floor division (``stats.py:103,149,157``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpus import IDIV, corpus_fragments, corpus_operators, corpus_queries, with_corpus
@@ -200,6 +200,32 @@ def workload_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def runtime_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a21 — runtime decile profile per query_type: NTILE(10) over
+    runtime, then per-decile count / boundary / mean — the latency-
+    distribution banding an operator dashboard draws (the reference plots
+    raw histograms; deciles are the drill-down form). Ties broken by
+    query_id so the banding is deterministic across engines.
+
+    Scale: one window sort per query_type partition plus a tiny rollup;
+    at cluster scale the exact NTILE would swap for the a19-style sketch
+    quantiles — this is the exact twin."""
+    q = corpus_queries(spark, sf_dir)
+    w = Window.partitionBy("query_type").orderBy("runtime", "query_id")
+    banded = q.select(
+        "query_type", "runtime",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+    return banded.groupBy("query_type", "decile").agg(
+        F.count("*").alias("num_queries"),
+        F.min("runtime").alias("lo_runtime"),
+        F.max("runtime").alias("hi_runtime"),
+        F.expr(
+            "CAST(FLOOR(SUM(runtime) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+        ).alias("mean_runtime"),
+    )
+
+
 def query_num_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 — num_hosts = max over the query's operators
     (profile_analyzer.py:303); output kept alongside the stored value so the
@@ -383,6 +409,18 @@ ORACLES: dict[str, str] = {
                MAX(num_hosts) AS max_hosts
         FROM iwa_queries
         GROUP BY CUBE (query_type, sql_type, cluster)"""),
+    "a21_runtime_deciles": with_corpus(f"""
+        SELECT query_type, CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS num_queries,
+               MIN(runtime) AS lo_runtime,
+               MAX(runtime) AS hi_runtime,
+               {IDIV('SUM(runtime)', 'COUNT(*)')} AS mean_runtime
+        FROM (
+          SELECT query_type, runtime,
+                 NTILE(10) OVER (PARTITION BY query_type
+                                 ORDER BY runtime, query_id) AS decile
+          FROM iwa_queries) banded
+        GROUP BY 1, 2"""),
     "a17_query_num_hosts": with_corpus("""
         SELECT o.query_id, MAX(o.num_hosts) AS max_op_num_hosts, q.num_hosts
         FROM iwa_operators o
@@ -406,6 +444,7 @@ SPARK_QUERIES = {
     "a6_workload_distributions": workload_distributions,
     "a15_rollup_by_sql_type": rollup_by_sql_type,
     "a20_workload_cube": workload_cube,
+    "a21_runtime_deciles": runtime_deciles,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,
