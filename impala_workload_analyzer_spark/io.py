@@ -26,7 +26,9 @@ parquet footer makes any regeneration visible), so a regenerated or
 swapped fixture auto-rebuilds into a NEW directory and concurrent
 readers of the old one are never invalidated mid-scan. A file lock
 serializes concurrent builders; stale versions are pruned only after a
-successful build.
+successful build AND only once quiescent for ``_PRUNE_GRACE_S`` (the
+lock does not serialize readers, so a version another process resolved
+just before a rebuild must outlive that process's scan).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,6 +47,10 @@ TABLES = (
 
 # region/nation are constant-sized dimension stubs — direct read is fine
 _SCAN_CACHED = frozenset(TABLES) - {"region", "nation"}
+
+# superseded cache versions are removed only after this much quiescence —
+# long past any reader that resolved the old version pre-rebuild
+_PRUNE_GRACE_S = 3600
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -133,12 +140,22 @@ def _build_cache(spark: SparkSession, src: str, root: str, dst: str) -> None:
             n = _n_cache_files(spark, src)
             (spark.read.parquet(src).repartition(n)
              .write.mode("overwrite").parquet(dst))
-            # prune superseded signature dirs (immutable once built, so
-            # only unreferenced stale versions are ever removed)
+            # prune superseded signature dirs. The flock serializes
+            # BUILDERS only — a concurrent process may still be scanning
+            # an old version — so only versions quiescent for a grace
+            # period are removed; fresher stale versions get collected by
+            # a later build. (A fixture-scale scan finishes in seconds;
+            # an hour of quiescence is far past any in-flight reader.)
+            cutoff = time.time() - _PRUNE_GRACE_S
             for d in os.listdir(root):
                 p = os.path.join(root, d)
-                if d not in (os.path.basename(dst), ".lock") and os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
+                if d in (os.path.basename(dst), ".lock") or not os.path.isdir(p):
+                    continue
+                try:
+                    if os.stat(p).st_mtime < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
 

@@ -398,13 +398,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     round() tie rules."""
     emb = load_table(spark, sf_dir, "embeddings")
     scale = f"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / {_Q_LEVELS}.0"
+    # scale is computed ONCE per vector then referenced by name in the
+    # codes lambda — inlining the aggregate into the per-element transform
+    # would re-run the O(d) fold for every element (O(d^2) per vector)
     q = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(scale).alias("scale"),
+        "vec_id", "embedding", F.expr(scale).alias("scale")
+    ).withColumn(
+        "codes",
         F.expr(
-            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / ({scale}) + 0.5) AS BIGINT))"
-        ).alias("codes"),
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"
+        ),
     )
     return q.select(
         "vec_id",

@@ -324,11 +324,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grams = docs.filter(F.size("words") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(words) - 1),"
-                   " i -> concat_ws(' ', slice(words, i, 2)))")
-        ).alias("gram"),
+        "doc_id", F.explode(F.expr(_SPARK_2GRAMS)).alias("gram")
     )
     gram_stats = (
         grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
@@ -387,6 +383,12 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# word-2-gram stream over the normalized ``words`` array (the 3-gram twin
+# lives in dedup._shingles_of); shared by tx11 and tx13 so their
+# tokenization can never diverge
+_SPARK_2GRAMS = ("transform(sequence(1, size(words) - 1),"
+                 " i -> concat_ws(' ', slice(words, i, 2)))")
+
 _VOCAB_SIZE = 20  # tokenizer vocabulary: top-V corpus words
 
 
@@ -396,17 +398,18 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller word) and score every document's out-of-vocabulary rate —
     the coverage check run before committing a tokenizer to a corpus.
 
-    Scale: the vocab derives from one token groupBy and is V rows by
-    construction, so it broadcasts; scoring is a broadcast left join on
-    the token stream plus one groupBy(doc_id). A 100k-type vocabulary is
-    still a few MB — the broadcast holds at any corpus size."""
+    Scale: the vocab derives from one token groupBy, and the top-V cut is
+    a distributed sort-limit (TakeOrderedAndProject — per-partition top-V
+    then a V-row merge, never a single-partition global window); the
+    resulting V rows broadcast into the scoring join plus one
+    groupBy(doc_id). A 100k-type vocabulary is still a few MB — the
+    broadcast holds at any corpus size."""
     docs = _with_norm(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode("words").alias("word"))
-    wv = Window.orderBy(F.desc("c"), F.asc("word"))
     vocab = (
         toks.groupBy("word").agg(F.count("*").alias("c"))
-        .withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= _VOCAB_SIZE)
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(_VOCAB_SIZE)
         .select("word", F.lit(1).alias("in_vocab"))
     )
     scored = toks.join(F.broadcast(vocab), "word", "left")
@@ -444,10 +447,7 @@ def boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = d.select(
         "doc_id", "source",
-        F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, size(words) - 1),"
-            " i -> concat_ws(' ', slice(words, i, 2)))"
-        ))).alias("gram"),
+        F.explode(F.array_distinct(F.expr(_SPARK_2GRAMS))).alias("gram"),
     )
     n_docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     boiler = (

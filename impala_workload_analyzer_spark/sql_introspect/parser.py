@@ -219,7 +219,6 @@ class FuncCall(Expr):
 
 
 @dataclass
-@dataclass
 class FrameBound:
     """One boundary of an analytic window frame: UNBOUNDED
     PRECEDING/FOLLOWING, CURRENT ROW, or <expr> PRECEDING/FOLLOWING."""

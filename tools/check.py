@@ -122,7 +122,6 @@ def main() -> int:
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
         else:
             stypes = dict(sdf.dtypes)
-            dtypes_ = {d[0]: d[1] for d in cur.description and []} 
             # duckdb cursor description lacks type names; DESCRIBE instead
             desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
             dtypes_ = {row[0]: row[1] for row in desc}
