@@ -46,7 +46,7 @@ _PRIORITY = (
     "st5_streaming_anomaly", "tx13_boilerplate_stats", "sim8_knn_label_assign",
     "dd10_incremental_dedup", "ev13_rate_alerts", "ing5_ingest_health",
     "tx14_vocab_coverage", "ev14_kmv_distinct", "st6_streaming_ingest",
-    "a20_workload_cube", "a21_runtime_deciles",
+    "a20_workload_cube", "a21_runtime_deciles", "st7_streaming_interval_join",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",

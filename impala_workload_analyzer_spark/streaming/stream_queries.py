@@ -211,6 +211,48 @@ def streaming_profile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st6_out")
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st7 — watermarked stream-stream interval join: every (purchase,
+    click) pair where the same user clicked in the hour before the
+    purchase — ev6's range-join predicate as a true streaming join. Both
+    sides carry event-time watermarks; the time-range condition lets the
+    join evict click state once the purchase-side watermark passes
+    c_ts + 1h, so state is bounded by the interval width, not the stream
+    length. Inner-join matches emit as soon as both rows have arrived —
+    no watermark gating on output — so the finite replay yields exactly
+    the batch pair set and the oracle is the batch SQL.
+
+    Scale: the canonical funnel/attribution join shape on a live
+    pipeline; state per user is one interval of clicks."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        F.unix_micros("c_ts").alias("c_us"),
+    )
+    _run_to_memory(pairs, "st7_out", "append")
+    return spark.table("st7_out")
+
+
 _ANOM_WARMUP = 30  # events per key before z-scores are meaningful
 _ANOM_TAU = 3
 
@@ -361,6 +403,14 @@ ORACLES = {
         SELECT DISTINCT user_id, event_type,
                CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_start
         FROM events""",
+    "st7_streaming_interval_join": """
+        SELECT p.event_id AS purchase_event_id,
+               p.user_id,
+               epoch_us(c.ts) AS c_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
     "st5_streaming_anomaly": f"""
         WITH o AS (
           SELECT event_id, event_type, value,
@@ -389,4 +439,5 @@ SPARK_QUERIES = {
     "st4_streaming_dedup": streaming_dedup,
     "st5_streaming_anomaly": streaming_anomaly,
     "st6_streaming_ingest": streaming_profile_ingest,
+    "st7_streaming_interval_join": streaming_interval_join,
 }

@@ -676,3 +676,28 @@ def test_kmv_estimate_within_theoretical_error(spark, sf_dir):
             assert r["rel_error"] == 0.0
         else:
             assert r["rel_error"] <= 4.0 / (_KMV_K ** 0.5)
+
+
+def test_streaming_interval_join_matches_batch_pairs(spark, sf_dir):
+    """st7: the stream-stream interval join emits exactly the batch range
+    predicate's pair set."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    clicks = [(r["user_id"], r["ts"]) for r in ev if r["event_type"] == "click"]
+    expect = set()
+    hour = 3600
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        for u, cts in clicks:
+            if u == r["user_id"] and 0 < (r["ts"] - cts).total_seconds() <= hour:
+                expect.add((r["event_id"], u, int(cts.timestamp() * 1_000_000)))
+    got = {(r["purchase_event_id"], r["user_id"], r["c_us"])
+           for r in streaming_interval_join(spark, sf_dir).collect()}
+    assert got == expect
