@@ -152,7 +152,120 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.mapInPandas(walk_partition, schema=out_schema)
 
 
+def critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt3 — plan critical path: per query, the root-to-leaf chain with
+    the largest cumulative avg_time (operator times are positive, so the
+    argmax over all cumulative totals lands on a leaf), ties broken by
+    the lexicographically smallest path. The first question an engineer
+    asks of a slow plan — where does the time chain concentrate.
+
+    Same execution strategy as pt2: co-locate each query's tree by
+    hashed query_id, walk it partition-locally in plain Python, and keep
+    only the per-query argmax — one shuffle, one output row per query."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "fragment_id", "parent_id", "avg_time"
+    )
+    frags = corpus_fragments(spark, sf_dir).select(
+        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
+    )
+    nodes = ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
+        spark.sparkContext.defaultParallelism, F.hash("query_id")
+    )
+
+    out_schema = "query_id string, leaf_id bigint, path string, total_time bigint"
+
+    def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_query: dict[str, list[tuple]] = {}
+        for pdf in batches:
+            for qid, oid, parent, eid, t in zip(
+                pdf["query_id"], pdf["id"], pdf["parent_id"],
+                pdf["exchange_id"], pdf["avg_time"],
+            ):
+                per_query.setdefault(qid, []).append(
+                    (int(oid), parent, eid, int(t))
+                )
+        rows = []
+        for qid, items in per_query.items():
+            times = {}
+            children: dict[int, list[int]] = {}
+            roots = []
+            for oid, parent, eid, t in items:
+                times[oid] = t
+                if not pd.isna(parent):
+                    children.setdefault(int(parent), []).append(oid)
+                elif not pd.isna(eid):
+                    children.setdefault(int(eid), []).append(oid)
+                else:
+                    roots.append(oid)
+            best: tuple | None = None
+
+            def rec(oid: int, path: str, total: int) -> None:
+                nonlocal best
+                total += times[oid]
+                # argmax by (total DESC, path ASC) over every node — with
+                # positive times the winner is necessarily a leaf
+                key = (-total, path)
+                if best is None or key < (-best[2], best[1]):
+                    best = (oid, path, total)
+                for child in sorted(children.get(oid, ())):
+                    rec(child, path + ">" + f"{child:03d}", total)
+
+            for root in sorted(roots):
+                rec(root, f"{root:03d}", 0)
+            if best is not None:
+                rows.append((qid, best[0], best[1], best[2]))
+        yield pd.DataFrame(
+            rows, columns=["query_id", "leaf_id", "path", "total_time"]
+        )
+
+    return nodes.mapInPandas(walk_partition, schema=out_schema)
+
+
 ORACLES = {
+    "pt3_critical_path": with_corpus("""
+        , edges AS (
+          SELECT o.query_id, p.id AS parent_op, o.id
+          FROM iwa_operators o
+          JOIN iwa_operators p
+            ON p.query_id = o.query_id AND p.id = o.parent_id
+           AND p.fragment_id = o.fragment_id
+          UNION ALL
+          SELECT f.query_id, f.exchange_id AS parent_op, o.id
+          FROM iwa_fragments f
+          JOIN iwa_operators o
+            ON o.query_id = f.query_id AND o.fragment_id = f.id
+           AND o.parent_id IS NULL
+          WHERE f.exchange_id IS NOT NULL
+        ),
+        walk AS (
+          WITH RECURSIVE r AS (
+            SELECT o.query_id, o.id, lpad(CAST(o.id AS VARCHAR), 3, '0') AS path,
+                   o.avg_time AS total
+            FROM iwa_operators o
+            JOIN iwa_fragments f
+              ON f.query_id = o.query_id AND f.id = o.fragment_id
+             AND f.exchange_id IS NULL
+            WHERE o.parent_id IS NULL
+            UNION ALL
+            SELECT e.query_id, e.id,
+                   r.path || '>' || lpad(CAST(e.id AS VARCHAR), 3, '0'),
+                   r.total + o.avg_time
+            FROM r JOIN edges e
+              ON e.query_id = r.query_id AND e.parent_op = r.id
+            JOIN iwa_operators o ON o.query_id = e.query_id AND o.id = e.id
+          )
+          SELECT * FROM r
+        ),
+        ranked AS (
+          SELECT query_id, id AS leaf_id, path, total AS total_time,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY total DESC, path ASC) AS rn
+          FROM walk)
+        SELECT query_id, leaf_id, path, total_time FROM ranked WHERE rn = 1"""),
     "pt1_plan_edges": with_corpus("""
         SELECT o.query_id, p.id AS parent_op, o.id AS child_op
         FROM iwa_operators o
@@ -207,4 +320,5 @@ ORACLES = {
 SPARK_QUERIES = {
     "pt1_plan_edges": plan_edges,
     "pt2_plan_paths": plan_paths,
+    "pt3_critical_path": critical_path,
 }

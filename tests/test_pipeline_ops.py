@@ -701,3 +701,34 @@ def test_streaming_interval_join_matches_batch_pairs(spark, sf_dir):
     got = {(r["purchase_event_id"], r["user_id"], r["c_us"])
            for r in streaming_interval_join(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_critical_path_dominates_all_paths(spark, sf_dir):
+    """pt3: the chosen chain's total equals the best over pt2's enumerated
+    paths (recomputed with operator times), and its path exists in pt2."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.plans.draw_plan import (
+        critical_path,
+        plan_paths,
+    )
+
+    times = {(r["query_id"], r["id"]): r["avg_time"]
+             for r in corpus_operators(spark, sf_dir)
+             .select("query_id", "id", "avg_time").collect()}
+    best = {}
+    paths = {}
+    for r in plan_paths(spark, sf_dir).collect():
+        qid = r["query_id"]
+        total = sum(times[(qid, int(seg))] for seg in r["path"].split(">"))
+        paths.setdefault(qid, set()).add(r["path"])
+        cur = best.get(qid)
+        if cur is None or (-total, r["path"]) < (-cur[0], cur[1]):
+            best[qid] = (total, r["path"])
+    got = {r["query_id"]: (r["total_time"], r["path"], r["leaf_id"])
+           for r in critical_path(spark, sf_dir).collect()}
+    assert set(got) == set(best)
+    for qid, (total, path) in best.items():
+        g = got[qid]
+        assert (g[0], g[1]) == (total, path)
+        assert g[1] in paths[qid]
+        assert g[2] == int(path.split(">")[-1])
