@@ -732,3 +732,43 @@ def test_critical_path_dominates_all_paths(spark, sf_dir):
         assert (g[0], g[1]) == (total, path)
         assert g[1] in paths[qid]
         assert g[2] == int(path.split(">")[-1])
+
+
+def test_streaming_ingest_across_microbatches(spark, sf_dir):
+    """st6's dedup state must hold ACROSS microbatches, not just within
+    one: re-run the stream with maxFilesPerTrigger=1 (one log file per
+    trigger) and require the same operators table as the batch ingest."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.sources.profile_render import (
+        ensure_profiles,
+    )
+    from impala_workload_analyzer_spark.sources.profiles import (
+        OP_SCHEMA,
+        batch_parser,
+        parsed_operators,
+    )
+
+    path = ensure_profiles(spark, sf_dir)
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(path)
+        .select(
+            F.split("value", " ").getItem(2).alias("blob"),
+            F.col("tag").cast("string").alias("tag"),
+        )
+    )
+    ops = lines.mapInPandas(
+        batch_parser("operators", OP_SCHEMA), schema=OP_SCHEMA
+    ).dropDuplicates(["query_id", "id"])
+    q = (
+        ops.writeStream.format("memory").queryName("st6_mb_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is None or True  # stream drained
+    got = spark.table("st6_mb_out")
+    batch = parsed_operators(spark, sf_dir)
+    assert got.count() == batch.count()
+    # identical (query_id, id, name) key set
+    key = lambda df: {tuple(r) for r in df.select("query_id", "id", "name").collect()}  # noqa: E731
+    assert key(got) == key(batch)
