@@ -106,6 +106,23 @@ def cmd_all(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Run any registered query by name (the driver-contract names)."""
+    return _run_named([args.name], args)
+
+
+def cmd_explain(args) -> int:
+    """Print a registered query's formatted physical plan — the operator
+    UX for auditing shuffles/broadcasts/pushdown before a big run."""
+    from .registry import all_queries  # noqa: PLC0415
+
+    spark = _spark()
+    df = all_queries()[args.name](spark, args.sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), args.mode))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="impala_workload_analyzer_spark",
                                 description=__doc__,
@@ -137,6 +154,17 @@ def main(argv=None) -> int:
         s.add_argument("tag")
         s.add_argument("output")
         s.set_defaults(fn=lambda a, q=queries: _run_named(q, a))
+
+    s = sub.add_parser("run", help="run one registered query by name")
+    s.add_argument("name")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("explain", help="print a query's physical plan")
+    s.add_argument("name")
+    s.add_argument("--mode", default="formatted",
+                   choices=("simple", "extended", "formatted", "cost"))
+    s.set_defaults(fn=cmd_explain)
 
     s = sub.add_parser("all", help="driver.sh: the full workflow")
     s.add_argument("tag")

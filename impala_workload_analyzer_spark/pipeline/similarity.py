@@ -535,7 +535,87 @@ def knn_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim9 — ANN quality measurement: recall@k of the banded-LSH top-k
+    (sim2) against the exact top-k (sim1), per query — the acceptance
+    metric an index rollout is gated on. Both inputs are deterministic,
+    so the recall itself is oracle-exact.
+
+    Scale: both sides are k rows per query; the join is query-keyed over
+    tiny frames — negligible next to the searches themselves."""
+    exact = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    approx = lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.coalesce(F.sum("in_exact"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    # queries whose LSH candidates were empty still appear, with recall 0
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / float(_TOP_K), 9
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 ORACLES = {
+    "sim9_lsh_recall": f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 {_DUCK_SIG_COLS}
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, s0, s1, s2, s3,
+                     embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        exact_sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        exact_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM exact_sim) WHERE rank <= {_TOP_K}),
+        cand AS (
+          {_SIM2_CAND}),
+        lsh_sim AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM cand c JOIN e ON e.vec_id = c.vec_id
+                      JOIN q ON q.query_id = c.query_id),
+        lsh_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM lsh_sim) WHERE rank <= {_TOP_K}),
+        hits AS (
+          SELECT l.query_id,
+                 COUNT(*) AS n_returned,
+                 CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+          FROM lsh_top l LEFT JOIN exact_top x
+            ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+          GROUP BY l.query_id)
+        SELECT q.query_id,
+               COALESCE(h.n_returned, 0) AS n_returned,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / {_TOP_K}.0, 9) AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact_top) q
+        LEFT JOIN hits h ON h.query_id = q.query_id""",
     "sim8_knn_label_assign": f"""
         WITH e AS (
           SELECT vec_id, label, embedding,
@@ -744,4 +824,5 @@ SPARK_QUERIES = {
     "sim6_range_search": range_search,
     "sim7_embedding_quantize": embedding_quantize,
     "sim8_knn_label_assign": knn_label_assign,
+    "sim9_lsh_recall": lsh_recall,
 }
