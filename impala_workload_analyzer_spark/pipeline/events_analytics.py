@@ -492,6 +492,42 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev15 — event-time disorder profile: per event_type, how far behind
+    the running event-time high-water mark late events arrive (arrival
+    order = event_id, the append order of the stream). This is the
+    measurement that SIZES a watermark: st1-st7's `withWatermark` delays
+    are justified by the max/mean lateness this op reports.
+
+    Scale: the prefix-max is per-type (watermark reasoning is per
+    stream/key); a single global stream would use the same two-phase
+    distributed prefix scan w1 uses above its chunk threshold
+    (operators/concurrency.py) instead of one ordered partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    us = F.unix_micros("ts")
+    scored = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.max(us).over(w).alias("seen"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("seen").isNull() | (F.col("seen") <= F.col("us")), F.lit(0)
+        ).otherwise(F.col("seen") - F.col("us")).alias("disorder_us"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("disorder_us") > 0).cast("bigint")).alias("n_late"),
+        F.max("disorder_us").alias("max_disorder_us"),
+        F.round(
+            F.sum("disorder_us") / F.count("*").cast("double"), 6
+        ).alias("avg_disorder_us"),
+    )
+
+
 _RATE_TAU = 2.0    # alert when an hour's count reaches 2x its trailing mean
 _RATE_LOOKBACK = 24  # trailing observed hourly buckets in the baseline
 
@@ -568,6 +604,25 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev15_disorder_profile": """
+        WITH s AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+          FROM events),
+        d AS (
+          SELECT event_type,
+                 CASE WHEN seen IS NULL OR seen <= us THEN 0
+                      ELSE seen - us END AS disorder_us
+          FROM s)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               MAX(disorder_us) AS max_disorder_us,
+               ROUND(SUM(disorder_us) / CAST(COUNT(*) AS DOUBLE), 6)
+                 AS avg_disorder_us
+        FROM d GROUP BY event_type""",
     "ev14_kmv_distinct": f"""
         WITH h AS (
           SELECT DISTINCT event_type,
@@ -783,4 +838,5 @@ SPARK_QUERIES = {
     "ev12_anomaly_zscore": anomaly_zscore,
     "ev13_rate_alerts": rate_alerts,
     "ev14_kmv_distinct": kmv_distinct,
+    "ev15_disorder_profile": disorder_profile,
 }
