@@ -161,6 +161,41 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "w4_cluster_utilization": with_corpus("""
+        , scoped AS (
+          SELECT cluster, start_time, end_time FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch')),
+        flagged AS (
+          SELECT cluster, start_time, end_time,
+                 CASE WHEN MAX(end_time) OVER (PARTITION BY cluster
+                        ORDER BY start_time, end_time
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= start_time
+                      THEN 0 ELSE 1 END AS new_island
+          FROM scoped),
+        islands AS (
+          SELECT cluster, start_time, end_time,
+                 SUM(new_island) OVER (PARTITION BY cluster
+                   ORDER BY start_time, end_time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged),
+        merged AS (
+          SELECT cluster, island,
+                 MIN(start_time) AS s, MAX(end_time) AS e
+          FROM islands GROUP BY cluster, island),
+        busy AS (
+          SELECT cluster, CAST(SUM(e - s) AS BIGINT) AS busy_us
+          FROM merged GROUP BY cluster),
+        tot AS (
+          SELECT cluster, COUNT(*) AS n_queries,
+                 CAST(MAX(end_time) - MIN(start_time) AS BIGINT) AS span_us,
+                 CAST(SUM(end_time - start_time) AS BIGINT) AS active_us
+          FROM scoped GROUP BY cluster)
+        SELECT t.cluster, t.n_queries, t.span_us, b.busy_us,
+               ROUND(b.busy_us / CAST(t.span_us AS DOUBLE), 9) AS utilization,
+               ROUND(t.active_us / CAST(b.busy_us AS DOUBLE), 9) AS avg_active
+        FROM tot t JOIN busy b ON b.cluster = t.cluster"""),
     "w1_concurrency_sweep": with_corpus("""
         , ev AS (
           SELECT cluster, start_time AS ts, 1 AS delta FROM iwa_queries
@@ -184,4 +219,59 @@ ORACLES = {
         GROUP BY cluster"""),
 }
 
-SPARK_QUERIES = {"w1_concurrency_sweep": concurrency_sweep}
+def cluster_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w4 — cluster busy-time and utilization via interval union
+    (gaps-and-islands merge of overlapping query intervals), plus
+    ``avg_active`` = total active time / busy time. By Little's-law
+    algebra this EQUALS w1's sweep-line ``avg_concurrent`` (the integral
+    of the concurrency level over busy time is exactly the summed query
+    durations) — two independent algorithms, one number, pinned by
+    ``test_concurrency.py``.
+
+    Scale: the island merge is the same per-cluster ordered-window shape
+    as sessionization (one shuffle on cluster); skewed clusters take the
+    ev11 salting treatment."""
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    scoped = q.join(clusters, "cluster", "left_semi").select(
+        "cluster", "start_time", "end_time"
+    )
+    w = Window.partitionBy("cluster").orderBy("start_time", "end_time")
+    prev_max = F.max("end_time").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = scoped.withColumn(
+        "new_island",
+        F.when(prev_max >= F.col("start_time"), F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    busy = (
+        flagged.groupBy("cluster", "island")
+        .agg(F.min("start_time").alias("s"), F.max("end_time").alias("e"))
+        .groupBy("cluster")
+        .agg(F.sum(F.col("e") - F.col("s")).cast("bigint").alias("busy_us"))
+    )
+    tot = scoped.groupBy("cluster").agg(
+        F.count("*").alias("n_queries"),
+        (F.max("end_time") - F.min("start_time")).cast("bigint")
+        .alias("span_us"),
+        F.sum(F.col("end_time") - F.col("start_time")).cast("bigint")
+        .alias("active_us"),
+    )
+    return tot.join(busy, "cluster").select(
+        "cluster", "n_queries", "span_us", "busy_us",
+        F.round(F.col("busy_us") / F.col("span_us").cast("double"), 9)
+        .alias("utilization"),
+        F.round(F.col("active_us") / F.col("busy_us").cast("double"), 9)
+        .alias("avg_active"),
+    )
+
+
+SPARK_QUERIES = {
+    "w1_concurrency_sweep": concurrency_sweep,
+    "w4_cluster_utilization": cluster_utilization,
+}

@@ -52,3 +52,23 @@ def test_two_phase_sweep_single_timestamp_degenerate(spark):
     # sums [-1, -2, -1, 0]; all intervals inside the tie group are 0
     assert sorted(r["level"] for r in out) == [-2, -1, -1, 0]
     assert [r["interval"] for r in out if r["interval"] is not None] == [0, 0, 0]
+
+
+def test_littles_law_identity_w4_equals_w1(spark, sf_dir):
+    """Two independent algorithms, one number: w4's interval-union
+    avg_active (total active time / busy time) must equal w1's
+    sweep-line time-weighted avg_concurrent on every cluster — the
+    integral of the concurrency level over busy time IS the summed
+    query durations."""
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        cluster_utilization,
+        concurrency_sweep,
+    )
+
+    w1 = {r["cluster"]: r["avg_concurrent"]
+          for r in concurrency_sweep(spark, sf_dir).collect()}
+    w4 = {r["cluster"]: r["avg_active"]
+          for r in cluster_utilization(spark, sf_dir).collect()}
+    assert set(w1) == set(w4)
+    for cluster, avg in w1.items():
+        assert abs(avg - w4[cluster]) < 1e-6, (cluster, avg, w4[cluster])
