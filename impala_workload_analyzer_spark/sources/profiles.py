@@ -511,12 +511,14 @@ def batch_parser(which: str, schema: T.StructType):
                     rows.extend(_frag_row(tag, fr) for fr in frags)
                 else:
                     rows.append(_query_row(query))
+            if not rows:  # yielding empty frames only feeds pandas'
+                continue  # all-NA concat deprecation path downstream
             # columnar build: pandas infers dtype per column, not per cell —
             # measurably faster than the row-wise list-of-tuples path on
             # wide schemas, and Arrow serializes the same either way
-            cols = zip(*rows) if rows else ([] for _ in col_names)
             yield pd.DataFrame(
-                {n: pd.Series(c, dtype=object) for n, c in zip(col_names, cols)}
+                {n: pd.Series(c, dtype=object)
+                 for n, c in zip(col_names, zip(*rows))}
             )
 
     return run
