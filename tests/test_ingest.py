@@ -363,3 +363,38 @@ def test_ingest_health_quarantines_corrupt_lines(spark, tmp_path):
     r = rows[0]
     assert (r["tag"], r["n_lines"], r["n_parsed"], r["n_rejected"], r["n_bad"]) \
         == ("q", 5, 1, 1, 3)
+
+
+def test_normalize_event_ts_all_encodings(spark, tmp_path):
+    """The r03 bench died on a fixture ts-encoding change; pin that all
+    three physical encodings (INT64 nanos, TIMESTAMP_NTZ micros, plain
+    TIMESTAMP) normalize to identical TimestampType values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from impala_workload_analyzer_spark.io import normalize_event_ts
+
+    us = [1704067200_000_000, 1704067201_500_000]
+    pq.write_table(
+        pa.table({"ts": pa.array([u * 1000 for u in us],
+                                 type=pa.timestamp("ns"))}),
+        str(tmp_path / "nanos.parquet"))
+    pq.write_table(
+        pa.table({"ts": pa.array(us, type=pa.timestamp("us"))}),
+        str(tmp_path / "micros.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    outs = []
+    for f in ("nanos.parquet", "micros.parquet"):
+        df = normalize_event_ts(spark.read.parquet(str(tmp_path / f)))
+        assert dict(df.dtypes)["ts"] == "timestamp", (f, df.dtypes)
+        outs.append([r["ts"] for r in df.orderBy("ts").collect()])
+    # plain TimestampType passes through unchanged
+    from pyspark.sql import functions as F
+
+    passthrough = normalize_event_ts(
+        spark.read.parquet(str(tmp_path / "micros.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    outs.append([r["ts"] for r in passthrough.orderBy("ts").collect()])
+    assert outs[0] == outs[1] == outs[2]
