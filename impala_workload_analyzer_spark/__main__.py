@@ -106,20 +106,43 @@ def cmd_all(args) -> int:
     return 0
 
 
+def _check_name(name: str) -> int:
+    """Validate a query name BEFORE booting Spark (~15s) so a typo fails
+    instantly with the available names."""
+    from .registry import all_queries  # noqa: PLC0415
+
+    names = all_queries()
+    if name in names:
+        return 0
+    print(f"unknown query {name!r}; available:", file=sys.stderr)
+    print("  " + "\n  ".join(sorted(names)), file=sys.stderr)
+    return 2
+
+
+# query families whose construction materializes work up front (streaming
+# runs to completion, KMeans/CC iterate): explain shows the final cursor
+_EAGER_PREFIXES = ("st", "m2_", "m3_", "dd8_", "dd9_")
+
+
 def cmd_run(args) -> int:
     """Run any registered query by name (the driver-contract names)."""
-    return _run_named([args.name], args)
+    return _check_name(args.name) or _run_named([args.name], args)
 
 
 def cmd_explain(args) -> int:
-    """Print a registered query's formatted physical plan — the operator
-    UX for auditing shuffles/broadcasts/pushdown before a big run."""
+    """Print a registered query's physical plan — the operator UX for
+    auditing shuffles/broadcasts/pushdown before a big run."""
+    rc = _check_name(args.name)
+    if rc:
+        return rc
+    if args.name.startswith(_EAGER_PREFIXES):
+        print(f"note: {args.name} materializes during construction "
+              "(streaming/iterative); the plan below is its final cursor",
+              file=sys.stderr)
     from .registry import all_queries  # noqa: PLC0415
 
     spark = _spark()
-    df = all_queries()[args.name](spark, args.sf_dir)
-    print(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), args.mode))
+    all_queries()[args.name](spark, args.sf_dir).explain(mode=args.mode)
     return 0
 
 

@@ -556,8 +556,14 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hits"),
         )
     )
-    # queries whose LSH candidates were empty still appear, with recall 0
-    all_q = exact.select("query_id").distinct()
+    # queries whose LSH candidates were empty still appear, with recall 0;
+    # the query-id universe comes from the cheap batch filter, not a
+    # second consumer of the brute-force lineage
+    all_q = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("query_id"))
+        .filter(F.col("query_id") % _QUERY_MOD == 0)
+    )
     return (
         all_q.join(hits, "query_id", "left")
         .select(

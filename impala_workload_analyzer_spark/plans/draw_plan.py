@@ -68,18 +68,9 @@ def plan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op_edges.unionByName(ex_edges)
 
 
-def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pt2 — downward closure from each plan root: (op, depth, path). The
-    path string sorts into the reference's ASCII pre-order; rendered line =
-    2-space indent per level (draw_plan.py:6-37).
-
-    Execution strategy: a plan tree is tiny and wholly contained in one
-    query, so the recursion runs as plain Python over each partition
-    inside ``mapInPandas``, after co-locating by query_id — ONE shuffle
-    at most, no per-group pandas overhead (a groupBy+applyInPandas
-    variant paid ~10x in per-group DataFrame construction over 145k tiny
-    groups; per-level join loops and lazy chained unions were 5-10x
-    slower again).
+def _colocated_nodes(spark: SparkSession, sf_dir: str,
+                     payload_col: str) -> DataFrame:
+    """Operators + their fragment's exchange_id, co-located per query.
 
     Co-location safety: against the bucketed corpus tables the planner
     can elide a plain ``repartition(N, query_id)`` (bucket layout already
@@ -94,62 +85,87 @@ def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression from the bucket spec, so the exchange can never be
     elided. One guaranteed shuffle, conf-leak-free, parallelism follows
     the cluster (``defaultParallelism``, not a hard-coded bucket count).
-    ``test_plan_contracts`` guards row conservation.
-    """
+    ``test_plan_contracts`` guards row conservation."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "fragment_id", "parent_id", payload_col
+    )
+    frags = corpus_fragments(spark, sf_dir).select(
+        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
+    )
+    return ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
+        spark.sparkContext.defaultParallelism, F.hash("query_id")
+    )
+
+
+def _walk_trees(nodes: DataFrame, payload_col: str, visit,
+                out_schema: str, out_cols: list[str]) -> DataFrame:
+    """Accumulate each partition (queries never span partitions — see
+    ``_colocated_nodes``), rebuild every query's (payload, children,
+    roots) tree with plain dict loops, and let ``visit(qid, payload,
+    children, roots, rows)`` emit output rows. Child lists follow the
+    reference's edge rules: same-fragment parent_id edges plus
+    EXCHANGE -> fed-fragment-root edges; the root is the root fragment's
+    root operator (draw_plan.py:36)."""
     from collections.abc import Iterator  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
-    ops = corpus_operators(spark, sf_dir).select(
-        "query_id", "id", "name", "fragment_id", "parent_id"
-    )
-    # each operator row carries its fragment's exchange_id: one equi-join,
-    # then every query's whole tree is self-contained in its partition
-    frags = corpus_fragments(spark, sf_dir).select(
-        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
-    )
-    nodes = ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
-        spark.sparkContext.defaultParallelism, F.hash("query_id")
-    )
-
-    out_schema = ("query_id string, id bigint, depth int, path string, "
-                  "line string")
-
     def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # accumulate the partition (queries never span partitions), then
-        # walk each query's tree with plain dict loops
         per_query: dict[str, list[tuple]] = {}
         for pdf in batches:
-            for qid, oid, name, parent, eid in zip(
-                pdf["query_id"], pdf["id"], pdf["name"],
-                pdf["parent_id"], pdf["exchange_id"],
+            for qid, oid, parent, eid, p in zip(
+                pdf["query_id"], pdf["id"], pdf["parent_id"],
+                pdf["exchange_id"], pdf[payload_col],
             ):
-                per_query.setdefault(qid, []).append((int(oid), name, parent, eid))
-        rows = []
+                per_query.setdefault(qid, []).append((int(oid), parent, eid, p))
+        rows: list[tuple] = []
         for qid, items in per_query.items():
-            names = {}
+            payload = {}
             children: dict[int, list[int]] = {}
             roots = []
-            for oid, name, parent, eid in items:
-                names[oid] = name
+            for oid, parent, eid, p in items:
+                payload[oid] = p
                 if not pd.isna(parent):
                     children.setdefault(int(parent), []).append(oid)
                 elif not pd.isna(eid):  # fragment root feeding an EXCHANGE
                     children.setdefault(int(eid), []).append(oid)
-                else:  # root fragment's root operator (draw_plan.py:36)
+                else:  # root fragment's root operator
                     roots.append(oid)
-
-            def rec(oid: int, depth: int, path: str) -> None:
-                rows.append((qid, oid, depth, path,
-                             "  " * depth + f"{oid}:{names[oid]}"))
-                for child in sorted(children.get(oid, ())):
-                    rec(child, depth + 1, path + ">" + f"{child:03d}")
-
-            for root in sorted(roots):
-                rec(root, 0, f"{root:03d}")
-        yield pd.DataFrame(rows, columns=["query_id", "id", "depth", "path", "line"])
+            visit(qid, payload, children, roots, rows)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return nodes.mapInPandas(walk_partition, schema=out_schema)
+
+
+def plan_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt2 — downward closure from each plan root: (op, depth, path). The
+    path string sorts into the reference's ASCII pre-order; rendered line =
+    2-space indent per level (draw_plan.py:6-37).
+
+    Execution strategy: a plan tree is tiny and wholly contained in one
+    query, so the recursion runs as plain Python over each partition
+    inside ``mapInPandas``, after co-locating by query_id
+    (``_colocated_nodes``) — ONE shuffle at most, no per-group pandas
+    overhead (a groupBy+applyInPandas variant paid ~10x in per-group
+    DataFrame construction over 145k tiny groups; per-level join loops
+    and lazy chained unions were 5-10x slower again)."""
+
+    def visit(qid, names, children, roots, rows) -> None:
+        def rec(oid: int, depth: int, path: str) -> None:
+            rows.append((qid, oid, depth, path,
+                         "  " * depth + f"{oid}:{names[oid]}"))
+            for child in sorted(children.get(oid, ())):
+                rec(child, depth + 1, path + ">" + f"{child:03d}")
+
+        for root in sorted(roots):
+            rec(root, 0, f"{root:03d}")
+
+    return _walk_trees(
+        _colocated_nodes(spark, sf_dir, "name"), "name", visit,
+        "query_id string, id bigint, depth int, path string, line string",
+        ["query_id", "id", "depth", "path", "line"],
+    )
 
 
 def critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,70 +175,34 @@ def critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lexicographically smallest path. The first question an engineer
     asks of a slow plan — where does the time chain concentrate.
 
-    Same execution strategy as pt2: co-locate each query's tree by
-    hashed query_id, walk it partition-locally in plain Python, and keep
-    only the per-query argmax — one shuffle, one output row per query."""
-    from collections.abc import Iterator  # noqa: PLC0415
+    Same execution strategy as pt2 (shared ``_colocated_nodes`` /
+    ``_walk_trees`` scaffolding), keeping only the per-query argmax —
+    one shuffle, one output row per query."""
 
-    import pandas as pd  # noqa: PLC0415
+    def visit(qid, times, children, roots, rows) -> None:
+        best: tuple | None = None
 
-    ops = corpus_operators(spark, sf_dir).select(
-        "query_id", "id", "fragment_id", "parent_id", "avg_time"
+        def rec(oid: int, path: str, total: int) -> None:
+            nonlocal best
+            total += int(times[oid])
+            # argmax by (total DESC, path ASC) over every node — with
+            # positive times the winner is necessarily a leaf
+            key = (-total, path)
+            if best is None or key < (-best[2], best[1]):
+                best = (oid, path, total)
+            for child in sorted(children.get(oid, ())):
+                rec(child, path + ">" + f"{child:03d}", total)
+
+        for root in sorted(roots):
+            rec(root, f"{root:03d}", 0)
+        if best is not None:
+            rows.append((qid, best[0], best[1], best[2]))
+
+    return _walk_trees(
+        _colocated_nodes(spark, sf_dir, "avg_time"), "avg_time", visit,
+        "query_id string, leaf_id bigint, path string, total_time bigint",
+        ["query_id", "leaf_id", "path", "total_time"],
     )
-    frags = corpus_fragments(spark, sf_dir).select(
-        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
-    )
-    nodes = ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
-        spark.sparkContext.defaultParallelism, F.hash("query_id")
-    )
-
-    out_schema = "query_id string, leaf_id bigint, path string, total_time bigint"
-
-    def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        per_query: dict[str, list[tuple]] = {}
-        for pdf in batches:
-            for qid, oid, parent, eid, t in zip(
-                pdf["query_id"], pdf["id"], pdf["parent_id"],
-                pdf["exchange_id"], pdf["avg_time"],
-            ):
-                per_query.setdefault(qid, []).append(
-                    (int(oid), parent, eid, int(t))
-                )
-        rows = []
-        for qid, items in per_query.items():
-            times = {}
-            children: dict[int, list[int]] = {}
-            roots = []
-            for oid, parent, eid, t in items:
-                times[oid] = t
-                if not pd.isna(parent):
-                    children.setdefault(int(parent), []).append(oid)
-                elif not pd.isna(eid):
-                    children.setdefault(int(eid), []).append(oid)
-                else:
-                    roots.append(oid)
-            best: tuple | None = None
-
-            def rec(oid: int, path: str, total: int) -> None:
-                nonlocal best
-                total += times[oid]
-                # argmax by (total DESC, path ASC) over every node — with
-                # positive times the winner is necessarily a leaf
-                key = (-total, path)
-                if best is None or key < (-best[2], best[1]):
-                    best = (oid, path, total)
-                for child in sorted(children.get(oid, ())):
-                    rec(child, path + ">" + f"{child:03d}", total)
-
-            for root in sorted(roots):
-                rec(root, f"{root:03d}", 0)
-            if best is not None:
-                rows.append((qid, best[0], best[1], best[2]))
-        yield pd.DataFrame(
-            rows, columns=["query_id", "leaf_id", "path", "total_time"]
-        )
-
-    return nodes.mapInPandas(walk_partition, schema=out_schema)
 
 
 ORACLES = {
@@ -243,7 +223,7 @@ ORACLES = {
         ),
         walk AS (
           WITH RECURSIVE r AS (
-            SELECT o.query_id, o.id, lpad(CAST(o.id AS VARCHAR), 3, '0') AS path,
+            SELECT o.query_id, o.id, format('{:03d}', o.id) AS path,
                    o.avg_time AS total
             FROM iwa_operators o
             JOIN iwa_fragments f
@@ -252,7 +232,7 @@ ORACLES = {
             WHERE o.parent_id IS NULL
             UNION ALL
             SELECT e.query_id, e.id,
-                   r.path || '>' || lpad(CAST(e.id AS VARCHAR), 3, '0'),
+                   r.path || '>' || format('{:03d}', e.id),
                    r.total + o.avg_time
             FROM r JOIN edges e
               ON e.query_id = r.query_id AND e.parent_op = r.id
@@ -297,7 +277,7 @@ ORACLES = {
         walk AS (
           WITH RECURSIVE r AS (
             SELECT o.query_id, o.id, 0 AS depth,
-                   lpad(CAST(o.id AS VARCHAR), 3, '0') AS path
+                   format('{:03d}', o.id) AS path
             FROM iwa_operators o
             JOIN iwa_fragments f
               ON f.query_id = o.query_id AND f.id = o.fragment_id
@@ -305,7 +285,7 @@ ORACLES = {
             WHERE o.parent_id IS NULL
             UNION ALL
             SELECT e.query_id, e.id, r.depth + 1,
-                   r.path || '>' || lpad(CAST(e.id AS VARCHAR), 3, '0')
+                   r.path || '>' || format('{:03d}', e.id)
             FROM r JOIN edges e
               ON e.query_id = r.query_id AND e.parent_op = r.id
           )

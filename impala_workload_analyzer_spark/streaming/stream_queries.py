@@ -219,8 +219,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join evict click state once the purchase-side watermark passes
     c_ts + 1h, so state is bounded by the interval width, not the stream
     length. Inner-join matches emit as soon as both rows have arrived —
-    no watermark gating on output — so the finite replay yields exactly
-    the batch pair set and the oracle is the batch SQL.
+    no watermark gating on output — so the single-trigger finite replay
+    (availableNow over one batch) yields exactly the batch pair set and
+    the oracle is the batch SQL. Under multi-trigger replay of files NOT
+    ordered by event time, the watermark can evict clicks more than the
+    delay behind max-seen event time before a late purchase arrives —
+    the delay must then be sized from the stream's measured disorder
+    (ev15), which is true of any production watermark choice.
 
     Scale: the canonical funnel/attribution join shape on a live
     pipeline; state per user is one interval of clicks."""
