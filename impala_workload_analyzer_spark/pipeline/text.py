@@ -428,6 +428,77 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx15 — the cleaning-funnel report every data team publishes: doc
+    and token survival through the composed pipeline stages
+    raw -> exact dedup (dd1's canonical keep) -> quality gate (tx2's
+    keep) -> blocklist policy (tx10's no-banned-term pass), each stage
+    filtering the previous one's survivors. One row per stage with
+    counts and the fraction of the raw corpus remaining.
+
+    Scale: one pass computes every per-doc flag in a single projection
+    (+ the dedup min over a digest window); the funnel is then four
+    conditional aggregates over that one stream — no per-stage rescans."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_banned = sum(
+        (F.array_contains("words", t).cast("int") for t in _BLOCKLIST),
+        F.lit(0),
+    )
+    wd = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        F.size("words").cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") == F.min("doc_id").over(wd)).alias("p_dedup"),
+        (
+            (F.size("words") >= 10)
+            & (
+                F.length(F.regexp_replace("norm", "[a-z0-9 ]", ""))
+                / F.length("norm").cast("double") <= 0.2
+            )
+            & (
+                F.size(F.array_distinct("words"))
+                / F.size("words").cast("double") >= 0.2
+            )
+        ).alias("p_quality"),
+        (n_banned == 0).alias("p_policy"),
+    )
+    stages = [
+        ("raw", F.lit(True)),
+        ("exact_dedup", F.col("p_dedup")),
+        ("quality_gate", F.col("p_dedup") & F.col("p_quality")),
+        ("blocklist_policy",
+         F.col("p_dedup") & F.col("p_quality") & F.col("p_policy")),
+    ]
+    agg = flags.agg(
+        F.count("*").alias("raw_docs"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"d{i}")
+            for i, (_, cond) in enumerate(stages)
+        ],
+        *[
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).cast("bigint")
+            .alias(f"t{i}")
+            for i, (_, cond) in enumerate(stages)
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(i + 1).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(f"d{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
+            F.round(F.col(f"d{i}") / F.col("raw_docs").cast("double"), 9)
+            .alias("pct_docs_of_raw"),
+        )
+        for i, (name, _) in enumerate(stages)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 _BOILER_TAU = 0.2  # a 2-gram is boilerplate when it spans >= 20% of a source's docs
 
 
@@ -566,6 +637,49 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx15_pipeline_funnel": f"""
+        WITH d AS (
+          SELECT doc_id, text, {_DUCK_NORM} AS norm, {_DUCK_WORDS} AS words
+          FROM documents),
+        flags AS (
+          SELECT CAST(len(words) AS BIGINT) AS n_tokens,
+                 doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS p_dedup,
+                 (len(words) >= 10
+                  AND length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+                      / CAST(length(norm) AS DOUBLE) <= 0.2
+                  AND len(list_distinct(words))
+                      / CAST(len(words) AS DOUBLE) >= 0.2) AS p_quality,
+                 ({_BLOCK_SUM}) = 0 AS p_policy
+          FROM d),
+        agg AS (
+          SELECT COUNT(*) AS raw_docs,
+                 COUNT(*) AS d0,
+                 CAST(SUM(CASE WHEN p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                 CAST(SUM(CASE WHEN p_dedup AND p_quality THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d2,
+                 CAST(SUM(CASE WHEN p_dedup AND p_quality AND p_policy
+                   THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+                 CAST(SUM(n_tokens) AS BIGINT) AS t0,
+                 CAST(SUM(CASE WHEN p_dedup THEN n_tokens ELSE 0 END)
+                   AS BIGINT) AS t1,
+                 CAST(SUM(CASE WHEN p_dedup AND p_quality THEN n_tokens
+                   ELSE 0 END) AS BIGINT) AS t2,
+                 CAST(SUM(CASE WHEN p_dedup AND p_quality AND p_policy
+                   THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+          FROM flags)
+        SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+               d0 AS n_docs, t0 AS n_tokens,
+               ROUND(d0 / CAST(raw_docs AS DOUBLE), 9) AS pct_docs_of_raw
+        FROM agg
+        UNION ALL
+        SELECT 2, 'exact_dedup', d1, t1,
+               ROUND(d1 / CAST(raw_docs AS DOUBLE), 9) FROM agg
+        UNION ALL
+        SELECT 3, 'quality_gate', d2, t2,
+               ROUND(d2 / CAST(raw_docs AS DOUBLE), 9) FROM agg
+        UNION ALL
+        SELECT 4, 'blocklist_policy', d3, t3,
+               ROUND(d3 / CAST(raw_docs AS DOUBLE), 9) FROM agg""",
     "tx14_vocab_coverage": f"""
         WITH toks AS (
           SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents),
@@ -830,4 +944,5 @@ SPARK_QUERIES = {
     "tx12_mixture_sample": mixture_sample,
     "tx13_boilerplate_stats": boilerplate_stats,
     "tx14_vocab_coverage": vocab_coverage,
+    "tx15_pipeline_funnel": pipeline_funnel,
 }

@@ -774,3 +774,36 @@ def test_streaming_ingest_across_microbatches(spark, sf_dir):
     # identical (query_id, id, name) key set
     key = lambda df: {tuple(r) for r in df.select("query_id", "id", "name").collect()}  # noqa: E731
     assert key(got) == key(batch)
+
+
+def test_pipeline_funnel_consistent_with_component_ops(spark, sf_dir):
+    """tx15: the funnel is monotone non-increasing and each stage's doc
+    count matches the intersection of the component operators' own keep
+    sets (dd1 canonicals, tx2 keep, tx10-style no-banned)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import exact_dedup
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _BLOCKLIST,
+        pipeline_funnel,
+        quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r["stage"]: r for r in pipeline_funnel(spark, sf_dir).collect()}
+    assert [rows[s]["stage_name"] for s in sorted(rows)] == [
+        "raw", "exact_dedup", "quality_gate", "blocklist_policy"]
+    for s in (2, 3, 4):
+        assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
+        assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
+    canon = {r["canonical_doc_id"] for r in exact_dedup(spark, sf_dir).collect()}
+    keep = {r["doc_id"] for r in quality_score(spark, sf_dir).collect() if r["keep"]}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        sum((F.array_contains(F.split(F.expr(
+            "trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "), t)
+            .cast("int") for t in _BLOCKLIST), F.lit(0)).alias("nb"),
+    ).collect()
+    clean = {r["doc_id"] for r in docs if r["nb"] == 0}
+    assert rows[2]["n_docs"] == len(canon)
+    assert rows[3]["n_docs"] == len(canon & keep)
+    assert rows[4]["n_docs"] == len(canon & keep & clean)
