@@ -8,9 +8,9 @@ the last driver run, (b) everything no driver round has ever witnessed,
 (c) the block longest unwitnessed. Round-5 window: the round-5 fix
 targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
 the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
-then the 27 operators new in round 5 — never driver-witnessed, so they
+then the 28 operators new in round 5 — never driver-witnessed, so they
 must consume window slots — then the a/f/pt/dd/sim block whose newest
-green rows date to r02 takes whatever slots remain (7 of 50 this
+green rows date to r02 takes whatever slots remain (6 of 50 this
 round; the rest of that block rotates forward next round). Everything
 past the window holds a green r04-or-earlier row on code the local gate
 (tools/check.py, run at sf0.01 AND sf0.1 this round) re-validates.
