@@ -41,6 +41,7 @@ _PRIORITY = (
     "dd9_semantic_components",
     "st1_streaming_tumbling", "st2_streaming_sessions",
     "st3_stateful_user_stats",
+    "pt2_plan_paths",  # shared tree-walk refactor + format() oracle (r05)
     # --- new in round 5, never driver-witnessed ---
     "ev9_retention_cohorts", "ev10_funnel_conversion",
     "sim7_embedding_quantize", "st4_streaming_dedup",
@@ -65,7 +66,7 @@ _PRIORITY = (
     "a14_abs_time_pct_per_operator",
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
-    "pt1_plan_edges", "pt2_plan_paths",
+    "pt1_plan_edges",
     "dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
     "dd4_simhash_signatures", "dd6_simhash_neardup",
     "sim1_brute_force_topk", "sim3_label_centroids", "sim4_ivf_topk",
