@@ -213,6 +213,26 @@ def set1_union_party_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set2_party_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — INTERSECT / EXCEPT subjects: nations with BOTH customers and
+    suppliers (intersect), tagged against nations with customers but no
+    suppliers (except). Spark compiles both to aggregate + semi/anti-join
+    plans; the oracle uses the SQL set operators natively."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).select(
+        "nationkey", F.lit("both").alias("presence")
+    )
+    cust_only = cust.subtract(supp).select(  # EXCEPT DISTINCT
+        "nationkey", F.lit("customer_only").alias("presence")
+    )
+    return both.unionByName(cust_only)
+
+
 def x1_region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS JOIN subject (the corpus audits Impala CROSS JOIN nodes):
     full region × nation grid with a same-region flag."""
@@ -453,6 +473,16 @@ ORACLES = {
         SELECT r_regionkey, r_name, n_nationkey, n_name,
                n_regionkey = r_regionkey AS same_region
         FROM region CROSS JOIN nation""",
+    "set2_party_nation_overlap": """
+        SELECT nationkey, 'both' AS presence FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS presence FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT
+          SELECT s_nationkey FROM supplier)""",
 }
 
 SPARK_QUERIES = {
@@ -470,4 +500,5 @@ SPARK_QUERIES = {
     "o4_topn_orders": o4_topn_orders,
     "set1_union_party_nations": set1_union_party_nations,
     "x1_region_nation_grid": x1_region_nation_grid,
+    "set2_party_nation_overlap": set2_party_nation_overlap,
 }
