@@ -226,6 +226,32 @@ def runtime_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def operator_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a22 — operator co-occurrence matrix: for every unordered pair of
+    operator types, how many queries contain both — the workload-
+    characterization signal behind the reference's clustering features
+    (which operators travel together: scans with exchanges, joins with
+    preaggs). Pairs are ordered name_a < name_b so each appears once.
+
+    Scale: distinct (query, name) first (one shuffle, heavy map-side
+    collapse since plans repeat operators), then a self-join on query_id
+    that reuses the same partitioning; the output is bounded by the
+    operator-type vocabulary squared, not by data."""
+    ops = corpus_operators(spark, sf_dir).select("query_id", "name").distinct()
+    a, b = ops.alias("a"), ops.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .groupBy(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .agg(F.count("*").alias("num_queries"))
+    )
+
+
 def query_num_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 — num_hosts = max over the query's operators
     (profile_analyzer.py:303); output kept alongside the stored value so the
@@ -409,6 +435,12 @@ ORACLES: dict[str, str] = {
                MAX(num_hosts) AS max_hosts
         FROM iwa_queries
         GROUP BY CUBE (query_type, sql_type, cluster)"""),
+    "a22_operator_cooccurrence": with_corpus("""
+        SELECT a.name AS name_a, b.name AS name_b, COUNT(*) AS num_queries
+        FROM (SELECT DISTINCT query_id, name FROM iwa_operators) a
+        JOIN (SELECT DISTINCT query_id, name FROM iwa_operators) b
+          ON a.query_id = b.query_id AND a.name < b.name
+        GROUP BY 1, 2"""),
     "a21_runtime_deciles": with_corpus(f"""
         SELECT query_type, CAST(decile AS BIGINT) AS decile,
                COUNT(*) AS num_queries,
@@ -445,6 +477,7 @@ SPARK_QUERIES = {
     "a15_rollup_by_sql_type": rollup_by_sql_type,
     "a20_workload_cube": workload_cube,
     "a21_runtime_deciles": runtime_deciles,
+    "a22_operator_cooccurrence": operator_cooccurrence,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,
