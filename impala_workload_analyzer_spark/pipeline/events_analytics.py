@@ -528,6 +528,32 @@ def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev16 — weekly seasonality profile: events bucketed into the
+    (day-of-week, hour-of-day) grid per event_type, with counts and the
+    decimal-stable value sum — the traffic-heatmap behind capacity
+    planning and the ev13 baseline choice. Day-of-week and hour derive
+    from pure epoch arithmetic ((days since 1970-01-01 + 4) mod 7 —
+    1970-01-01 was a Thursday) so both engines compute identical
+    integers with no timezone/locale DOW conventions involved.
+
+    Scale: a single partial-agg'd groupBy over a 7x24x|types| key space —
+    collapses almost entirely map-side at any volume."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    return (
+        ev.groupBy(
+            ((F.floor(epoch / 86400) + 4) % 7).cast("bigint").alias("dow"),
+            F.floor((epoch % 86400) / 3600).cast("bigint").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _stable_sum("value").alias("total_value"),
+        )
+    )
+
+
 _RATE_TAU = 2.0    # alert when an hour's count reaches 2x its trailing mean
 _RATE_LOOKBACK = 24  # trailing observed hourly buckets in the baseline
 
@@ -604,6 +630,13 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev16_seasonality_heatmap": """
+        SELECT CAST((FLOOR(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow,
+               CAST(FLOOR((epoch(ts) % 86400) / 3600) AS BIGINT) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2, 3""",
     "ev15_disorder_profile": """
         WITH s AS (
           SELECT event_type, epoch_us(ts) AS us,
@@ -839,4 +872,5 @@ SPARK_QUERIES = {
     "ev13_rate_alerts": rate_alerts,
     "ev14_kmv_distinct": kmv_distinct,
     "ev15_disorder_profile": disorder_profile,
+    "ev16_seasonality_heatmap": seasonality_heatmap,
 }

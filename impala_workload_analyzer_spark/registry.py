@@ -55,6 +55,7 @@ _PRIORITY = (
     "pt3_critical_path", "sim9_lsh_recall", "ev15_disorder_profile",
     "w4_cluster_utilization", "tx15_pipeline_funnel",
     "set2_party_nation_overlap", "a22_operator_cooccurrence",
+    "ev16_seasonality_heatmap",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
