@@ -535,20 +535,20 @@ def knn_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sim9 — ANN quality measurement: recall@k of the banded-LSH top-k
-    (sim2) against the exact top-k (sim1), per query — the acceptance
-    metric an index rollout is gated on. Both inputs are deterministic,
-    so the recall itself is oracle-exact.
+def _recall_vs_exact(spark: SparkSession, sf_dir: str,
+                     approx: DataFrame) -> DataFrame:
+    """Recall@k of an approximate top-k against sim1's exact top-k, per
+    query — the acceptance metric an index rollout is gated on. Both
+    inputs are deterministic, so the recall itself is oracle-exact.
 
     Scale: both sides are k rows per query; the join is query-keyed over
     tiny frames — negligible next to the searches themselves."""
     exact = brute_force_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
-    approx = lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").cast("bigint").alias("n_returned"),
@@ -556,7 +556,7 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hits"),
         )
     )
-    # queries whose LSH candidates were empty still appear, with recall 0;
+    # queries whose candidates were empty still appear, with recall 0;
     # the query-id universe comes from the cheap batch filter, not a
     # second consumer of the brute-force lineage
     all_q = (
@@ -575,6 +575,63 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim9 — recall@k of the banded-LSH top-k (sim2) vs exact (sim1)."""
+    return _recall_vs_exact(spark, sf_dir, lsh_topk(spark, sf_dir))
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim10 — recall@k of the IVF probe search (sim4) vs exact (sim1):
+    the nprobe-vs-recall acceptance curve's measured point at the
+    current _N_PROBE setting."""
+    return _recall_vs_exact(spark, sf_dir, ivf_topk(spark, sf_dir))
+
+
+SIM4_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, embedding, nrm, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                 c_label AS probe_list FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored WHERE vec_id % {_QUERY_MOD} = 0) t
+          WHERE rn <= {_N_PROBE}),
+        sim AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id, a.list_id,
+                 ROUND({_duck_dot('p.qv', 'a.embedding')} / (p.qn * a.nrm), 9) AS sim
+          FROM assign a JOIN probes p ON a.list_id = p.probe_list
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, rank, sim, list_id
+        FROM ranked WHERE rank <= {_TOP_K}"""
 
 
 ORACLES = {
@@ -723,49 +780,38 @@ ORACLES = {
                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM sim)
         SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {_TOP_K}""",
-    "sim4_ivf_topk": f"""
+    "sim4_ivf_topk": SIM4_SQL,
+    "sim10_ivf_recall": f"""
         WITH e AS (
-          SELECT vec_id, label, embedding,
-                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
           FROM embeddings),
-        comp AS (
-          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
-          FROM (SELECT label, unnest(embedding) AS v,
-                       generate_subscripts(embedding, 1) AS pos
-                FROM embeddings)
-          GROUP BY label, pos - 1),
-        cent AS (
-          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
-          FROM comp GROUP BY label),
-        centn AS (
-          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
-        scored AS (
-          SELECT e.vec_id, e.embedding, e.nrm, c.c_label,
-                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
-          FROM e CROSS JOIN centn c),
-        assign AS (
-          SELECT vec_id, embedding, nrm, c_label AS list_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY score DESC, c_label ASC) AS rn
-            FROM scored) t WHERE rn = 1),
-        probes AS (
-          SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
-                 c_label AS probe_list FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY score DESC, c_label ASC) AS rn
-            FROM scored WHERE vec_id % {_QUERY_MOD} = 0) t
-          WHERE rn <= {_N_PROBE}),
-        sim AS (
-          SELECT p.query_id, a.vec_id AS neighbor_id, a.list_id,
-                 ROUND({_duck_dot('p.qv', 'a.embedding')} / (p.qn * a.nrm), 9) AS sim
-          FROM assign a JOIN probes p ON a.list_id = p.probe_list
-          WHERE a.vec_id <> p.query_id),
-        ranked AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
-          FROM sim)
-        SELECT query_id, neighbor_id, rank, sim, list_id
-        FROM ranked WHERE rank <= {_TOP_K}""",
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id % {_QUERY_MOD} = 0),
+        exact_sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        exact_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM exact_sim) WHERE rank <= {_TOP_K}),
+        ivf_top AS (
+          SELECT query_id, neighbor_id FROM ({SIM4_SQL}) t),
+        hits AS (
+          SELECT l.query_id,
+                 COUNT(*) AS n_returned,
+                 CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+          FROM ivf_top l LEFT JOIN exact_top x
+            ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+          GROUP BY l.query_id)
+        SELECT q.query_id,
+               COALESCE(h.n_returned, 0) AS n_returned,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / {_TOP_K}.0, 9) AS recall_at_k
+        FROM (SELECT query_id FROM q) q
+        LEFT JOIN hits h ON h.query_id = q.query_id""",
     "sim6_range_search": f"""
         WITH e AS (
           SELECT vec_id, embedding,
@@ -831,4 +877,5 @@ SPARK_QUERIES = {
     "sim7_embedding_quantize": embedding_quantize,
     "sim8_knn_label_assign": knn_label_assign,
     "sim9_lsh_recall": lsh_recall,
+    "sim10_ivf_recall": ivf_recall,
 }

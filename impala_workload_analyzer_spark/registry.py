@@ -8,10 +8,10 @@ the last driver run, (b) everything no driver round has ever witnessed,
 (c) the block longest unwitnessed. Round-5 window: the round-5 fix
 targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
 the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
-then the 28 operators new in round 5 — never driver-witnessed, so they
-must consume window slots — then the a/f/pt/dd/sim block whose newest
-green rows date to r02 takes whatever slots remain (6 of 50 this
-round; the rest of that block rotates forward next round). Everything
+then the 32 operators new in round 5 — never driver-witnessed, so they
+must consume window slots — which fills the 50-entry window (17 changed
++ 32 new + 1 legacy); the a/f/pt/dd/sim block whose newest green rows
+date to r02 rotates to the front of round 6's window instead. Everything
 past the window holds a green r04-or-earlier row on code the local gate
 (tools/check.py, run at sf0.01 AND sf0.1 this round) re-validates.
 Unlisted names keep module order after the prioritized block, so a new
@@ -55,7 +55,7 @@ _PRIORITY = (
     "pt3_critical_path", "sim9_lsh_recall", "ev15_disorder_profile",
     "w4_cluster_utilization", "tx15_pipeline_funnel",
     "set2_party_nation_overlap", "a22_operator_cooccurrence",
-    "ev16_seasonality_heatmap",
+    "ev16_seasonality_heatmap", "sim10_ivf_recall",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
