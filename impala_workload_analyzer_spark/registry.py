@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = []
-
 _PRIORITY = (
     # --- changed this round (r05): HUGEINT oracle casts (ev3/q3), thrift
     # decode + parse fast paths (ing*, q1 features derive from the same
