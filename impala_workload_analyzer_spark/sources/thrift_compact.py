@@ -626,9 +626,15 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         p += 1
         if ln & 0x80:
             raise _FastMiss
-        raw = data[p : p + ln]
+        # defer the name slice in lean mode: kept names are 12/9 bytes
+        # (RowsReturned/TotalTime), so any other length skips without
+        # allocating the bytes object at all
+        if lean and ln != 12 and ln != 9:
+            raw = None
+        else:
+            raw = data[p : p + ln]
         p += ln
-        if lean and raw not in _LEAN_COUNTERS:
+        if lean and (raw is None or raw not in _LEAN_COUNTERS):
             if data[p] != 0x15:  # field 2 header
                 raise _FastMiss
             p += 1
