@@ -634,7 +634,98 @@ SIM4_SQL = f"""
         FROM ranked WHERE rank <= {_TOP_K}"""
 
 
+_PQ_SUBS = 8        # subspaces: 64-dim -> 8 x 8-dim subvectors
+_PQ_SUBDIM = _DIM // _PQ_SUBS
+_PQ_CODES = 16      # centroids per subspace -> 4 bits/code, 32-bit PQ code
+
+
+def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim11 — PRODUCT QUANTIZATION code assignment (the IVF-PQ memory
+    path: at 100 TB the float vectors don't fit an index, the 4-byte PQ
+    codes do). Each 64-dim vector splits into ``_PQ_SUBS`` subvectors;
+    per subspace, a ``_PQ_CODES``-entry codebook quantizes the subvector
+    to its nearest (L2) centroid id; output is the packed code string
+    plus per-vector reconstruction MSE — the quantization-quality metric
+    a deployment tracks when sizing codebooks.
+
+    The codebook here is the deterministic sample codebook (subvectors
+    of the first ``_PQ_CODES`` vectors) so the DuckDB oracle can mirror
+    it exactly; the production path swaps in per-subspace k-means
+    centroids (sim4's coarse quantizer shows that construction) without
+    changing the assignment plan.
+
+    Scale: the codebook is tiny (_PQ_SUBS x _PQ_CODES rows) and
+    broadcast; assignment is a map-side cross product followed by one
+    groupBy(vec_id, s) partial agg and one groupBy(vec_id) — shuffles
+    keyed by vec_id only, no skew. Distances round to 9 decimals before
+    the argmin (cid tie-break) so cross-engine ties can never diverge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}),"
+                f" s -> slice(embedding, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("s", "sub"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("cid"),
+        F.col("sub").alias("cvec"),
+    )
+    sqd = (
+        "aggregate(zip_with(sub, cvec,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    assigned = (
+        sub.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .withColumn("d", F.round(F.expr(sqd), 9))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("code"), F.col("m.d").alias("err"))
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list(struct(s, code))),"
+            " x -> CAST(x.code AS STRING)))"
+        ).alias("pq_code"),
+        F.round(F.avg("err"), 6).alias("mse"),
+    )
+
+
+_SIM11_SQL = f"""
+        WITH sub AS (
+          SELECT vec_id, ss.s,
+                 list_slice(embedding, ss.s * {_PQ_SUBDIM} + 1,
+                            ss.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBS})) AS s) ss),
+        cb AS (
+          SELECT s AS cs, vec_id AS cid, sub AS cvec
+          FROM sub WHERE vec_id < {_PQ_CODES}),
+        joined AS (
+          SELECT sub.vec_id, sub.s, cb.cid,
+                 ROUND(list_reduce(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                   i -> (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+                      * (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))),
+                   (x, y) -> x + y), 9) AS d
+          FROM sub JOIN cb ON sub.s = cb.cs),
+        a AS (
+          SELECT vec_id, s, cid, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                    ORDER BY d, cid) AS rn
+          FROM joined)
+        SELECT vec_id,
+               string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS pq_code,
+               ROUND(AVG(d), 6) AS mse
+        FROM a WHERE rn = 1
+        GROUP BY vec_id"""
+
+
 ORACLES = {
+    "sim11_pq_assign": _SIM11_SQL,
     "sim9_lsh_recall": f"""
         WITH e AS (
           SELECT vec_id, embedding,
@@ -878,4 +969,5 @@ SPARK_QUERIES = {
     "sim8_knn_label_assign": knn_label_assign,
     "sim9_lsh_recall": lsh_recall,
     "sim10_ivf_recall": ivf_recall,
+    "sim11_pq_assign": pq_assign,
 }

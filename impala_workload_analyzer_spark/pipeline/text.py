@@ -623,6 +623,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx16 — corpus-bigram log-probability scoring: the KenLM-filter
+    shape one order up from tx6's unigram gate. The corpus trains an
+    add-one-smoothed bigram LM (context counts derived from the bigram
+    table itself, vocabulary = distinct continuation tokens), and each
+    document scores its mean conditional log-probability
+    ln((c(w1,w2)+1) / (c(w1,·)+V)). Repetitive/templated text scores
+    high, token-salad scores low — the standard second-order quality
+    gate (tx6 catches rare TOKENS; tx16 catches improbable TRANSITIONS).
+
+    Scale: one groupBy over the exploded bigram stream builds the model
+    (bigram vocab ~ V^2 worst case but Zipf-bounded in practice); the
+    scoring join broadcasts the model dims, then one groupBy(doc_id).
+    ln() rounds to 6 decimals before the cross-engine compare."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    bi = (
+        docs.filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> concat(words[i-1], ' ', words[i]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    v = bi.select(
+        F.substring_index("bg", " ", -1).alias("w2")
+    ).agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bi.join(F.broadcast(c2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -927,6 +980,24 @@ ORACLES = {
                  AS avg_logprob
         FROM toks JOIN vocab USING (word), tot
         GROUP BY doc_id""",
+    "tx16_bigram_logprob": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(words)),
+                   i -> words[i] || ' ' || words[i+1])) AS bg
+          FROM d WHERE len(words) >= 2),
+        c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+               FROM c2 GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v FROM bi)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 6)
+                 AS avg_logprob
+        FROM bi
+        JOIN c2 USING (bg)
+        JOIN c1 ON split_part(bg, ' ', 1) = c1.w1, v
+        GROUP BY doc_id""",
 }
 
 SPARK_QUERIES = {
@@ -937,6 +1008,7 @@ SPARK_QUERIES = {
     "tx4_winnow_fingerprints": winnow_fingerprints,
     "tx5_stratified_split": stratified_split,
     "tx6_unigram_logprob": unigram_logprob,
+    "tx16_bigram_logprob": bigram_logprob,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
     "tx10_blocklist_policy": blocklist_policy,

@@ -807,3 +807,42 @@ def test_pipeline_funnel_consistent_with_component_ops(spark, sf_dir):
     assert rows[2]["n_docs"] == len(canon)
     assert rows[3]["n_docs"] == len(canon & keep)
     assert rows[4]["n_docs"] == len(canon & keep & clean)
+
+
+def test_bigram_logprob_negative_and_counts_match(spark, sf_dir):
+    """tx16: one score per multi-token document, n_bigrams = n_tokens - 1
+    (every adjacent pair scores), every mean log-probability negative."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        bigram_logprob,
+        token_stats,
+    )
+
+    ntok = {r["doc_id"]: r["n_tokens"] for r in token_stats(spark, sf_dir).collect()}
+    rows = bigram_logprob(spark, sf_dir).collect()
+    assert len(rows) == sum(1 for n in ntok.values() if n >= 2)
+    for r in rows:
+        assert r["n_bigrams"] == ntok[r["doc_id"]] - 1
+        assert r["avg_logprob"] < 0
+
+
+def test_pq_assign_codes_valid_and_codebook_exact(spark, sf_dir):
+    """sim11: every PQ code is _PQ_SUBS ids in [0, _PQ_CODES); the
+    codebook's own sample vectors reconstruct exactly (mse = 0, code i
+    in every subspace); every other vector has non-negative mse."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _PQ_CODES,
+        _PQ_SUBS,
+        pq_assign,
+    )
+
+    rows = pq_assign(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        parts = [int(p) for p in r["pq_code"].split("-")]
+        assert len(parts) == _PQ_SUBS
+        assert all(0 <= p < _PQ_CODES for p in parts)
+        assert r["mse"] >= 0.0
+        if r["vec_id"] < _PQ_CODES:
+            assert r["mse"] == 0.0
+            assert parts == [r["vec_id"]] * _PQ_SUBS

@@ -144,3 +144,26 @@ def test_ev12_broadcasts_stats_no_event_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev12_anomaly_zscore")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sim11_codebook_broadcast_vecid_shuffles_only(spark, sf_dir):
+    """PQ assignment: the codebook side must broadcast (it is _PQ_SUBS x
+    _PQ_CODES rows at any corpus size); the only exchanges are the two
+    vec_id-keyed aggs — a full-corpus SortMergeJoin here would mean the
+    codebook stopped broadcasting."""
+    plan = _plan(spark, sf_dir, "sim11_pq_assign")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln and "broadcast" not in ln.lower()]
+    assert len(shuffles) <= 2, plan
+
+
+def test_tx16_model_dims_broadcast(spark, sf_dir):
+    """Bigram LM scoring: the c2/c1/V model tables join back to the
+    bigram stream via broadcast — the stream itself shuffles only for
+    the model-building aggs and the final per-doc agg."""
+    plan = _plan(spark, sf_dir, "tx16_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
