@@ -79,37 +79,137 @@ def _memo_str_int(fn):
     return wrapped
 
 
+# The regexes above are the spec (faithful ports of the reference's
+# parsers); the _pp_* hot paths below hand-scan the same grammar because
+# they run ~40x per profile x 150k profiles per ingest and the synthetic
+# corpus defeats the memo (random values rarely repeat). Any input the
+# scanner doesn't recognize falls back to the regex spec, and well-formed
+# inputs accumulate float terms in the same descending-unit order, so the
+# results are bit-identical (pinned by the f1-f3 round-trip oracles).
+
+
+def _scan_num(s: str, i: int, n: int, signed: bool) -> tuple[float, int]:
+    j = i
+    if signed and j < n and s[j] == "-":
+        j += 1
+    k = j
+    while k < n and (s[k] in "0123456789."):
+        k += 1
+    if k == j:
+        raise ValueError(s)
+    return float(s[i:k]), k
+
+
 @_memo_str_int
 def _pp_size(s: str) -> int:
-    g = _SIZE_RE.match(s).groupdict()
-    total = 0.0
-    for key, mult in (("GB", 1024**3), ("MB", 1024**2), ("KB", 1024), ("B", 1)):
-        if g[key] is not None:
-            total += float(g[key]) * mult
-    return int(total)
+    try:
+        total = 0.0
+        i, n = 0, len(s)
+        rank = -1  # units must appear in strictly descending order (spec)
+        while i < n:
+            signed = s[i] == "-"
+            num, j = _scan_num(s, i, n, signed=True)
+            if j < n and s[j] == " ":
+                j += 1
+            if j < n and s[j] == "G" and s[j + 1 : j + 2] == "B" and rank < 0 and not signed:
+                total += num * 1024**3
+                i, rank = j + 2, 0
+            elif j < n and s[j] == "M" and s[j + 1 : j + 2] == "B" and rank < 1 and not signed:
+                total += num * 1024**2
+                i, rank = j + 2, 1
+            elif j < n and s[j] == "K" and s[j + 1 : j + 2] == "B" and rank < 2 and not signed:
+                total += num * 1024
+                i, rank = j + 2, 2
+            elif j < n and s[j] == "B" and rank < 3:  # sign allowed here
+                total += num
+                i, rank = j + 1, 3
+            elif j == n and s[i:j] == "0":  # the bare-"0" literal
+                i = j
+            else:
+                raise ValueError(s)
+        return int(total)
+    except (ValueError, IndexError):
+        g = _SIZE_RE.match(s).groupdict()
+        total = 0.0
+        for key, mult in (("GB", 1024**3), ("MB", 1024**2), ("KB", 1024), ("B", 1)):
+            if g[key] is not None:
+                total += float(g[key]) * mult
+        return int(total)
 
 
 @_memo_str_int
 def _pp_number(s: str) -> int:
-    g = _NUM_RE.match(s).groupdict()
-    total = 0.0
-    for key, mult in (("B", 10**9), ("M", 10**6), ("K", 10**3), ("S", 1)):
-        if g[key] is not None:
-            total += float(g[key]) * mult
-    return int(total)
+    try:
+        total = 0.0
+        i, n = 0, len(s)
+        rank = -1
+        while i < n:
+            signed = s[i] == "-"
+            num, j = _scan_num(s, i, n, signed=True)
+            if j < n and s[j] == "B" and rank < 0 and not signed:
+                total += num * 10**9
+                i, rank = j + 1, 0
+            elif j < n and s[j] == "M" and rank < 1 and not signed:
+                total += num * 10**6
+                i, rank = j + 1, 1
+            elif j < n and s[j] == "K" and rank < 2 and not signed:
+                total += num * 10**3
+                i, rank = j + 1, 2
+            elif j == n:  # bare scalar tail (sign allowed)
+                total += num
+                i = j
+            else:
+                raise ValueError(s)
+        return int(total)
+    except (ValueError, IndexError):
+        g = _NUM_RE.match(s).groupdict()
+        total = 0.0
+        for key, mult in (("B", 10**9), ("M", 10**6), ("K", 10**3), ("S", 1)):
+            if g[key] is not None:
+                total += float(g[key]) * mult
+        return int(total)
 
 
 @_memo_str_int
 def _pp_time(s: str) -> int:
-    g = _TIME_RE.match(s).groupdict()
-    total = 0.0
-    for key, mult in (
-        ("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
-        ("ms", 10**6), ("us", 10**3), ("ns", 1),
-    ):
-        if g[key] is not None:
-            total += float(g[key]) * mult
-    return int(total)
+    try:
+        total = 0.0
+        i, n = 0, len(s)
+        rank = -1
+        while i < n:
+            num, j = _scan_num(s, i, n, signed=False)
+            c = s[j] if j < n else ""
+            if c == "h" and rank < 0:
+                total += num * (3600 * 10**9)
+                i, rank = j + 1, 0
+            elif c == "m" and s[j + 1 : j + 2] != "s" and rank < 1:
+                total += num * (60 * 10**9)
+                i, rank = j + 1, 1
+            elif c == "s" and rank < 2:
+                total += num * 10**9
+                i, rank = j + 1, 2
+            elif c == "m" and s[j + 1 : j + 2] == "s" and rank < 3:  # "ms"
+                total += num * 10**6
+                i, rank = j + 2, 3
+            elif c == "u" and s[j + 1 : j + 2] == "s" and rank < 4:
+                total += num * 10**3
+                i, rank = j + 2, 4
+            elif c == "n" and s[j + 1 : j + 2] == "s" and rank < 5:
+                total += num
+                i, rank = j + 2, 5
+            else:
+                raise ValueError(s)
+        return int(total)
+    except (ValueError, IndexError):
+        g = _TIME_RE.match(s).groupdict()
+        total = 0.0
+        for key, mult in (
+            ("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
+            ("ms", 10**6), ("us", 10**3), ("ns", 1),
+        ):
+            if g[key] is not None:
+                total += float(g[key]) * mult
+        return int(total)
 
 
 _EXEC_RE = re.compile(

@@ -793,28 +793,70 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         if n:
             if data[p] != (CT_BINARY << 4) | CT_BINARY:
                 raise _FastMiss
-            pos = p + 1
             if lean and not keep_info:
                 # only the Summary node's info strings are ever read
                 # (profiles.parse_profile: tree.nodes[1].info_strings);
-                # instance-node info is harvested but never emitted
-                for _ in range(n):
-                    skip_s()
-                    skip_s()
+                # instance-node info is harvested but never emitted.
+                # Inlined skip: 2n strings per node through a closure-free
+                # loop (skip_s costs two closure calls per string, ~130
+                # strings/profile — measurable at 150k profiles)
+                q = p + 1
+                for _ in range(2 * n):
+                    ln = data[q]
+                    q += 1
+                    if ln & 0x80:
+                        ln &= 0x7F
+                        shift = 7
+                        while True:
+                            b = data[q]
+                            q += 1
+                            ln |= (b & 0x7F) << shift
+                            if not b & 0x80:
+                                break
+                            shift += 7
+                    q += ln
+                p = q
             else:
+                pos = p + 1
                 out.info_strings = {ri(): rs() for _ in range(n)}
-            p = pos
+                p = pos
         # field 7: list<string> display order, delta 1
         if data[p] != 0x19:
             raise _FastMiss
-        pos = p + 1
-        size = coll(CT_BINARY)
+        h = data[p + 1]
+        q = p + 2
+        if h & 0x0F != CT_BINARY:
+            raise _FastMiss
+        size = h >> 4
+        if size == 0xF:
+            size = shift = 0
+            while True:
+                b = data[q]
+                q += 1
+                size |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
         if lean:
-            for _ in range(size):
-                skip_s()
+            for _ in range(size):  # closure-free string skip
+                ln = data[q]
+                q += 1
+                if ln & 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = data[q]
+                        q += 1
+                        ln |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                q += ln
+            p = q
         else:
+            pos = q
             out.info_strings_display_order = [rs() for _ in range(size)]
-        p = pos
+            p = pos
         # field 8: map<string,set<string>> child counters, delta 1
         if data[p] != 0x1B:
             raise _FastMiss
@@ -834,19 +876,51 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
         if n:
             if data[p] != (CT_BINARY << 4) | CT_SET:
                 raise _FastMiss
-            pos = p + 1
             if lean:
-                for _ in range(n):
-                    skip_s()
-                    for _ in range(coll(CT_BINARY)):
-                        skip_s()
+                q = p + 1
+                for _ in range(n):  # key string, then set<string>
+                    remaining = 1
+                    first = True
+                    while remaining:
+                        ln = data[q]
+                        q += 1
+                        if ln & 0x80:
+                            ln &= 0x7F
+                            shift = 7
+                            while True:
+                                b = data[q]
+                                q += 1
+                                ln |= (b & 0x7F) << shift
+                                if not b & 0x80:
+                                    break
+                                shift += 7
+                        q += ln
+                        remaining -= 1
+                        if first:  # after the key: read the set header
+                            first = False
+                            h = data[q]
+                            q += 1
+                            if h & 0x0F != CT_BINARY:
+                                raise _FastMiss
+                            remaining = h >> 4
+                            if remaining == 0xF:
+                                remaining = shift = 0
+                                while True:
+                                    b = data[q]
+                                    q += 1
+                                    remaining |= (b & 0x7F) << shift
+                                    if not b & 0x80:
+                                        break
+                                    shift += 7
+                p = q
             else:
+                pos = p + 1
                 ccm = {}
                 for _ in range(n):
                     k = ri()
                     ccm[k] = [ri() for _ in range(coll(CT_BINARY))]
                 out.child_counters_map = ccm
-            p = pos
+                p = pos
         # --- optional tail: fields 9/10 then STOP ---
         pos = p
         last = 8
