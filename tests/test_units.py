@@ -67,3 +67,71 @@ def test_cluster_id_is_order_insensitive(spark):
     vals = [r[0] for r in df.select(units.cluster_id(F.col("hosts"))).collect()]
     assert vals[0] == vals[1]
     assert len(vals[0]) == 32
+
+
+def test_pp_scanners_match_regex_spec():
+    """The hand-scanned _pp_* hot paths must agree with the regex spec
+    (the faithful reference ports) on any well-formed pretty-printed
+    string — same floats, same accumulation order, bit-identical ints."""
+    import random
+
+    from impala_workload_analyzer_spark.sources import profiles as P
+
+    def spec_size(s):
+        g = P._SIZE_RE.match(s).groupdict()
+        t = 0.0
+        for k, m in (("GB", 1024**3), ("MB", 1024**2), ("KB", 1024), ("B", 1)):
+            if g[k] is not None:
+                t += float(g[k]) * m
+        return int(t)
+
+    def spec_num(s):
+        g = P._NUM_RE.match(s).groupdict()
+        t = 0.0
+        for k, m in (("B", 10**9), ("M", 10**6), ("K", 10**3), ("S", 1)):
+            if g[k] is not None:
+                t += float(g[k]) * m
+        return int(t)
+
+    def spec_time(s):
+        g = P._TIME_RE.match(s).groupdict()
+        t = 0.0
+        for k, m in (("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9),
+                     ("ms", 10**6), ("us", 10**3), ("ns", 1)):
+            if g[k] is not None:
+                t += float(g[k]) * m
+        return int(t)
+
+    rnd = random.Random(7)
+
+    def num():
+        return rnd.choice([str(rnd.randint(0, 999)),
+                           f"{rnd.uniform(0, 999):.1f}",
+                           f"{rnd.uniform(0, 9):.2f}"])
+
+    for _ in range(5000):
+        parts = []
+        for unit in ("GB", "MB", "KB"):
+            if rnd.random() < .4:
+                parts.append(num() + (" " if rnd.random() < .5 else "") + unit)
+        if rnd.random() < .4:
+            parts.append(("-" if rnd.random() < .2 else "") + num()
+                         + (" " if rnd.random() < .5 else "") + "B")
+        s = "".join(parts) if parts else rnd.choice(["", "0"])
+        assert spec_size(s) == P._pp_size(s), s
+
+        parts = []
+        for unit in ("B", "M", "K"):
+            if rnd.random() < .4:
+                parts.append(num() + unit)
+        if rnd.random() < .4:
+            parts.append(("-" if rnd.random() < .2 else "") + num())
+        s = "".join(parts)
+        assert spec_num(s) == P._pp_number(s), s
+
+        parts = []
+        for unit in ("h", "m", "s", "ms", "us", "ns"):
+            if rnd.random() < .35:
+                parts.append(num() + unit)
+        s = "".join(parts)
+        assert spec_time(s) == P._pp_time(s), s
