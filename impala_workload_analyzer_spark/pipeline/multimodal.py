@@ -24,7 +24,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -144,7 +144,99 @@ def decode_image_real(payload: bytes):  # pragma: no cover - env has no codecs
     return Image.open(payload)  # pragma: no cover
 
 
+_MM_PACK_BUDGET = 512   # token budget per assembled multimodal sample bin
+_MM_PACK_SHARDS = 32    # packing is shard-local, same trade as tx9
+_MM_PATCH = 16          # ViT-style patch edge: image tokens = ceil(w/p)*ceil(h/p)
+
+
+def multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm4 — multimodal SAMPLE ASSEMBLY: join each document's text-token
+    count with its image's patch-token count (ViT accounting:
+    ceil(w/patch) x ceil(h/patch)), then greedy-pack the combined budgets
+    into fixed-size training bins exactly like tx9 — the packer a VLM
+    pre-training pipeline runs, where an image consumes sequence
+    positions just like text. Output is one row per (shard, bin) with the
+    modality split of its fill.
+
+    Scale: the doc⋈media join is keyed by the shared id (broadcast at
+    fixture scale, a co-partitioned shuffle join at 100 TB); packing is
+    SHARD-LOCAL (hash shards, within-shard window, grouped agg) — no
+    global sort at any size, same flat plan as tx9."""
+    from .text import _SPARK_H, _SPARK_NORM  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.expr(_SPARK_NORM), " ")).cast("bigint").alias("text_tokens"),
+    )
+    media = media_table(spark, sf_dir).select(
+        "media_id",
+        (
+            F.ceil(F.col("meta.width") / float(_MM_PATCH))
+            * F.ceil(F.col("meta.height") / float(_MM_PATCH))
+        ).cast("bigint").alias("image_tokens"),
+    )
+    samples = (
+        docs.join(media, docs.doc_id == media.media_id)
+        .select(
+            "doc_id", "text_tokens", "image_tokens",
+            F.least(
+                F.col("text_tokens") + F.col("image_tokens"),
+                F.lit(_MM_PACK_BUDGET),
+            ).alias("n_tokens"),  # oversize samples truncate to one full bin
+            (
+                F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+                % _MM_PACK_SHARDS
+            ).alias("shard"),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = samples.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", ((F.col("cum") - 1) / F.lit(_MM_PACK_BUDGET)).cast("bigint")
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("text_tokens").alias("text_tokens"),
+        F.sum("image_tokens").alias("image_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _mm4_oracle() -> str:
+    from .text import _DUCK_H, _DUCK_NORM  # noqa: PLC0415
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split({_DUCK_NORM}, ' ')) AS BIGINT)
+                   AS text_tokens,
+                 CAST(ceil((16 + n_chars % 64) / {float(_MM_PATCH)})
+                    * ceil((16 + (n_chars * 7) % 48) / {float(_MM_PATCH)})
+                      AS BIGINT) AS image_tokens,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")}
+                   % {_MM_PACK_SHARDS} AS shard
+          FROM documents),
+        s AS (
+          SELECT *, LEAST(text_tokens + image_tokens, {_MM_PACK_BUDGET})
+                      AS n_tokens
+          FROM d),
+        packed AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY n_tokens DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s)
+        SELECT shard,
+               CAST((cum - 1) // {_MM_PACK_BUDGET} AS BIGINT) AS bin,
+               COUNT(*) AS n_samples,
+               CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+               CAST(SUM(image_tokens) AS BIGINT) AS image_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM packed GROUP BY 1, 2"""
+
+
 ORACLES = {
+    "mm4_multimodal_packing": _mm4_oracle(),
     "mm1_image_features": """
         SELECT doc_id AS media_id,
                16 + n_chars % 64 AS width,
@@ -176,4 +268,5 @@ SPARK_QUERIES = {
     "mm1_image_features": image_features,
     "mm2_frame_samples": frame_samples,
     "mm3_audio_stats": audio_stats,
+    "mm4_multimodal_packing": multimodal_packing,
 }

@@ -846,3 +846,25 @@ def test_pq_assign_codes_valid_and_codebook_exact(spark, sf_dir):
         if r["vec_id"] < _PQ_CODES:
             assert r["mse"] == 0.0
             assert parts == [r["vec_id"]] * _PQ_SUBS
+
+
+def test_multimodal_packing_budget_and_coverage(spark, sf_dir):
+    """mm4: every sample lands in exactly one bin; bins never exceed the
+    budget except a single-sample oversize bin; the modality split sums
+    to at least the capped total (caps only ever shrink n_tokens)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.multimodal import (
+        _MM_PACK_BUDGET,
+        multimodal_packing,
+    )
+
+    rows = multimodal_packing(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_samples"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_samples"] >= 1
+        assert r["text_tokens"] + r["image_tokens"] >= r["total_tokens"]
+        if r["n_samples"] > 1:
+            # multi-sample bins respect the budget up to the one sample
+            # whose cumsum crosses the boundary (chunked-greedy rule)
+            assert r["total_tokens"] < 2 * _MM_PACK_BUDGET
