@@ -492,6 +492,59 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4       # hash rows
+_CMS_W = 256     # buckets per row
+_CMS_TOP = 20    # report the top-N true heavy hitters
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev17 — COUNT-MIN SKETCH per-user event counts next to exact truth:
+    a _CMS_D x _CMS_W sketch built in one pass, then each key's estimate
+    = min over rows of its bucket count (Cormode & Muthukrishnan 2005).
+    Output: the top-_CMS_TOP true heavy hitters with true count, CMS
+    estimate, and the overestimate (always >= 0 — the sketch's one-sided
+    guarantee, asserted in tests). Completes the sketch family: a19 GK
+    (rank queries), ev14 KMV (distinct counts), ev17 CMS (point counts).
+
+    Deterministic md5-derived bucket hashes make the sketch itself
+    engine-exact, so the DuckDB oracle checks the sketch, not just the
+    truth. Scale: the build explodes each event into _CMS_D (row, bucket)
+    pairs but partial aggregation collapses them map-side — the shuffle
+    carries at most D x W rows per partition; the finished sketch (1024
+    cells) broadcasts to the probe join, and the truth agg is the one
+    full-data shuffle. The top-N cut is a distributed sort-limit."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(i: int) -> "F.Column":
+        seeded = "CONCAT('%d:', CAST(user_id AS STRING))" % i
+        return F.expr(f"CAST({_H60.format(x=seeded)} % {_CMS_W} AS INT)")
+
+    buckets = F.array(*[bucket(i) for i in range(_CMS_D)])
+    sketch = (
+        ev.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    probes = keys.select(
+        "user_id", "true_count",
+        F.posexplode(buckets).alias("row", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("true_count"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+        .select(
+            "user_id", "true_count", "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+    )
+
+
 def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev15 — event-time disorder profile: per event_type, how far behind
     the running event-time high-water mark late events arrive (arrival
@@ -682,6 +735,35 @@ ORACLES = {
                ROUND(ABS(e - n_distinct) / CAST(n_distinct AS DOUBLE), 6)
                  AS rel_error
         FROM est""",
+    "ev17_cms_heavy_hitters": f"""
+        WITH rows_i AS (SELECT unnest(range(0, {_CMS_D})) AS row_i),
+        b AS (
+          SELECT row_i,
+                 CAST(('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_CMS_W} AS bucket,
+                 user_id
+          FROM events CROSS JOIN rows_i),
+        sketch AS (SELECT row_i, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        keys AS (SELECT user_id, COUNT(*) AS true_count
+                 FROM events GROUP BY 1),
+        probe AS (
+          SELECT k.user_id, k.true_count, MIN(s.c) AS cms_estimate
+          FROM keys k
+          CROSS JOIN rows_i r
+          JOIN sketch s ON s.row_i = r.row_i
+           AND s.bucket = CAST(('0x' || substr(md5(CAST(r.row_i AS VARCHAR)
+                 || ':' || CAST(k.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % {_CMS_W}
+          GROUP BY 1, 2),
+        top AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY true_count DESC,
+                                       user_id ASC) AS rk
+          FROM probe)
+        SELECT user_id, true_count,
+               CAST(cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+        FROM top WHERE rk <= {_CMS_TOP}""",
     "ev13_rate_alerts": f"""
         WITH h AS (
           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
@@ -871,6 +953,7 @@ SPARK_QUERIES = {
     "ev12_anomaly_zscore": anomaly_zscore,
     "ev13_rate_alerts": rate_alerts,
     "ev14_kmv_distinct": kmv_distinct,
+    "ev17_cms_heavy_hitters": cms_heavy_hitters,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

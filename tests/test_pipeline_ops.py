@@ -868,3 +868,18 @@ def test_multimodal_packing_budget_and_coverage(spark, sf_dir):
             # multi-sample bins respect the budget up to the one sample
             # whose cumsum crosses the boundary (chunked-greedy rule)
             assert r["total_tokens"] < 2 * _MM_PACK_BUDGET
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """ev17: the Count-Min estimate is one-sided — estimate >= true count
+    for every reported key, and exact-equal keys dominate at small scale
+    (few collisions in a 4x256 sketch over a small key space)."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "expected top heavy hitters"
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
