@@ -54,10 +54,12 @@ _PRIORITY = (
     "w4_cluster_utilization", "tx15_pipeline_funnel",
     "set2_party_nation_overlap", "a22_operator_cooccurrence",
     "ev16_seasonality_heatmap", "sim10_ivf_recall",
+    # tx16 takes the window's 50th slot (x1 holds a green r02 row on
+    # unchanged code and rotates back to the front of the r06 block)
+    "tx16_bigram_logprob",
     # --- added after the r05 window filled (position 51+): local-gate
     # verified this round, front-loaded into round 6's driver window ---
-    "tx16_bigram_logprob", "sim11_pq_assign", "mm4_multimodal_packing",
-    "ev17_cms_heavy_hitters",
+    "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
