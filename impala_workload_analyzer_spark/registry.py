@@ -8,10 +8,11 @@ the last driver run, (b) everything no driver round has ever witnessed,
 (c) the block longest unwitnessed. Round-5 window: the round-5 fix
 targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
 the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
-then the 32 operators new in round 5 — never driver-witnessed, so they
+then the operators new in round 5 — never driver-witnessed, so they
 must consume window slots — which fills the 50-entry window (17 changed
-+ 32 new + 1 legacy); the a/f/pt/dd/sim block whose newest green rows
-date to r02 rotates to the front of round 6's window instead. Everything
++ 33 new); sim11/mm4/ev17 landed after it filled and queue at 51+ for
+round 6, and the a/f/pt/dd/sim block whose newest green rows
+date to r02 rotates to the front of round 6's window too. Everything
 past the window holds a green r04-or-earlier row on code the local gate
 (tools/check.py, run at sf0.01 AND sf0.1 this round) re-validates.
 Unlisted names keep module order after the prioritized block, so a new
