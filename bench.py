@@ -60,6 +60,10 @@ HEADLINERS = (
     "tx13_boilerplate_stats",
     "dd10_incremental_dedup",
     "ev13_rate_alerts",
+    "tx16_bigram_logprob",
+    "sim11_pq_assign",
+    "mm4_multimodal_packing",
+    "ev17_cms_heavy_hitters",
 )
 
 
