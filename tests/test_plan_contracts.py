@@ -167,3 +167,26 @@ def test_tx16_model_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx16_bigram_logprob")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ev17_sketch_broadcasts_to_probe(spark, sf_dir):
+    """CMS: the finished sketch (D x W cells, constant size) must join
+    the probe side via broadcast — a sort-merge join here would mean the
+    sketch is being treated as data-sized."""
+    plan = _plan(spark, sf_dir, "ev17_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mm4_takes_shard_local_plan(spark, sf_dir):
+    """Multimodal packing: the doc-media join broadcasts at fixture
+    scale and packing stays shard-local — no global sort over samples
+    (the only Sort allowed is inside the shard-partitioned window)."""
+    plan = _plan(spark, sf_dir, "mm4_multimodal_packing")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln and "broadcast" not in ln.lower()]
+    assert len(shuffles) <= 2, plan
