@@ -205,7 +205,54 @@ def critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def plan_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt4 — canonical PLAN-SHAPE FINGERPRINTING: each query's plan tree
+    renders to a canonical token string (operators in id order as
+    id:name:parent) and hashes to a fingerprint; grouping by fingerprint
+    collapses the workload into its distinct plan shapes — the
+    workload-dedup view of the reference's query parameterization (Q5),
+    applied to plans instead of SQL text. One row per distinct shape
+    with its population and a representative query.
+
+    Scale: one groupBy(query_id) builds the canonical strings (operator
+    lists are plan-sized, tiny per group), one groupBy(fingerprint)
+    rolls up — two shuffles, the second over shape-cardinality rows."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "parent_id"
+    )
+    per_q = ops.groupBy("query_id").agg(
+        F.md5(
+            F.expr(
+                "concat_ws('|', transform("
+                " array_sort(collect_list(struct(id, name,"
+                "   coalesce(parent_id, -1) AS p))),"
+                " x -> concat_ws(':', CAST(x.id AS STRING), x.name,"
+                "   CAST(x.p AS STRING))))"
+            )
+        ).alias("fingerprint"),
+        F.count("*").alias("n_ops"),
+    )
+    return per_q.groupBy("fingerprint", "n_ops").agg(
+        F.count("*").alias("n_queries"),
+        F.min("query_id").alias("example_query_id"),
+    )
+
+
 ORACLES = {
+    "pt4_plan_fingerprints": with_corpus("""
+        , per_op AS (
+          SELECT query_id, id,
+                 CAST(id AS VARCHAR) || ':' || name || ':'
+                   || CAST(COALESCE(parent_id, -1) AS VARCHAR) AS tok
+          FROM iwa_operators),
+        per_q AS (
+          SELECT query_id,
+                 md5(string_agg(tok, '|' ORDER BY id)) AS fingerprint,
+                 COUNT(*) AS n_ops
+          FROM per_op GROUP BY query_id)
+        SELECT fingerprint, n_ops, COUNT(*) AS n_queries,
+               MIN(query_id) AS example_query_id
+        FROM per_q GROUP BY 1, 2"""),
     "pt3_critical_path": with_corpus("""
         , edges AS (
           SELECT o.query_id, p.id AS parent_op, o.id
@@ -301,4 +348,5 @@ SPARK_QUERIES = {
     "pt1_plan_edges": plan_edges,
     "pt2_plan_paths": plan_paths,
     "pt3_critical_path": critical_path,
+    "pt4_plan_fingerprints": plan_fingerprints,
 }

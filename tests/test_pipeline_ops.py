@@ -898,3 +898,17 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         assert r["bloom_misses"] == 0
         assert r["bloom_positive"] == r["n_dup"] + r["false_positives"]
         assert r["n_dup"] + r["false_positives"] <= r["n_new"]
+
+
+def test_plan_fingerprints_partition_workload(spark, sf_dir):
+    """pt4: fingerprints partition the workload — group populations sum
+    to the number of profiled queries, and every group's n_ops is
+    positive (a fingerprint of an empty plan cannot exist)."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.plans.draw_plan import plan_fingerprints
+
+    rows = plan_fingerprints(spark, sf_dir).collect()
+    total = corpus_operators(spark, sf_dir).select("query_id").distinct().count()
+    assert sum(r["n_queries"] for r in rows) == total
+    assert len({r["fingerprint"] for r in rows}) == len(rows)
+    assert all(r["n_ops"] > 0 for r in rows)
