@@ -576,7 +576,12 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
     if lines.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         lines = lines.repartition(spark.sparkContext.defaultParallelism)
 
-    out = lines.mapInArrow(arrow_parser(which, schema), schema=schema)
+    # mapInPandas, deliberately: a mapInArrow twin emitting RecordBatch
+    # via pa.array() benched SLOWER end to end (best-of-3 5.63 s vs
+    # 4.96 s on sf0.1 operators) — Spark's pandas->Arrow serializer
+    # converts the object-Series columns faster than per-batch pa.array
+    # over Python lists. Measured r05; see commit for the A/B.
+    out = lines.mapInPandas(batch_parser(which, schema), schema=schema)
     if which in ("operators", "fragments"):
         # S8: replaces the unique (query_id, id) index (profile_analyzer.py:15-21)
         out = out.dropDuplicates(["query_id", "id"])
@@ -608,43 +613,11 @@ def _parse_rows(which: str, blobs, tags) -> list[tuple]:
     return rows
 
 
-_PA_TYPES = {T.LongType(): "int64", T.StringType(): "string",
-             T.DoubleType(): "float64"}
-
-
-def arrow_parser(which: str, schema: T.StructType):
-    """The batch-ingest decode+parse worker as a ``mapInArrow`` stage:
-    emitting ``pa.RecordBatch`` directly skips the pandas object-Series
-    detour on BOTH sides of the worker (~3x faster emission measured on
-    the 28-column operators schema at 150k profiles/run)."""
-    import pyarrow as pa  # noqa: PLC0415
-
-    pa_schema = pa.schema(
-        [(f.name, getattr(pa, _PA_TYPES[f.dataType])()) for f in schema.fields]
-    )
-
-    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        for rb in batches:
-            rows = _parse_rows(
-                which, rb.column("blob").to_pylist(), rb.column("tag").to_pylist()
-            )
-            if not rows:
-                continue
-            cols = list(zip(*rows))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=t) for c, t in zip(cols, pa_schema.types)],
-                schema=pa_schema,
-            )
-
-    return run
-
-
 def batch_parser(which: str, schema: T.StructType):
-    """The same worker as ``arrow_parser`` yielding pandas frames — kept
-    for the streaming ingest (``streaming.stream_queries.
-    streaming_profile_ingest``), whose ``mapInPandas`` stage produces
-    identical rows (that equality is what the stream's ing1-oracle check
-    pins)."""
+    """The decode+parse Arrow-batch worker, shared by the batch ingest
+    (``_parse_table``) and the streaming ingest
+    (``streaming.stream_queries.streaming_profile_ingest``) — identical
+    rows either way, which is what the stream's ing1-oracle check pins."""
     col_names = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
