@@ -400,7 +400,53 @@ _ST2_ORACLE = f"""
 
 from ..sources.profiles import ORACLES as _ING_ORACLES  # noqa: E402
 
+def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st8 — ev17's Count-Min sketch maintained as a STREAMING
+    aggregation: each micro-batch folds its events into the D x W cell
+    counts (complete mode emits the finished sketch at end-of-stream,
+    identical to the batch build — that equality is the oracle). This is
+    the sketch's whole point as streaming state: the store holds at most
+    D x W rows regardless of key cardinality or stream length, so the
+    heavy-hitter estimate survives unbounded streams with bounded
+    memory; the probe side stays ev17's batch join."""
+    from ..pipeline.events_analytics import _CMS_D, _CMS_W, _H60  # noqa: PLC0415
+
+    ev = _stream_events(spark, sf_dir)
+
+    def bucket(i: int):
+        seeded = "CONCAT('%d:', CAST(user_id AS STRING))" % i
+        return F.expr(f"CAST({_H60.format(x=seeded)} % {_CMS_W} AS INT)")
+
+    buckets = F.array(*[bucket(i) for i in range(_CMS_D)])
+    agg = (
+        ev.select(F.posexplode(buckets).alias("hash_row", "bucket"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    _run_to_memory(agg, "st8_out", "complete")
+    return spark.table("st8_out").select(
+        F.col("hash_row").cast("bigint").alias("hash_row"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "c",
+    )
+
+
+def _st8_oracle() -> str:
+    from ..pipeline.events_analytics import _CMS_D, _CMS_W  # noqa: PLC0415
+
+    return f"""
+        WITH rows_i AS (SELECT unnest(range(0, {_CMS_D})) AS row_i)
+        SELECT row_i AS hash_row,
+               CAST(('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % {_CMS_W} AS bucket,
+               COUNT(*) AS c
+        FROM events CROSS JOIN rows_i
+        GROUP BY 1, 2"""
+
+
 ORACLES = {
+    "st8_streaming_cms": _st8_oracle(),
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
     "st1_streaming_tumbling": _EV1_ORACLE,
     "st2_streaming_sessions": _ST2_ORACLE,
@@ -445,4 +491,5 @@ SPARK_QUERIES = {
     "st5_streaming_anomaly": streaming_anomaly,
     "st6_streaming_ingest": streaming_profile_ingest,
     "st7_streaming_interval_join": streaming_interval_join,
+    "st8_streaming_cms": streaming_cms,
 }

@@ -912,3 +912,36 @@ def test_plan_fingerprints_partition_workload(spark, sf_dir):
     assert sum(r["n_queries"] for r in rows) == total
     assert len({r["fingerprint"] for r in rows}) == len(rows)
     assert all(r["n_ops"] > 0 for r in rows)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
+    """st8: the streaming-maintained CMS must equal the batch build cell
+    for cell, and its cell count respects the D x W state bound."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _CMS_D,
+        _CMS_W,
+        _H60,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_cms,
+    )
+    from pyspark.sql import functions as F
+
+    stream = {(r["hash_row"], r["bucket"]): r["c"]
+              for r in streaming_cms(spark, sf_dir).collect()}
+    assert len(stream) <= _CMS_D * _CMS_W
+    ev = load_table(spark, sf_dir, "events")
+    buckets = F.array(*[
+        F.expr(
+            f"CAST({_H60.format(x=f'''CONCAT('{i}:', CAST(user_id AS STRING))''')}"
+            f" % {_CMS_W} AS INT)"
+        )
+        for i in range(_CMS_D)
+    ])
+    batch = {
+        (r["hash_row"], r["bucket"]): r["c"]
+        for r in ev.select(F.posexplode(buckets).alias("hash_row", "bucket"))
+        .groupBy("hash_row", "bucket").agg(F.count("*").alias("c")).collect()
+    }
+    assert stream == batch
