@@ -448,6 +448,70 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_DF_CAP = 50  # same hot-key guard as _SHINGLE_DF_CAP, sparser index
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12 — near-dup pairs through the WINNOWING index (the
+    MOSS/plagiarism-detection construction, Schleimer et al. 2003):
+    candidates are documents sharing a winnowed fingerprint (tx4's
+    output — ~1/w of the shingle space, so the index is w-fold smaller
+    than dd2's full shared-shingle join), then exact Jaccard on full
+    shingle sets verifies, same stage as dd2/dd3. Winnowing guarantees
+    matches of length >= k + w - 1 share a fingerprint, so recall loss
+    is bounded by construction, not luck.
+
+    Scale: the candidate self-join runs on the winnowed index (w-fold
+    fewer rows than shingles) with the same hot-fingerprint DF cap dd2
+    applies to boilerplate shingles; verification touches only surviving
+    deduped pairs."""
+    from .text import winnow_fingerprints  # noqa: PLC0415
+
+    fps = winnow_fingerprints(spark, sf_dir)
+    rare = fps.join(
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fingerprint"),
+        "fingerprint",
+    )
+    cands = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _verify_jaccard(cands, _shingles_df(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _dd12_oracle() -> str:
+    from .text import ORACLES as _TX_ORACLES  # noqa: PLC0415
+
+    tx4 = _TX_ORACLES["tx4_winnow_fingerprints"]
+    return f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        fps AS ({tx4}),
+        rare AS (
+          SELECT f.doc_id, f.fingerprint FROM fps f
+          JOIN (SELECT fingerprint FROM fps GROUP BY fingerprint
+                HAVING COUNT(*) <= {_WINNOW_DF_CAP}) r
+            ON f.fingerprint = r.fingerprint),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id)
+        SELECT j.doc_a, j.doc_b, ROUND(j.jaccard, 9) AS jaccard
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= {_JACCARD_THRESHOLD}"""
+
+
 _BLOOM_M = 4096  # filter bits
 _BLOOM_K = 4     # hash functions
 
@@ -574,6 +638,7 @@ _DD11_SQL = f"""
 
 
 ORACLES = {
+    "dd12_winnow_neardup": _dd12_oracle(),
     "dd11_bloom_prefilter": _DD11_SQL,
     "dd10_incremental_dedup": f"""
         WITH tagged AS (
@@ -719,6 +784,7 @@ SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
     "dd10_incremental_dedup": incremental_dedup,
     "dd11_bloom_prefilter": bloom_prefilter,
+    "dd12_winnow_neardup": winnow_neardup_pairs,
     "dd2_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dd3_minhash_lsh_pairs": minhash_lsh_pairs,
     "dd4_simhash_signatures": simhash_signatures,

@@ -945,3 +945,22 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
         .groupBy("hash_row", "bucket").agg(F.count("*").alias("c")).collect()
     }
     assert stream == batch
+
+
+def test_winnow_neardup_subset_of_exact_jaccard(spark, sf_dir):
+    """dd12: every winnow-index pair must appear in dd2's shared-shingle
+    result with the IDENTICAL exact-verified Jaccard (same verify stage,
+    sparser candidate index — winnowing trades recall, never scores)."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        ngram_jaccard_pairs,
+        winnow_neardup_pairs,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    winnow = winnow_neardup_pairs(spark, sf_dir).collect()
+    assert winnow, "expected near-dup pairs at this SF"
+    for r in winnow:
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact
+        assert r["jaccard"] == exact[key]
