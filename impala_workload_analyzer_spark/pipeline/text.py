@@ -676,6 +676,35 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx17 — the ZIPF FREQUENCY SPECTRUM (frequency-of-frequencies):
+    how many distinct terms occur exactly f times, with each class's
+    share of the total token mass. The log-log shape of this table is
+    the standard corpus-health check — a scrape with duplicated
+    boilerplate or synthetic text bends away from the power law, and
+    the hapax count (f=1) drives vocabulary-growth estimates
+    (Good-Turing smoothing reads its mass straight off this table).
+
+    Scale: one groupBy(term) then a groupBy over term-cardinality rows —
+    the second agg's input is the vocabulary, not the corpus."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode("words").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    totals = vocab.groupBy().agg(F.sum("c").alias("n_tokens"))
+    return (
+        vocab.groupBy(F.col("c").alias("freq"))
+        .agg(F.count("*").alias("n_terms"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "freq", "n_terms",
+            F.round(
+                (F.col("freq") * F.col("n_terms")).cast("double")
+                / F.col("n_tokens").cast("double"), 9,
+            ).alias("token_share"),
+        )
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -980,6 +1009,15 @@ ORACLES = {
                  AS avg_logprob
         FROM toks JOIN vocab USING (word), tot
         GROUP BY doc_id""",
+    "tx17_zipf_spectrum": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT unnest(words) AS word FROM d),
+        vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+        tot AS (SELECT SUM(c) AS n_tokens FROM vocab)
+        SELECT c AS freq, COUNT(*) AS n_terms,
+               ROUND(CAST(c * COUNT(*) AS DOUBLE)
+                     / CAST(MAX(n_tokens) AS DOUBLE), 9) AS token_share
+        FROM vocab, tot GROUP BY c, n_tokens""",
     "tx16_bigram_logprob": f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
         bi AS (
@@ -1009,6 +1047,7 @@ SPARK_QUERIES = {
     "tx5_stratified_split": stratified_split,
     "tx6_unigram_logprob": unigram_logprob,
     "tx16_bigram_logprob": bigram_logprob,
+    "tx17_zipf_spectrum": zipf_spectrum,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
     "tx10_blocklist_policy": blocklist_policy,

@@ -964,3 +964,17 @@ def test_winnow_neardup_subset_of_exact_jaccard(spark, sf_dir):
         key = (r["doc_a"], r["doc_b"])
         assert key in exact
         assert r["jaccard"] == exact[key]
+
+
+def test_zipf_spectrum_accounts_all_tokens(spark, sf_dir):
+    """tx17: the spectrum partitions the vocabulary — sum(freq*n_terms)
+    equals the corpus token count and token shares sum to 1."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        token_stats,
+        zipf_spectrum,
+    )
+
+    rows = zipf_spectrum(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in token_stats(spark, sf_dir).collect())
+    assert sum(r["freq"] * r["n_terms"] for r in rows) == total
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
