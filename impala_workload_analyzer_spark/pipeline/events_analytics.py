@@ -492,6 +492,67 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev18 — funnel TIME-TO-CONVERT: for each consecutive step pair of
+    ev10's ordered funnel, the per-user delay between conversions, and
+    its exact p50/p90/max by rank arithmetic (k-th smallest at
+    k = ceil(q*n), user_id tie-break — the a18 exact-quantile pattern,
+    so the DuckDB oracle is value-identical, no engine quantile()
+    interpolation). The number a growth team reads next to ev10's rates:
+    not just HOW MANY users convert, but how long conversion takes.
+
+    Scale: conversion times reuse ev10's user-keyed chain; the quantile
+    window partitions by step pair (constant cardinality) over per-user
+    rows — at extreme user counts the same rank arithmetic runs on the
+    two-phase distributed scan w1 uses."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    times = [stage]
+    for step in _FUNNEL_STEPS[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == step)
+            .join(stage, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        times.append(stage)
+    pair_frames = []
+    for i in range(len(_FUNNEL_STEPS) - 1):
+        a = times[i].select("user_id", F.col("t").alias("t_from"))
+        b = times[i + 1].select("user_id", F.col("t").alias("t_to"))
+        pair_frames.append(
+            a.join(b, "user_id").select(
+                F.lit(f"{_FUNNEL_STEPS[i]}->{_FUNNEL_STEPS[i + 1]}")
+                .alias("step_pair"),
+                "user_id",
+                (F.unix_micros("t_to") - F.unix_micros("t_from")).alias("delay_us"),
+            )
+        )
+    delays = pair_frames[0]
+    for f in pair_frames[1:]:
+        delays = delays.unionByName(f)
+    w = Window.partitionBy("step_pair").orderBy("delay_us", "user_id")
+    wp = Window.partitionBy("step_pair")
+    ranked = delays.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wp)
+    )
+    return ranked.groupBy("step_pair").agg(
+        F.max("n").alias("n_users"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("delay_us"))
+        ).alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("delay_us"))
+        ).alias("p90_us"),
+        F.max("delay_us").alias("max_us"),
+    )
+
+
 _CMS_D = 4       # hash rows
 _CMS_W = 256     # buckets per row
 _CMS_TOP = 20    # report the top-N true heavy hitters
@@ -885,6 +946,42 @@ ORACLES = {
                  AS retention
         FROM joined j JOIN sizes s USING (cohort_week)
         GROUP BY j.cohort_week, j.week_offset, s.cohort_size""",
+    "ev18_funnel_latency": f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+          GROUP BY e.user_id),
+        delays AS (
+          SELECT '{_FUNNEL_STEPS[0]}->{_FUNNEL_STEPS[1]}' AS step_pair,
+                 s2.user_id, epoch_us(s2.t) - epoch_us(s1.t) AS delay_us
+          FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+          UNION ALL
+          SELECT '{_FUNNEL_STEPS[1]}->{_FUNNEL_STEPS[2]}',
+                 s3.user_id, epoch_us(s3.t) - epoch_us(s2.t)
+          FROM s2 JOIN s3 ON s2.user_id = s3.user_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY step_pair
+                                    ORDER BY delay_us, user_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY step_pair) AS n
+          FROM delays)
+        SELECT step_pair,
+               CAST(MAX(n) AS BIGINT) AS n_users,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                        THEN delay_us END) AS p50_us,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                        THEN delay_us END) AS p90_us,
+               MAX(delay_us) AS max_us
+        FROM ranked GROUP BY step_pair""",
     "ev10_funnel_conversion": f"""
         WITH s1 AS (
           SELECT user_id, MIN(ts) AS t FROM events
@@ -954,6 +1051,7 @@ SPARK_QUERIES = {
     "ev13_rate_alerts": rate_alerts,
     "ev14_kmv_distinct": kmv_distinct,
     "ev17_cms_heavy_hitters": cms_heavy_hitters,
+    "ev18_funnel_latency": funnel_latency,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

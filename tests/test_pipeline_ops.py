@@ -978,3 +978,21 @@ def test_zipf_spectrum_accounts_all_tokens(spark, sf_dir):
     total = sum(r["n_tokens"] for r in token_stats(spark, sf_dir).collect())
     assert sum(r["freq"] * r["n_terms"] for r in rows) == total
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """ev18: delays are positive (strict ordering), quantiles are
+    monotone p50 <= p90 <= max, and pair populations equal ev10's
+    converted-user counts for steps 2 and 3."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        funnel_conversion,
+        funnel_latency,
+    )
+
+    funnel = {r["step"]: r["n_users"]
+              for r in funnel_conversion(spark, sf_dir).collect()}
+    rows = {r["step_pair"]: r for r in funnel_latency(spark, sf_dir).collect()}
+    assert rows["view->click"]["n_users"] == funnel[2]
+    assert rows["click->purchase"]["n_users"] == funnel[3]
+    for r in rows.values():
+        assert 0 < r["p50_us"] <= r["p90_us"] <= r["max_us"]
