@@ -10,7 +10,8 @@ targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
 the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
 then the operators new in round 5 — never driver-witnessed, so they
 must consume window slots — which fills the 50-entry window (17 changed
-+ 33 new); sim11/mm4/ev17/dd11/pt4/st8 landed after it filled and queue
++ 33 new); the nine later additions (sim11 mm4 ev17 ev18 dd11 dd12
+pt4 st8 tx17) landed after it filled and queue
 at 51+ for round 6, and the a/f/pt/dd/sim block whose newest green rows
 date to r02 rotates to the front of round 6's window too. Everything
 past the window holds a green r04-or-earlier row on code the local gate
@@ -59,7 +60,8 @@ _PRIORITY = (
     # unchanged code and rotates back to the front of the r06 block)
     "tx16_bigram_logprob",
     # --- added after the r05 window filled (position 51+): local-gate
-    # verified this round, front-loaded into round 6's driver window ---
+    # verified this round (sf0.01 AND sf0.1), front-loaded into round 6's
+    # driver window ---
     "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     "dd11_bloom_prefilter", "pt4_plan_fingerprints", "st8_streaming_cms",
     "dd12_winnow_neardup", "tx17_zipf_spectrum", "ev18_funnel_latency",
