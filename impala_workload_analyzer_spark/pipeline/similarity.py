@@ -589,6 +589,55 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, ivf_topk(spark, sf_dir))
 
 
+def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim1's brute-force shape scored on int8-RECONSTRUCTED vectors
+    (sim7's symmetric quantizer, both sides quantized) — the scoring an
+    int8 index actually does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        f" (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / {_Q_LEVELS}.0"
+    )
+    rec = (
+        emb.select("vec_id", F.expr(scale).alias("scale"), "embedding")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)"
+            ).alias("rv"),
+        )
+        .withColumn("nrm", F.expr(f"sqrt({_spark_dot('rv', 'rv')})"))
+    )
+    q = rec.select(
+        F.col("vec_id").alias("query_id"), F.col("rv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    pairs = rec.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim",
+        F.round(F.expr(_spark_dot("qv", "rv")) / (F.col("qn") * F.col("nrm")), 9),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim")
+    )
+
+
+def quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim12 — recall@k of int8-quantized cosine scoring vs exact float
+    (sim1), completing the index acceptance trilogy: sim9 measures what
+    the LSH candidate generation loses, sim10 the IVF probe, sim12 the
+    quantized SCORING itself — the three knobs a production ANN rollout
+    (IVF + PQ/int8 + reranking) trades off, each now with an oracle-exact
+    measured point. Same plan shape as sim1 (broadcast query batch,
+    linear scan); the reconstruction is a per-element map fused into the
+    scan."""
+    return _recall_vs_exact(spark, sf_dir, _quantized_topk(spark, sf_dir))
+
+
 SIM4_SQL = f"""
         WITH e AS (
           SELECT vec_id, label, embedding,
@@ -724,8 +773,63 @@ _SIM11_SQL = f"""
         GROUP BY vec_id"""
 
 
+_SIM12_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        exact_sim AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.embedding', 'c.embedding')}
+                       / (q.nrm * c.nrm), 9) AS sim
+          FROM e q JOIN e c
+            ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id),
+        exact_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM exact_sim) WHERE rank <= {_TOP_K}),
+        qz AS (
+          SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') / {_Q_LEVELS}.0
+                   AS scale
+          FROM embeddings),
+        rec AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS rv
+          FROM qz),
+        recn AS (
+          SELECT vec_id, rv, sqrt({_duck_dot('rv', 'rv')}) AS nrm FROM rec),
+        q_sim AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.rv', 'c.rv')} / (q.nrm * c.nrm), 9) AS sim
+          FROM recn q JOIN recn c
+            ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id),
+        q_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM q_sim) WHERE rank <= {_TOP_K}),
+        hits AS (
+          SELECT t.query_id, COUNT(*) AS n_returned,
+                 CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM q_top t LEFT JOIN exact_top x
+            ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+          GROUP BY t.query_id)
+        SELECT q.query_id,
+               COALESCE(h.n_returned, 0) AS n_returned,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / {_TOP_K}.0, 9) AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM exact_top) q
+        LEFT JOIN hits h ON h.query_id = q.query_id"""
+
+
 ORACLES = {
     "sim11_pq_assign": _SIM11_SQL,
+    "sim12_quantize_recall": _SIM12_SQL,
     "sim9_lsh_recall": f"""
         WITH e AS (
           SELECT vec_id, embedding,
@@ -970,4 +1074,5 @@ SPARK_QUERIES = {
     "sim9_lsh_recall": lsh_recall,
     "sim10_ivf_recall": ivf_recall,
     "sim11_pq_assign": pq_assign,
+    "sim12_quantize_recall": quantize_recall,
 }

@@ -65,6 +65,7 @@ _PRIORITY = (
     "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     "dd11_bloom_prefilter", "pt4_plan_fingerprints", "st8_streaming_cms",
     "dd12_winnow_neardup", "tx17_zipf_spectrum", "ev18_funnel_latency",
+    "sim12_quantize_recall",
     # --- longest-unwitnessed block: newest green rows are r02-era ---
     "x1_region_nation_grid", "w2b_nation_revenue_share",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",

@@ -996,3 +996,21 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
     assert rows["click->purchase"]["n_users"] == funnel[3]
     for r in rows.values():
         assert 0 < r["p50_us"] <= r["p90_us"] <= r["max_us"]
+
+
+def test_quantize_recall_near_exact(spark, sf_dir):
+    """sim12: int8 reconstruction perturbs cosine by <1%, so recall@k of
+    quantized scoring should be high — every query present, recall in
+    [0, 1], and the mean well above the LSH/IVF candidate-loss floor."""
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _QUERY_MOD,
+        quantize_recall,
+    )
+    from impala_workload_analyzer_spark.io import load_table
+
+    rows = quantize_recall(spark, sf_dir).collect()
+    n_q = (load_table(spark, sf_dir, "embeddings")
+           .filter(f"vec_id % {_QUERY_MOD} = 0").count())
+    assert len(rows) == n_q
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.8
