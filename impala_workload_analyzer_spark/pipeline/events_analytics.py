@@ -397,39 +397,48 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_times(ev: DataFrame) -> list[DataFrame]:
+    """Per-step first-conversion times (user_id, t) for the ordered
+    funnel: step N converts on the first event of step N's type STRICTLY
+    after the user's step N-1 conversion. ONE implementation of the
+    ordering rule, shared by ev10 (rates) and ev18 (latencies), so the
+    two views can never desynchronize."""
+    stage = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    out = [stage]
+    for step in _FUNNEL_STEPS[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == step)
+            .join(stage, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        out.append(stage)
+    return out
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ev10 — ordered funnel over view -> click -> purchase: a user
-    converts step N when an event of step N's type occurs strictly after
-    their step N-1 conversion time. Output: one row per step with user
-    count and conversion rate vs step 1.
+    """ev10 — ordered funnel over view -> click -> purchase
+    (``_funnel_times``). Output: one row per step with user count and
+    conversion rate vs step 1.
 
     Scale shape: one filtered agg per step, each keyed by user_id; joins
     are user-keyed and reuse the same hash partitioning, so the whole
     funnel is a linear chain of co-partitioned narrow steps after the
     first shuffle. Step count is a constant (3), not data-driven."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    stage = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    step_rows = []
-    for i, step in enumerate(_FUNNEL_STEPS):
-        if i:
-            stage = (
-                ev.filter(F.col("event_type") == step)
-                .join(stage, "user_id")
-                .filter(F.col("ts") > F.col("t"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        step_rows.append(
-            stage.agg(F.count("*").alias("n_users")).select(
-                F.lit(i + 1).cast("bigint").alias("step"),
-                F.lit(step).alias("event_type"),
-                F.col("n_users"),
-            )
+    step_rows = [
+        stage.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col("n_users"),
         )
+        for i, (step, stage) in enumerate(zip(_FUNNEL_STEPS, _funnel_times(ev)))
+    ]
     out = step_rows[0]
     for r in step_rows[1:]:
         out = out.unionByName(r)
@@ -506,21 +515,7 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — at extreme user counts the same rank arithmetic runs on the
     two-phase distributed scan w1 uses."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    stage = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    times = [stage]
-    for step in _FUNNEL_STEPS[1:]:
-        stage = (
-            ev.filter(F.col("event_type") == step)
-            .join(stage, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        times.append(stage)
+    times = _funnel_times(ev)
     pair_frames = []
     for i in range(len(_FUNNEL_STEPS) - 1):
         a = times[i].select("user_id", F.col("t").alias("t_from"))
@@ -558,6 +553,19 @@ _CMS_W = 256     # buckets per row
 _CMS_TOP = 20    # report the top-N true heavy hitters
 
 
+def cms_buckets() -> "F.Column":
+    """The sketch's bucket array for one event row: _CMS_D md5-derived
+    bucket ids seeded 'i:user_id' — the SINGLE definition of the CMS
+    hash family, shared by ev17 (batch), st8 (streaming twin), and the
+    cell-equality test, so the seeding can never drift between them."""
+
+    def bucket(i: int) -> "F.Column":
+        seeded = "CONCAT('%d:', CAST(user_id AS STRING))" % i
+        return F.expr(f"CAST({_H60.format(x=seeded)} % {_CMS_W} AS INT)")
+
+    return F.array(*[bucket(i) for i in range(_CMS_D)])
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev17 — COUNT-MIN SKETCH per-user event counts next to exact truth:
     a _CMS_D x _CMS_W sketch built in one pass, then each key's estimate
@@ -575,12 +583,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells) broadcasts to the probe join, and the truth agg is the one
     full-data shuffle. The top-N cut is a distributed sort-limit."""
     ev = load_table(spark, sf_dir, "events")
-
-    def bucket(i: int) -> "F.Column":
-        seeded = "CONCAT('%d:', CAST(user_id AS STRING))" % i
-        return F.expr(f"CAST({_H60.format(x=seeded)} % {_CMS_W} AS INT)")
-
-    buckets = F.array(*[bucket(i) for i in range(_CMS_D)])
+    buckets = cms_buckets()
     sketch = (
         ev.select(F.posexplode(buckets).alias("row", "bucket"))
         .groupBy("row", "bucket")

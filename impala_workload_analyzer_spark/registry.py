@@ -10,8 +10,8 @@ targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
 the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
 then the operators new in round 5 — never driver-witnessed, so they
 must consume window slots — which fills the 50-entry window (17 changed
-+ 33 new); the nine later additions (sim11 mm4 ev17 ev18 dd11 dd12
-pt4 st8 tx17) landed after it filled and queue
++ 33 new); the ten later additions (sim11 sim12 mm4 ev17 ev18 dd11
+dd12 pt4 st8 tx17) landed after it filled and queue
 at 51+ for round 6, and the a/f/pt/dd/sim block whose newest green rows
 date to r02 rotates to the front of round 6's window too. Everything
 past the window holds a green r04-or-earlier row on code the local gate

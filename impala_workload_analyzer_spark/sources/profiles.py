@@ -591,8 +591,10 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
 
 
 def _parse_rows(which: str, blobs, tags) -> list[tuple]:
-    """Decode+parse one batch of (blob, tag) pairs into output rows —
-    the shared core of the Arrow and pandas workers."""
+    """Decode+parse one batch of (blob, tag) pairs into output rows.
+    Kept separate from the pandas framing in ``batch_parser`` so worker
+    variants (the benched-and-removed mapInArrow twin was one) can share
+    the parse core without touching the emission format."""
     rows: list[tuple] = []
     for blob, tag in zip(blobs, tags):
         # S2: base64 + zlib + thrift compact (analyze_profiles.py:17-21);

@@ -409,15 +409,10 @@ def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     D x W rows regardless of key cardinality or stream length, so the
     heavy-hitter estimate survives unbounded streams with bounded
     memory; the probe side stays ev17's batch join."""
-    from ..pipeline.events_analytics import _CMS_D, _CMS_W, _H60  # noqa: PLC0415
+    from ..pipeline.events_analytics import cms_buckets  # noqa: PLC0415
 
     ev = _stream_events(spark, sf_dir)
-
-    def bucket(i: int):
-        seeded = "CONCAT('%d:', CAST(user_id AS STRING))" % i
-        return F.expr(f"CAST({_H60.format(x=seeded)} % {_CMS_W} AS INT)")
-
-    buckets = F.array(*[bucket(i) for i in range(_CMS_D)])
+    buckets = cms_buckets()
     agg = (
         ev.select(F.posexplode(buckets).alias("hash_row", "bucket"))
         .groupBy("hash_row", "bucket")

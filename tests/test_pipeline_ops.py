@@ -921,7 +921,7 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
     from impala_workload_analyzer_spark.pipeline.events_analytics import (
         _CMS_D,
         _CMS_W,
-        _H60,
+        cms_buckets,
     )
     from impala_workload_analyzer_spark.streaming.stream_queries import (
         streaming_cms,
@@ -932,13 +932,7 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
               for r in streaming_cms(spark, sf_dir).collect()}
     assert len(stream) <= _CMS_D * _CMS_W
     ev = load_table(spark, sf_dir, "events")
-    buckets = F.array(*[
-        F.expr(
-            f"CAST({_H60.format(x=f'''CONCAT('{i}:', CAST(user_id AS STRING))''')}"
-            f" % {_CMS_W} AS INT)"
-        )
-        for i in range(_CMS_D)
-    ])
+    buckets = cms_buckets()
     batch = {
         (r["hash_row"], r["bucket"]): r["c"]
         for r in ev.select(F.posexplode(buckets).alias("hash_row", "bucket"))
