@@ -20,7 +20,7 @@ Parity: k sweep 1..69 and final k=10, exactly the reference's ranges
 (clustering.py:67,83); the sweep saturates at the corpus's 15 distinct
 feature shapes (WCSS hits 0), and the pct-variance curve is pinned
 monotone by ``tests/test_pipeline_ops``. sklearn's n_init=20 restarts
-map to best-of-5 pinned-seed fits (``_SEEDS``). Cluster ids are
+map to best-of-20 pinned-seed fits (``_SEEDS``). Cluster ids are
 seed-dependent -> the KMeans queries are rows-only for the driver; the
 feature extraction itself is fully oracle-checked (m0).
 
@@ -117,8 +117,6 @@ def _ensure_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache_util import is_valid, stamp  # noqa: PLC0415
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    # "features" subdir: the cache root also holds the m2/m3 result
-    # datasets (elbow/, clusters/), so each dataset gets its own directory
     path = os.path.join(repo_root, ".features_cache",
                         os.path.basename(os.path.normpath(sf_dir)), "features")
     if not is_valid(path):
@@ -147,15 +145,15 @@ def _assembled(spark: SparkSession, sf_dir: str):
     return scaler.transform(vec).cache()
 
 
-# Multi-init restarts, mirroring the reference's sklearn n_init=20
-# (clustering.py:76) at fixture scale: each k is fit once per pinned seed
+# Multi-init restarts, matching the reference's sklearn n_init=20
+# (clustering.py:76) init for init: each k is fit once per pinned seed
 # and the lowest-WCSS model wins (ties -> first seed), so a bad k-means||
 # initialization cannot pin a local optimum. Fits run in a thread pool:
 # the assembled features are ONE small cached partition (see _assembled),
 # so each fit is a single-task job and concurrent fits use the idle cores
 # — Spark schedules jobs from separate threads independently.
-_SEEDS = (42, 43, 44, 45, 46)
-_FIT_THREADS = 8
+_SEEDS = tuple(range(42, 62))  # 20 pinned seeds
+_FIT_THREADS = 16
 
 
 def _fit(data, k: int, seed: int):
@@ -181,8 +179,8 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m2 — elbow sweep: per k, WCSS and %variance explained
     (clustering.py:67-81); TSS via the exact variance identity. Always
     computed live (the driver's rows-only check witnesses real fits);
-    340 single-task fits run threaded (~28 s at sf0.01), bounded by
-    _FIT_THREADS."""
+    68 k-values x 20 seeds = 1360 single-task fits run threaded, bounded
+    by _FIT_THREADS."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     from pyspark.ml.functions import vector_to_array  # noqa: PLC0415

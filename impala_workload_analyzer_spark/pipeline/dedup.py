@@ -528,9 +528,18 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the primitive that makes dd10 cheap at 100 TB — the
     filter is m BITS regardless of index size and broadcasts to every
-    executor, so only bloom-positive docs (true dups + FPR fraction) pay
-    the digest-keyed shuffle join against the full index. Deterministic
-    md5-derived bit positions make the filter itself engine-exact."""
+    executor; ONLY bloom-positive docs (true dups + FPR fraction) pay
+    the digest-keyed SHUFFLE join against the full index (the index
+    outgrows any broadcast — the join is hinted shuffle_hash and
+    plan-pinned by ``test_dd11_positives_only_shuffle_join``).
+    Bloom-negative docs never touch the index: the same deterministic
+    md5-derived bits build and probe the filter, so a digest present in
+    the index ALWAYS probes all-ones — no false negatives, structurally.
+    ``bloom_misses`` is therefore 0 by construction here (reported from
+    the negative branch, where is_dup is definitionally false);
+    ``test_bloom_prefilter_no_false_negatives`` re-derives it from the
+    full join at fixture scale. Deterministic bit positions also make
+    the filter itself engine-exact for the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
     tagged = docs.select(
@@ -554,8 +563,19 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "digest")
         .agg((F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K).alias("bloom_pos"))
     )
-    checked = screened.join(
-        F.broadcast(seen.withColumn("is_dup", F.lit(1))), "digest", "left"
+    pos = screened.filter(F.col("bloom_pos"))
+    neg = screened.filter(~F.col("bloom_pos"))
+    # Only positives meet the index, and as a digest-keyed shuffle join:
+    # the index is data-sized at scale, so broadcasting it would OOM —
+    # the hint pins the shape Catalyst must keep even when fixture-scale
+    # size stats would auto-broadcast.
+    pos_checked = pos.join(
+        seen.withColumn("is_dup", F.lit(1)).hint("shuffle_hash"), "digest", "left"
+    )
+    checked = pos_checked.unionByName(
+        # no false negatives by construction: build and probe use the
+        # same deterministic bits, so a negative is never in the index
+        neg.withColumn("is_dup", F.lit(None).cast("int"))
     )
     agg = checked.groupBy("source").agg(
         F.count("*").alias("n_new"),

@@ -501,20 +501,13 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ev18 — funnel TIME-TO-CONVERT: for each consecutive step pair of
-    ev10's ordered funnel, the per-user delay between conversions, and
-    its exact p50/p90/max by rank arithmetic (k-th smallest at
-    k = ceil(q*n), user_id tie-break — the a18 exact-quantile pattern,
-    so the DuckDB oracle is value-identical, no engine quantile()
-    interpolation). The number a growth team reads next to ev10's rates:
-    not just HOW MANY users convert, but how long conversion takes.
+_DELAYS_PER_CHUNK = 1_000_000  # one rank task handles ~1M (delay, user) rows
+_EV18_COUNT_CACHE: dict[str, int] = {}  # sizing statistic, keyed by sf_dir
 
-    Scale: conversion times reuse ev10's user-keyed chain; the quantile
-    window partitions by step pair (constant cardinality) over per-user
-    rows — at extreme user counts the same rank arithmetic runs on the
-    two-phase distributed scan w1 uses."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+def _funnel_delays(ev: DataFrame) -> DataFrame:
+    """Per-user conversion delays for each consecutive funnel step pair —
+    the input rows of ev18's quantiles."""
     times = _funnel_times(ev)
     pair_frames = []
     for i in range(len(_FUNNEL_STEPS) - 1):
@@ -531,21 +524,122 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = pair_frames[0]
     for f in pair_frames[1:]:
         delays = delays.unionByName(f)
-    w = Window.partitionBy("step_pair").orderBy("delay_us", "user_id")
-    wp = Window.partitionBy("step_pair")
-    ranked = delays.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wp)
+    return delays
+
+
+def _ranked_delays(delays: DataFrame, target_chunks: int) -> DataFrame:
+    """(step_pair, delay_us, rn, n): each delay's 1-based rank in the
+    (delay_us, user_id) ascending order within its step pair, plus the
+    pair's row count — the inputs of exact rank-arithmetic quantiles.
+
+    ``target_chunks <= 1`` is the one-window exact path. Above it the
+    rank is computed two-phase (the w1 construction): rows chunk by a
+    monotone function of delay_us, phase 1 ranks inside (pair, chunk)
+    partitions — ``step_pair`` alone has CONSTANT cardinality, so without
+    chunking every pair's whole user population would sort in one task —
+    and phase 2 adds broadcast per-chunk prefix-count offsets. Equal
+    delays always share a chunk, so the user_id tie-break stays inside
+    one partition and global ranks are exact."""
+    if target_chunks <= 1:
+        w = Window.partitionBy("step_pair").orderBy("delay_us", "user_id")
+        wp = Window.partitionBy("step_pair")
+        return delays.select(
+            "step_pair",
+            "delay_us",
+            F.lit(0).alias("chunk"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+        )
+    bounds = delays.groupBy("step_pair").agg(
+        F.min("delay_us").alias("lo"), F.max("delay_us").alias("hi")
     )
+    ch = (
+        delays.join(F.broadcast(bounds), "step_pair")
+        .withColumn(
+            "chunk",
+            F.floor(
+                (F.col("delay_us") - F.col("lo")).cast("decimal(28,0)")
+                * target_chunks
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+        )
+        .drop("lo", "hi")
+    )
+    wl = Window.partitionBy("step_pair", "chunk").orderBy("delay_us", "user_id")
+    local = ch.select(
+        "step_pair", "chunk", "delay_us", "user_id",
+        F.row_number().over(wl).alias("lrn"),
+    )
+    wc = Window.partitionBy("step_pair").orderBy("chunk")
+    # chunk counts aggregate from the window OUTPUT (already partitioned
+    # on (step_pair, chunk)), so the groupBy reuses phase 1's shuffle
+    stats = (
+        local.groupBy("step_pair", "chunk")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "step_pair",
+            "chunk",
+            F.coalesce(
+                F.sum("cnt").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("offset"),
+            F.sum("cnt")
+            .over(wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("n"),
+        )
+    )
+    return local.join(F.broadcast(stats), ["step_pair", "chunk"]).select(
+        "step_pair",
+        "delay_us",
+        "chunk",
+        (F.col("lrn") + F.col("offset")).alias("rn"),
+        "n",
+    )
+
+
+def _quantile_rollup(ranked: DataFrame) -> DataFrame:
+    """Exact p50/p90/max from ranked delays. Ranks are INTEGER
+    arithmetic — k = ceil(q*n) computed as (n+1) div 2 and (9n+9) div 10
+    — so n=10 yields rank 9, never the 10 that double arithmetic's
+    10*0.9 = 9.000000000000002 would ceil to."""
     return ranked.groupBy("step_pair").agg(
         F.max("n").alias("n_users"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("delay_us"))
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_us"))
         ).alias("p50_us"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("delay_us"))
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delay_us"))
         ).alias("p90_us"),
         F.max("delay_us").alias("max_us"),
     )
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev18 — funnel TIME-TO-CONVERT: for each consecutive step pair of
+    ev10's ordered funnel, the per-user delay between conversions, and
+    its exact p50/p90/max by rank arithmetic (k-th smallest at
+    k = ceil(q*n) in integer arithmetic, user_id tie-break — the a18
+    exact-quantile pattern, so the DuckDB oracle is value-identical, no
+    engine quantile() interpolation). The number a growth team reads
+    next to ev10's rates: not just HOW MANY users convert, but how long
+    conversion takes.
+
+    Scale: conversion times reuse ev10's user-keyed chain. step_pair has
+    CONSTANT cardinality, so a plain per-pair rank window would sort
+    each pair's entire user population in one task; above
+    ``_DELAYS_PER_CHUNK`` rows per pair the rank switches to the
+    two-phase chunked construction w1 uses (``_ranked_delays``,
+    plan-pinned by ``test_funnel_latency_two_phase``). The sizing count
+    is the events row count — an upper bound on per-pair delays — one
+    cheap metadata-only job, memoized per sf_dir."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    if sf_dir not in _EV18_COUNT_CACHE:
+        _EV18_COUNT_CACHE[sf_dir] = ev.count()
+    target_chunks = min(
+        _EV18_COUNT_CACHE[sf_dir] // _DELAYS_PER_CHUNK,
+        spark.sparkContext.defaultParallelism * 4,
+    )
+    return _quantile_rollup(_ranked_delays(_funnel_delays(ev), target_chunks))
 
 
 _CMS_D = 4       # hash rows
@@ -979,9 +1073,9 @@ ORACLES = {
           FROM delays)
         SELECT step_pair,
                CAST(MAX(n) AS BIGINT) AS n_users,
-               MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+               MAX(CASE WHEN rn = (n + 1) // 2
                         THEN delay_us END) AS p50_us,
-               MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+               MAX(CASE WHEN rn = (9 * n + 9) // 10
                         THEN delay_us END) AS p90_us,
                MAX(delay_us) AS max_us
         FROM ranked GROUP BY step_pair""",

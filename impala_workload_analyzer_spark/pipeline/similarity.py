@@ -10,9 +10,12 @@ bit-identical; ranking additionally rounds to 9 decimals with a vec_id
 tie-break so top-k membership can never diverge on last-bit noise.
 
 Scale notes (100 TB):
-- sim1 broadcasts the (small) query batch against the full corpus: map-side
+- sim1 broadcasts the query batch against the full corpus: map-side
   cosine, one shuffle keyed by query for the top-k — the right baseline
-  shape, linear in corpus size.
+  shape, linear in corpus size. The batch is a FIXED ``_QUERY_K`` rows
+  (the first vec_ids of the surrogate key) at any corpus size, so the
+  broadcast — and sim5's driver ``collect()`` of the same batch — stays
+  O(_QUERY_K) at 100 TB instead of growing with the data.
 - sim2/dd5 use BANDED multi-signature LSH (the minhash-LSH construction
   dd3 uses, transplanted to random hyperplanes): ``_N_BANDS`` independent
   signatures of ``_PLANES_PER_BAND`` sign bits each; candidates = any-band
@@ -33,7 +36,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 
 _TOP_K = 5
-_QUERY_MOD = 50  # vec_id % 50 == 0 -> deterministic query batch
+_QUERY_K = 100  # fixed-size query batch: the first _QUERY_K vec_ids
 _N_BANDS = 4
 _PLANES_PER_BAND = 8  # 256 buckets per band
 _DIM = 64
@@ -107,15 +110,15 @@ def _with_norm(df: DataFrame) -> DataFrame:
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sim1 — exact cosine top-k: deterministic query batch (vec_id %
-    {mod} == 0) broadcast against the corpus; rank by rounded similarity
-    with vec_id tie-break."""
+    """sim1 — exact cosine top-k: the fixed deterministic query batch
+    (vec_id < _QUERY_K — bounded at any corpus size) broadcast against
+    the corpus; rank by rounded similarity with vec_id tie-break."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    ).filter(F.col("query_id") < _QUERY_K)
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     sim = pairs.withColumn(
         "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
@@ -137,7 +140,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _with_band_rows(emb.select("vec_id", "embedding")).select(
         "vec_id", "band", "sig"
     )
-    q_side = side.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    q_side = side.filter(F.col("vec_id") < _QUERY_K).select(
         F.col("vec_id").alias("query_id"), "band", "sig"
     )
     cand = (
@@ -150,7 +153,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    ).filter(F.col("query_id") < _QUERY_K)
     pairs = cand.join(emb, "vec_id").join(F.broadcast(q), "query_id")
     sim = pairs.withColumn(
         "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
@@ -258,7 +261,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
     probes = (
-        scored.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        scored.filter(F.col("vec_id") < _QUERY_K)
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
             F.col("nrm").alias("qn"), "c_label", "score",
@@ -301,7 +304,7 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = _with_band_rows(
         emb.select("vec_id", "embedding"), n_bands=_RS_BANDS, planes_per_band=_RS_PLANES
     ).select("vec_id", "band", "sig")
-    q_side = side.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    q_side = side.filter(F.col("vec_id") < _QUERY_K).select(
         F.col("vec_id").alias("query_id"), "band", "sig"
     )
     cand = (
@@ -314,7 +317,7 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    ).filter(F.col("query_id") < _QUERY_K)
     sim = (
         cand.join(emb, "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -423,8 +426,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim5 — the vectorized-throughput variant of sim1: the query batch
-    (50 x 64, model-sized) is collected and closed over like a broadcast
-    model; each Arrow batch of corpus vectors computes ALL similarities
+    (_QUERY_K x 64, model-sized and FIXED at any corpus scale, so the
+    collect is O(_QUERY_K) bytes — never corpus-proportional) is
+    collected and closed over like a broadcast model; each Arrow batch
+    of corpus vectors computes ALL similarities
     in one numpy matmul instead of a per-row fold. This is the shape a
     real 100 TB scorer takes — BLAS batch math per executor, one shuffle
     for the per-query top-k.
@@ -440,7 +445,7 @@ def vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = (
-        emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        emb.filter(F.col("vec_id") < _QUERY_K)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -562,7 +567,7 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str,
     all_q = (
         load_table(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("query_id"))
-        .filter(F.col("query_id") % _QUERY_MOD == 0)
+        .filter(F.col("query_id") < _QUERY_K)
     )
     return (
         all_q.join(hits, "query_id", "left")
@@ -612,7 +617,7 @@ def _quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = rec.select(
         F.col("vec_id").alias("query_id"), F.col("rv").alias("qv"),
         F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") % _QUERY_MOD == 0)
+    ).filter(F.col("query_id") < _QUERY_K)
     pairs = rec.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     sim = pairs.withColumn(
         "sim",
@@ -668,7 +673,7 @@ SIM4_SQL = f"""
                  c_label AS probe_list FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY score DESC, c_label ASC) AS rn
-            FROM scored WHERE vec_id % {_QUERY_MOD} = 0) t
+            FROM scored WHERE vec_id < {_QUERY_K}) t
           WHERE rn <= {_N_PROBE}),
         sim AS (
           SELECT p.query_id, a.vec_id AS neighbor_id, a.list_id,
@@ -783,7 +788,7 @@ _SIM12_SQL = f"""
                  ROUND({_duck_dot('q.embedding', 'c.embedding')}
                        / (q.nrm * c.nrm), 9) AS sim
           FROM e q JOIN e c
-            ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id),
+            ON q.vec_id < {_QUERY_K} AND c.vec_id <> q.vec_id),
         exact_top AS (
           SELECT query_id, neighbor_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -806,7 +811,7 @@ _SIM12_SQL = f"""
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ROUND({_duck_dot('q.rv', 'c.rv')} / (q.nrm * c.nrm), 9) AS sim
           FROM recn q JOIN recn c
-            ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id),
+            ON q.vec_id < {_QUERY_K} AND c.vec_id <> q.vec_id),
         q_top AS (
           SELECT query_id, neighbor_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -838,7 +843,7 @@ ORACLES = {
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, s0, s1, s2, s3,
                      embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         exact_sim AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
                  ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
@@ -880,7 +885,7 @@ ORACLES = {
                  sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         sim AS (
           SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
                  ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
@@ -944,7 +949,7 @@ ORACLES = {
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         sim AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
                  ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
@@ -962,7 +967,7 @@ ORACLES = {
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, s0, s1, s2, s3,
                      embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         cand AS (
           {_SIM2_CAND}),
         sim AS (
@@ -981,7 +986,7 @@ ORACLES = {
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         exact_sim AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
                  ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
@@ -1015,7 +1020,7 @@ ORACLES = {
           FROM embeddings),
         q AS (SELECT vec_id AS query_id, r0, r1, r2, r3, r4, r5, r6, r7,
                      embedding AS qv, nrm AS qn FROM e
-              WHERE vec_id % {_QUERY_MOD} = 0),
+              WHERE vec_id < {_QUERY_K}),
         cand AS (
           {_RS_CAND}),
         sim AS (

@@ -5,19 +5,20 @@ Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything modified since
 the last driver run, (b) everything no driver round has ever witnessed,
-(c) the block longest unwitnessed. Round-5 window: the round-5 fix
-targets and touched code paths first (ev3's HUGEINT oracle cast, q1/q3,
-the re-optimized ingest family, live multi-init KMeans, w1/dd8/dd9/st*),
-then the operators new in round 5 — never driver-witnessed, so they
-must consume window slots — which fills the 50-entry window (17 changed
-+ 33 new); the ten later additions (sim11 sim12 mm4 ev17 ev18 dd11
-dd12 pt4 st8 tx17) landed after it filled and queue
-at 51+ for round 6, and the a/f/pt/dd/sim block whose newest green rows
-date to r02 rotates to the front of round 6's window too. Everything
-past the window holds a green r04-or-earlier row on code the local gate
-(tools/check.py, run at sf0.01 AND sf0.1 this round) re-validates.
-Unlisted names keep module order after the prioritized block, so a new
-query is never silently dropped.
+(c) the block longest unwitnessed. Round-6 window: the round-6 fix
+targets first — the sim family (the query batch changed from the
+proportional vec_id%50 to the fixed vec_id<_QUERY_K bound, so every
+batch consumer's rows changed: sim1/2/4/5/6/8/9/10/12), ev18 (two-phase
+quantile path + integer rank arithmetic), dd11 (positives-only shuffle
+join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
+additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
+tx17, plus ev18/dd11/sim12 already above), then the six entries whose
+newest green rows date to r01 (o4 set1 tpch_q14 w2b w3 x1), then as
+much of the r02/r03-era block as fits. The tail of that block (dd3/dd4/
+dd6, sim3, a18, tx1-4, ...) holds green r03/r04 rows on unchanged code
+re-validated by the local gate (tools/check.py at sf0.01) and rotates
+to round 7. Unlisted names keep module order after the prioritized
+block, so a new query is never silently dropped.
 """
 
 from __future__ import annotations
@@ -29,45 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
-    # --- changed this round (r05): HUGEINT oracle casts (ev3/q3), thrift
-    # decode + parse fast paths (ing*, q1 features derive from the same
-    # corpus), live multi-init KMeans (m2/m3), corpus_version memo (w1),
-    # CC convergence guard (dd8/dd9), scan-cache path helper (st*) ---
-    "ev3_sessionize", "q3_features_rollup", "q1_sql_features",
-    "ing1_parsed_operators", "ing2_parsed_fragments",
-    "ing3_parsed_queries", "ing4_delete_by_tag",
-    "m0_cluster_features", "m2_kmeans_elbow", "m3_kmeans_clusters",
-    "w1_concurrency_sweep", "dd8_neardup_components",
-    "dd9_semantic_components",
-    "st1_streaming_tumbling", "st2_streaming_sessions",
-    "st3_stateful_user_stats",
-    "pt2_plan_paths",  # shared tree-walk refactor + format() oracle (r05)
-    # --- new in round 5, never driver-witnessed ---
-    "ev9_retention_cohorts", "ev10_funnel_conversion",
-    "sim7_embedding_quantize", "st4_streaming_dedup",
-    "ev11_sessionize_salted", "tx8_benchmark_contamination",
-    "tx9_sequence_packing", "tx10_blocklist_policy",
-    "tx11_repetition_stats", "tx12_mixture_sample", "ev12_anomaly_zscore",
-    "st5_streaming_anomaly", "tx13_boilerplate_stats", "sim8_knn_label_assign",
-    "dd10_incremental_dedup", "ev13_rate_alerts", "ing5_ingest_health",
-    "tx14_vocab_coverage", "ev14_kmv_distinct", "st6_streaming_ingest",
-    "a20_workload_cube", "a21_runtime_deciles", "st7_streaming_interval_join",
-    "pt3_critical_path", "sim9_lsh_recall", "ev15_disorder_profile",
-    "w4_cluster_utilization", "tx15_pipeline_funnel",
-    "set2_party_nation_overlap", "a22_operator_cooccurrence",
-    "ev16_seasonality_heatmap", "sim10_ivf_recall",
-    # tx16 takes the window's 50th slot (x1 holds a green r02 row on
-    # unchanged code and rotates back to the front of the r06 block)
-    "tx16_bigram_logprob",
-    # --- added after the r05 window filled (position 51+): local-gate
-    # verified this round (sf0.01 AND sf0.1), front-loaded into round 6's
-    # driver window ---
+    # --- changed this round (r06): fixed-K query batch (every sim
+    # consumer), ev18 two-phase + integer ranks, dd11 positives-only
+    # shuffle join, 20-seed multi-init KMeans ---
+    "sim1_brute_force_topk", "sim2_lsh_topk", "sim4_ivf_topk",
+    "sim6_range_search", "sim8_knn_label_assign", "sim9_lsh_recall",
+    "sim10_ivf_recall", "sim12_quantize_recall", "sim5_vectorized_topk",
+    "ev18_funnel_latency", "dd11_bloom_prefilter",
+    "m2_kmeans_elbow", "m3_kmeans_clusters",
+    # --- round-5 post-window additions, never driver-witnessed ---
     "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
-    "dd11_bloom_prefilter", "pt4_plan_fingerprints", "st8_streaming_cms",
-    "dd12_winnow_neardup", "tx17_zipf_spectrum", "ev18_funnel_latency",
-    "sim12_quantize_recall",
-    # --- longest-unwitnessed block: newest green rows are r02-era ---
-    "x1_region_nation_grid", "w2b_nation_revenue_share",
+    "pt4_plan_fingerprints", "st8_streaming_cms",
+    "dd12_winnow_neardup", "tx17_zipf_spectrum",
+    # --- newest green rows date to r01 ---
+    "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
+    "w2b_nation_revenue_share", "w3_top_customers_per_nation",
+    "x1_region_nation_grid",
+    # --- r02/r03-era block, oldest first (as much as fits the window) ---
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
@@ -79,27 +58,47 @@ _PRIORITY = (
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
     "pt1_plan_edges",
-    "dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
-    "dd4_simhash_signatures", "dd6_simhash_neardup",
-    "sim1_brute_force_topk", "sim3_label_centroids", "sim4_ivf_topk",
-    "a18_operator_time_quantiles",
-    # --- position 51+: green r04 rows, code unchanged since ---
+    "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
+    # --- position 51+: the r02/r03/r04 tail, code unchanged, local-gate
+    # re-validated; rotates into round 7's window ---
+    "dd3_minhash_lsh_pairs", "dd4_simhash_signatures", "dd6_simhash_neardup",
+    "sim3_label_centroids", "a18_operator_time_quantiles",
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "tx5_stratified_split",
     "tx6_unigram_logprob", "tx7_tfidf_top_terms",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
-    "sim2_lsh_topk", "sim6_range_search",
     "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev4_json_props_stats",
     "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
     "ev8_windowed_topk",
     "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
-    "sim5_vectorized_topk", "a19_operator_time_quantiles_sketch",
+    "a19_operator_time_quantiles_sketch",
+    # --- r05-witnessed greens on unchanged code ---
+    "ev3_sessionize", "q3_features_rollup", "q1_sql_features",
+    "ing1_parsed_operators", "ing2_parsed_fragments",
+    "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
+    "m0_cluster_features", "w1_concurrency_sweep", "w4_cluster_utilization",
+    "dd8_neardup_components", "dd9_semantic_components",
+    "dd10_incremental_dedup",
+    "st1_streaming_tumbling", "st2_streaming_sessions",
+    "st3_stateful_user_stats", "st4_streaming_dedup",
+    "st5_streaming_anomaly", "st6_streaming_ingest",
+    "st7_streaming_interval_join",
+    "pt2_plan_paths", "pt3_critical_path",
+    "ev9_retention_cohorts", "ev10_funnel_conversion",
+    "ev11_sessionize_salted", "ev12_anomaly_zscore", "ev13_rate_alerts",
+    "ev14_kmv_distinct", "ev15_disorder_profile",
+    "ev16_seasonality_heatmap",
+    "sim7_embedding_quantize",
+    "tx8_benchmark_contamination", "tx9_sequence_packing",
+    "tx10_blocklist_policy", "tx11_repetition_stats", "tx12_mixture_sample",
+    "tx13_boilerplate_stats", "tx14_vocab_coverage", "tx15_pipeline_funnel",
+    "tx16_bigram_logprob",
+    "a20_workload_cube", "a21_runtime_deciles", "a22_operator_cooccurrence",
+    "set2_party_nation_overlap",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "w3_top_customers_per_nation", "o4_topn_orders",
-    "set1_union_party_nations",
 )
 
 

@@ -889,8 +889,17 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     """dd11: a Bloom filter can only over-approximate — zero misses,
     bloom_positive = true dups + false positives, and the realized FPR
     stays within an order of magnitude of the theoretical (tiny-sample
-    slack)."""
-    from impala_workload_analyzer_spark.pipeline.dedup import bloom_prefilter
+    slack). dd11 itself joins ONLY bloom-positives against the index, so
+    the dup counts are re-derived here from the unscreened full join —
+    equality proves no true dup ever landed in the negative branch."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _INCR_SPLIT,
+        _SPARK_H,
+        bloom_prefilter,
+    )
 
     rows = bloom_prefilter(spark, sf_dir).collect()
     assert rows
@@ -898,6 +907,22 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         assert r["bloom_misses"] == 0
         assert r["bloom_positive"] == r["n_dup"] + r["false_positives"]
         assert r["n_dup"] + r["false_positives"] <= r["n_new"]
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    tagged = docs.select(
+        "doc_id", "source", F.md5("text").alias("digest"), bucket.alias("bucket")
+    )
+    seen = tagged.filter(F.col("bucket") < _INCR_SPLIT).select("digest").distinct()
+    full = {
+        r["source"]: r["dups"]
+        for r in tagged.filter(F.col("bucket") >= _INCR_SPLIT)
+        .join(seen.withColumn("hit", F.lit(1)), "digest", "left")
+        .groupBy("source")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("dups"))
+        .collect()
+    }
+    assert {r["source"]: r["n_dup"] for r in rows} == full
 
 
 def test_plan_fingerprints_partition_workload(spark, sf_dir):
@@ -941,23 +966,36 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
     assert stream == batch
 
 
-def test_winnow_neardup_subset_of_exact_jaccard(spark, sf_dir):
-    """dd12: every winnow-index pair must appear in dd2's shared-shingle
-    result with the IDENTICAL exact-verified Jaccard (same verify stage,
-    sparser candidate index — winnowing trades recall, never scores)."""
+def test_winnow_neardup_scores_are_exact_jaccard(spark, sf_dir):
+    """dd12: winnowing trades recall, never scores — every reported pair's
+    jaccard must equal an UNCAPPED exact-Jaccard recomputation on the full
+    shingle sets, and clear the threshold. (Not asserted as a subset of
+    dd2: dd2 prunes candidate shingles at DF > _SHINGLE_DF_CAP while dd12
+    caps fingerprint DF at _WINNOW_DF_CAP, so a pair whose shared shingles
+    are all document-hot can legitimately appear in dd12 only.)"""
+    from pyspark.sql import functions as F
+
     from impala_workload_analyzer_spark.pipeline.dedup import (
-        ngram_jaccard_pairs,
+        _JACCARD_THRESHOLD,
+        _shingles_df,
+        _verify_jaccard,
         winnow_neardup_pairs,
     )
 
-    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-             for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
     winnow = winnow_neardup_pairs(spark, sf_dir).collect()
     assert winnow, "expected near-dup pairs at this SF"
+    cands = spark.createDataFrame(
+        [(r["doc_a"], r["doc_b"]) for r in winnow], "doc_a long, doc_b long"
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _verify_jaccard(cands, _shingles_df(spark, sf_dir))
+        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+        .collect()
+    }
     for r in winnow:
-        key = (r["doc_a"], r["doc_b"])
-        assert key in exact
-        assert r["jaccard"] == exact[key]
+        assert r["jaccard"] == exact[(r["doc_a"], r["doc_b"])]
+        assert r["jaccard"] >= _JACCARD_THRESHOLD
 
 
 def test_zipf_spectrum_accounts_all_tokens(spark, sf_dir):
@@ -992,19 +1030,73 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
         assert 0 < r["p50_us"] <= r["p90_us"] <= r["max_us"]
 
 
+def test_funnel_latency_two_phase(spark, sf_dir):
+    """ev18 plan contract: step_pair has CONSTANT cardinality, so the
+    scale path must NOT sort each pair in one task — the chunked
+    two-phase rank must (a) actually split every pair across >1 chunk
+    and (b) produce the exact same quantile rollup as the one-window
+    exact path."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _funnel_delays,
+        _quantile_rollup,
+        _ranked_delays,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    delays = _funnel_delays(ev)
+    ranked = _ranked_delays(delays, 16)
+    per_pair_chunks = {
+        r["step_pair"]: r["n_chunks"]
+        for r in ranked.groupBy("step_pair")
+        .agg(F.countDistinct("chunk").alias("n_chunks"))
+        .collect()
+    }
+    assert per_pair_chunks and all(c > 1 for c in per_pair_chunks.values())
+
+    exact = {r["step_pair"]: (r["n_users"], r["p50_us"], r["p90_us"], r["max_us"])
+             for r in _quantile_rollup(_ranked_delays(delays, 1)).collect()}
+    two_phase = {r["step_pair"]: (r["n_users"], r["p50_us"], r["p90_us"], r["max_us"])
+                 for r in _quantile_rollup(ranked).collect()}
+    assert two_phase == exact
+
+
+def test_funnel_latency_integer_rank(spark):
+    """ev18 rank arithmetic: k = ceil(q*n) computed in integers, so for
+    n=10 delays p90 is the 9th smallest — double arithmetic would ceil
+    10*0.9 = 9.000000000000002 up to rank 10."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _quantile_rollup,
+        _ranked_delays,
+    )
+
+    delays = spark.createDataFrame(
+        [("a->b", f"u{i}", (i + 1) * 100) for i in range(10)],
+        "step_pair string, user_id string, delay_us long",
+    )
+    for chunks in (1, 4):
+        row = _quantile_rollup(_ranked_delays(delays, chunks)).collect()[0]
+        assert row["n_users"] == 10
+        assert row["p50_us"] == 500   # rank (10+1) div 2 = 5
+        assert row["p90_us"] == 900   # rank (90+9) div 10 = 9, NOT 10
+        assert row["max_us"] == 1000
+
+
 def test_quantize_recall_near_exact(spark, sf_dir):
     """sim12: int8 reconstruction perturbs cosine by <1%, so recall@k of
     quantized scoring should be high — every query present, recall in
     [0, 1], and the mean well above the LSH/IVF candidate-loss floor."""
     from impala_workload_analyzer_spark.pipeline.similarity import (
-        _QUERY_MOD,
+        _QUERY_K,
         quantize_recall,
     )
     from impala_workload_analyzer_spark.io import load_table
 
     rows = quantize_recall(spark, sf_dir).collect()
     n_q = (load_table(spark, sf_dir, "embeddings")
-           .filter(f"vec_id % {_QUERY_MOD} = 0").count())
+           .filter(f"vec_id < {_QUERY_K}").count())
     assert len(rows) == n_q
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
     assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.8

@@ -179,6 +179,21 @@ def test_ev17_sketch_broadcasts_to_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_dd11_positives_only_shuffle_join(spark, sf_dir):
+    """Bloom pre-screen scale contract: the m-bit filter side broadcasts,
+    but the digest-keyed join against the seen index must be a SHUFFLE
+    join (the index is data-sized at 100 TB — a broadcast there is the
+    OOM the pre-screen exists to avoid), and only the bloom-positive
+    branch reaches it (the negative branch carries a literal null
+    is_dup, no join)."""
+    plan = _plan(spark, sf_dir, "dd11_bloom_prefilter")
+    assert "ShuffledHashJoin" in plan, plan
+    # no BroadcastHashJoin node may key on the digest column
+    for block in plan.split("\n\n"):
+        if "BroadcastHashJoin" in block and "keys" in block:
+            assert "digest" not in block, block
+
+
 def test_mm4_takes_shard_local_plan(spark, sf_dir):
     """Multimodal packing: the doc-media join broadcasts at fixture
     scale and packing stays shard-local — no global sort over samples
