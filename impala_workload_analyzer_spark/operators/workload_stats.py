@@ -312,6 +312,52 @@ pq AS (
 )
 """
 
+def runtime_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a23 — runtime DRIFT detection per (cluster, sql_type): the workload
+    time axis splits at its global midpoint (integer arithmetic, so both
+    engines draw the identical boundary), each group's early/late floor-
+    mean runtimes are compared, and ``drift`` = late/early — the
+    regression-watch view an operator reads to catch a cluster or
+    statement class getting slower over the observation window (the
+    reference eyeballs this from its runtime histograms; this is the
+    queryable form). Groups with an empty half are dropped — no
+    baseline, no drift claim.
+
+    Scale: one pass for the 2-value bounds (broadcast back), one grouped
+    agg over the corpus — group count is clusters x statement types,
+    constant-bounded. Means are py2 floor-division (the corpus counter
+    convention); the ratio divides the two floored BIGINTs, so the gate
+    value is engine-exact."""
+    q = corpus_queries(spark, sf_dir)
+    bounds = q.groupBy().agg(
+        F.min("start_time").alias("lo"), F.max("start_time").alias("hi")
+    )
+    tagged = q.crossJoin(F.broadcast(bounds)).withColumn(
+        "late", F.col("start_time") * 2 > F.col("lo") + F.col("hi")
+    )
+    agg = tagged.groupBy("cluster", "sql_type").agg(
+        F.sum(F.when(~F.col("late"), 1).otherwise(0)).cast("bigint").alias("early_n"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("bigint").alias("late_n"),
+        F.expr(
+            f"{IDIV('SUM(CASE WHEN NOT late THEN runtime ELSE 0 END)', 'NULLIF(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END), 0)')}"
+        ).alias("early_mean"),
+        F.expr(
+            f"{IDIV('SUM(CASE WHEN late THEN runtime ELSE 0 END)', 'NULLIF(SUM(CASE WHEN late THEN 1 ELSE 0 END), 0)')}"
+        ).alias("late_mean"),
+    )
+    return agg.filter((F.col("early_n") > 0) & (F.col("late_n") > 0)).select(
+        "cluster",
+        "sql_type",
+        "early_n",
+        "late_n",
+        "early_mean",
+        "late_mean",
+        F.round(
+            F.col("late_mean").cast("double") / F.col("early_mean"), 9
+        ).alias("drift"),
+    )
+
+
 _QUANTILES = (("q50", 0.5), ("q95", 0.95), ("q99", 0.99))
 
 
@@ -453,6 +499,23 @@ ORACLES: dict[str, str] = {
                                  ORDER BY runtime, query_id) AS decile
           FROM iwa_queries) banded
         GROUP BY 1, 2"""),
+    "a23_runtime_drift": with_corpus(f"""
+        SELECT cluster, sql_type, early_n, late_n, early_mean, late_mean,
+               ROUND(CAST(late_mean AS DOUBLE) / early_mean, 9) AS drift
+        FROM (
+          SELECT cluster, sql_type,
+                 CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS early_n,
+                 CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS late_n,
+                 {IDIV("SUM(CASE WHEN NOT late THEN runtime ELSE 0 END)", "NULLIF(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END), 0)")} AS early_mean,
+                 {IDIV("SUM(CASE WHEN late THEN runtime ELSE 0 END)", "NULLIF(SUM(CASE WHEN late THEN 1 ELSE 0 END), 0)")} AS late_mean
+          FROM (
+            SELECT q.cluster, q.sql_type, q.runtime,
+                   q.start_time * 2 > b.lo + b.hi AS late
+            FROM iwa_queries q
+            CROSS JOIN (SELECT MIN(start_time) AS lo, MAX(start_time) AS hi
+                        FROM iwa_queries) b) t
+          GROUP BY 1, 2) g
+        WHERE early_n > 0 AND late_n > 0"""),
     "a17_query_num_hosts": with_corpus("""
         SELECT o.query_id, MAX(o.num_hosts) AS max_op_num_hosts, q.num_hosts
         FROM iwa_operators o
@@ -478,6 +541,7 @@ SPARK_QUERIES = {
     "a20_workload_cube": workload_cube,
     "a21_runtime_deciles": runtime_deciles,
     "a22_operator_cooccurrence": operator_cooccurrence,
+    "a23_runtime_drift": runtime_drift,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,

@@ -512,6 +512,90 @@ def _dd12_oracle() -> str:
         WHERE j.jaccard >= {_JACCARD_THRESHOLD}"""
 
 
+def component_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd13 — QUALITY-AWARE canonical selection: dd8's near-dup components
+    joined with tx2's quality signals, keeping the HIGHEST-quality member
+    per component (type-token ratio, doc_id tie-break) instead of dd8's
+    arbitrary min-id convention — the selection a pre-training corpus
+    actually wants (drop the near-dups, keep the best-written copy).
+    Output carries the component id, member count, each doc's quality and
+    the keep decision, so the downstream filter is one boolean column.
+
+    Scale: the component labels are already doc-keyed (dd8's output); the
+    quality join is doc_id-keyed; the keep-best window partitions by
+    component_id — near-dup components are small cliques, so no window
+    partition ever exceeds a clique size. Quality rounds to 9 decimals
+    BEFORE ranking so cross-engine ties cannot diverge."""
+    from .text import quality_score  # noqa: PLC0415
+
+    comp = neardup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.round("type_token_ratio", 9).alias("quality")
+    )
+    joined = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wp = Window.partitionBy("component_id")
+    return joined.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(wp).cast("bigint").alias("n_members"),
+        "quality",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _dd13_oracle() -> str:
+    from .text import _DUCK_NORM, _DUCK_WORDS  # noqa: PLC0415
+
+    return f"""
+        WITH RECURSIVE x AS (SELECT 1){_DUCK_JACCARD},
+        {_DUCK_MINHASH_SIG},
+        {_DUCK_BANDS},
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        ),
+        pairs AS (
+          SELECT j.doc_a, j.doc_b
+          FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {_JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT doc_id AS start, doc_id AS node FROM documents
+          UNION
+          SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT start AS doc_id, MIN(node) AS component_id
+          FROM reach GROUP BY start
+        ),
+        quality AS (
+          SELECT doc_id,
+                 ROUND(CAST(len(list_distinct(words)) AS DOUBLE)
+                       / CAST(len(words) AS DOUBLE), 9) AS quality
+          FROM (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents)
+        ),
+        ranked AS (
+          SELECT c.doc_id, c.component_id, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                    ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+          FROM comp c JOIN quality q USING (doc_id)
+        )
+        SELECT doc_id, component_id, CAST(n_members AS BIGINT) AS n_members,
+               quality, rn = 1 AS kept
+        FROM ranked"""
+
+
 _BLOOM_M = 4096  # filter bits
 _BLOOM_K = 4     # hash functions
 
@@ -658,6 +742,7 @@ _DD11_SQL = f"""
 
 
 ORACLES = {
+    "dd13_component_keep_best": _dd13_oracle(),
     "dd12_winnow_neardup": _dd12_oracle(),
     "dd11_bloom_prefilter": _DD11_SQL,
     "dd10_incremental_dedup": f"""
@@ -811,4 +896,5 @@ SPARK_QUERIES = {
     "dd6_simhash_neardup": simhash_neardup_pairs,
     "dd7_norm_dedup_keep_best": norm_dedup_keep_best,
     "dd8_neardup_components": neardup_components,
+    "dd13_component_keep_best": component_keep_best,
 }

@@ -642,6 +642,35 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_rollup(_ranked_delays(_funnel_delays(ev), target_chunks))
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev19 — per-user event-type TRANSITION MATRIX: each user's events in
+    (ts, event_id) order yield (from_type -> to_type) bigram counts, and
+    each from-row normalizes to transition probabilities — the first-order
+    Markov model of user behavior that sessionization (ev3), funnels
+    (ev10/ev18) and anomaly scans (ev12) all implicitly assume; this op
+    makes it a measured table.
+
+    Scale: ONE user-keyed shuffle for the lead() window (the same key
+    every per-user analytic here shuffles on), then a (from, to) count agg
+    whose output is bounded by event-type-cardinality squared — the
+    normalizing window runs over that tiny aggregate, never the events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    counts = trans.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf).cast("double"), 9).alias("prob"),
+    )
+
+
 _CMS_D = 4       # hash rows
 _CMS_W = 256     # buckets per row
 _CMS_TOP = 20    # report the top-N true heavy hitters
@@ -841,6 +870,20 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev19_event_transitions": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        counts AS (
+          SELECT event_type AS from_type, to_type, COUNT(*) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+                 AS prob
+        FROM counts""",
     "ev16_seasonality_heatmap": """
         SELECT CAST((FLOOR(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow,
                CAST(FLOOR((epoch(ts) % 86400) / 3600) AS BIGINT) AS hour,
@@ -1149,6 +1192,7 @@ SPARK_QUERIES = {
     "ev14_kmv_distinct": kmv_distinct,
     "ev17_cms_heavy_hitters": cms_heavy_hitters,
     "ev18_funnel_latency": funnel_latency,
+    "ev19_event_transitions": event_transitions,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

@@ -225,6 +225,27 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PROBE = 2
 
 
+def _ivf_scored(emb: DataFrame) -> DataFrame:
+    """Every vector scored against every label-mean centroid (the coarse
+    quantizer shared by sim4's probe search and sim13's IVF-PQ): tiny
+    centroid table built by partial agg, broadcast into a map-side cross
+    product; scores rounded to 9 decimals before any argmax."""
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).groupBy(
+        "label", "pos"
+    ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    cent = (
+        comp.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("cvec")
+        )
+        .withColumn("cn", F.expr(f"sqrt({_spark_dot('cvec', 'cvec')})"))
+    )
+    return emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score",
+        F.round(F.expr(_spark_dot("embedding", "cvec")) / (F.col("nrm") * F.col("cn")), 9),
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim4 — IVF ANN, the scale path past LSH: label-mean centroids form
     the coarse quantizer (sim3), every vector is assigned to its
@@ -239,20 +260,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     All scores are rounded to 9 decimals before any argmax/rank so
     cross-engine ties can never diverge."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).groupBy(
-        "label", "pos"
-    ).agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-    cent = (
-        comp.groupBy(F.col("label").alias("c_label"))
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("cvec")
-        )
-        .withColumn("cn", F.expr(f"sqrt({_spark_dot('cvec', 'cvec')})"))
-    )
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "score",
-        F.round(F.expr(_spark_dot("embedding", "cvec")) / (F.col("nrm") * F.col("cn")), 9),
-    )
+    scored = _ivf_scored(emb)
     assign = scored.groupBy("vec_id").agg(
         F.max_by(F.col("c_label"), F.struct(F.col("score"), (-F.col("c_label")).alias("nl")))
         .alias("list_id"),
@@ -643,6 +651,76 @@ def quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, _quantized_topk(spark, sf_dir))
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim13 — the full IVF-PQ SEARCH path (coarse probe + asymmetric
+    distance computation), composing the index the earlier ops built:
+    sim4's label-centroid inverted lists pick ``_N_PROBE`` lists per
+    query, and candidates inside them are scored WITHOUT touching float
+    vectors — each query precomputes an ADC lookup table (L2² of its
+    subvectors against every codeword: _PQ_SUBS x _PQ_CODES entries),
+    and a candidate's distance is the sum of 8 table lookups addressed
+    by its stored 4-bit codes (Jégou et al. 2011). This is the query
+    shape an IVF-PQ deployment actually executes at 100 TB: the float
+    corpus is never read at search time, only codes.
+
+    Scale: the LUT is queries x subspaces x codes rows — broadcast; the
+    probe list join is the sim4 candidate shape; the only full-corpus
+    work is the one-time code assignment (vec_id-keyed aggs). Each
+    lookup term rounds to 6 decimals and accumulates as DECIMAL(18,6),
+    so the summed distance is exact and order-independent — ranking can
+    never diverge across engines."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    scored = _ivf_scored(emb)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"), F.struct(F.col("score"), (-F.col("c_label")).alias("nl"))
+        ).alias("list_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
+    probes = (
+        scored.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "c_label", "score")
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= _N_PROBE)
+        .select("query_id", F.col("c_label").alias("probe_list"))
+    )
+    vecs = emb.select("vec_id", "embedding")
+    sub = _pq_sub(vecs)
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(vecs).select("vec_id", "s", "code")
+    lut = (
+        sub.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "s", "sub")
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .select(
+            "query_id", "s", F.col("cid").alias("code"),
+            F.round(F.expr(_PQ_SQD), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    cands = (
+        assign.join(F.broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    dist = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
 SIM4_SQL = f"""
         WITH e AS (
           SELECT vec_id, label, embedding,
@@ -693,6 +771,52 @@ _PQ_SUBDIM = _DIM // _PQ_SUBS
 _PQ_CODES = 16      # centroids per subspace -> 4 bits/code, 32-bit PQ code
 
 
+_PQ_SQD = (
+    "aggregate(zip_with(sub, cvec,"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _pq_sub(emb: DataFrame) -> DataFrame:
+    """One (vec_id, s, sub) row per subvector — the PQ subspace split
+    shared by sim11's code assignment and sim13's ADC lookup tables."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}),"
+                f" s -> slice(embedding, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("s", "sub"),
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """The deterministic sample codebook (subvectors of the first
+    ``_PQ_CODES`` vectors) — tiny by construction, always broadcast."""
+    return sub.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("cid"),
+        F.col("sub").alias("cvec"),
+    )
+
+
+def _pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, code, err): each subvector's nearest-codeword id and
+    its squared distance — sim11's assignment stage, reused verbatim as
+    sim13's stored-code side."""
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    return (
+        sub.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .withColumn("d", F.round(F.expr(_PQ_SQD), 9))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("code"), F.col("m.d").alias("err"))
+    )
+
+
 def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim11 — PRODUCT QUANTIZATION code assignment (the IVF-PQ memory
     path: at 100 TB the float vectors don't fit an index, the 4-byte PQ
@@ -713,33 +837,7 @@ def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(vec_id, s) partial agg and one groupBy(vec_id) — shuffles
     keyed by vec_id only, no skew. Distances round to 9 decimals before
     the argmin (cid tie-break) so cross-engine ties can never diverge."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_SUBS - 1}),"
-                f" s -> slice(embedding, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
-            )
-        ).alias("s", "sub"),
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_CODES).select(
-        F.col("s").alias("cs"), F.col("vec_id").alias("cid"),
-        F.col("sub").alias("cvec"),
-    )
-    sqd = (
-        "aggregate(zip_with(sub, cvec,"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    assigned = (
-        sub.join(F.broadcast(cb), F.col("s") == F.col("cs"))
-        .withColumn("d", F.round(F.expr(sqd), 9))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("code"), F.col("m.d").alias("err"))
-    )
+    assigned = _pq_codes(load_table(spark, sf_dir, "embeddings"))
     return assigned.groupBy("vec_id").agg(
         F.expr(
             "concat_ws('-', transform(array_sort(collect_list(struct(s, code))),"
@@ -776,6 +874,84 @@ _SIM11_SQL = f"""
                ROUND(AVG(d), 6) AS mse
         FROM a WHERE rn = 1
         GROUP BY vec_id"""
+
+
+_PQ_L2 = (
+    f"list_reduce(list_transform(range(1, {_PQ_SUBDIM} + 1),"
+    " i -> (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))"
+    " * (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+)
+
+_SIM13_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, c_label AS probe_list FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored WHERE vec_id < {_QUERY_K}) t
+          WHERE rn <= {_N_PROBE}),
+        sub AS (
+          SELECT vec_id, ss.s,
+                 list_slice(embedding, ss.s * {_PQ_SUBDIM} + 1,
+                            ss.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBS})) AS s) ss),
+        cb AS (
+          SELECT s AS cs, vec_id AS cid, sub AS cvec
+          FROM sub WHERE vec_id < {_PQ_CODES}),
+        codes AS (
+          SELECT vec_id, s, cid AS code FROM (
+            SELECT sub.vec_id, sub.s, cb.cid,
+                   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                                      ORDER BY ROUND({_PQ_L2}, 9), cb.cid) AS rn
+            FROM sub JOIN cb ON sub.s = cb.cs) t WHERE rn = 1),
+        qlut AS (
+          SELECT sub.vec_id AS query_id, sub.s, cb.cid AS code,
+                 CAST(ROUND({_PQ_L2}, 6) AS DECIMAL(18,6)) AS d
+          FROM sub JOIN cb ON sub.s = cb.cs
+          WHERE sub.vec_id < {_QUERY_K}),
+        cands AS (
+          SELECT p.query_id, a.vec_id
+          FROM assign a JOIN probes p ON a.list_id = p.probe_list
+          WHERE a.vec_id <> p.query_id),
+        dist AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id, SUM(l.d) AS adc
+          FROM cands c
+          JOIN codes k ON k.vec_id = c.vec_id
+          JOIN qlut l ON l.query_id = c.query_id AND l.s = k.s
+                     AND l.code = k.code
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id ASC) AS rank
+          FROM dist)
+        SELECT query_id, neighbor_id, rank,
+               ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist
+        FROM ranked WHERE rank <= {_TOP_K}"""
 
 
 _SIM12_SQL = f"""
@@ -833,6 +1009,7 @@ _SIM12_SQL = f"""
 
 
 ORACLES = {
+    "sim13_ivfpq_topk": _SIM13_SQL,
     "sim11_pq_assign": _SIM11_SQL,
     "sim12_quantize_recall": _SIM12_SQL,
     "sim9_lsh_recall": f"""
@@ -1080,4 +1257,5 @@ SPARK_QUERIES = {
     "sim10_ivf_recall": ivf_recall,
     "sim11_pq_assign": pq_assign,
     "sim12_quantize_recall": quantize_recall,
+    "sim13_ivfpq_topk": ivfpq_topk,
 }

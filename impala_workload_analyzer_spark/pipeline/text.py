@@ -705,6 +705,41 @@ def zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx18 — per-document Shannon ENTROPY of the token distribution (in
+    bits): H = log2(n) - (1/n)·Σ c·log2(c) over within-doc term counts —
+    the information-density quality signal that catches what tx2's ratio
+    thresholds cannot: keyword-stuffed or template-generated text scores
+    low-entropy at any length, and near-random token soup scores at the
+    log2(vocabulary) ceiling. The standard pre-training filter pairs this
+    with tx11's repetition stats.
+
+    Scale: explode -> (doc, term) count -> per-doc agg, both shuffles
+    keyed by doc_id (the second reuses the first's partitioning). Float
+    discipline: each c·log2(c) term rounds to 6 decimals and accumulates
+    as DECIMAL(18,6) — exact and commutative, so partial-agg order can
+    never move the gate value (the SCALE.md sum rule)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("words").alias("word"))
+    wc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 6).cast("decimal(18,6)")
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2("n_tokens") - F.col("s").cast("double") / F.col("n_tokens"),
+            9,
+        ).alias("entropy_bits"),
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -719,6 +754,20 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx18_token_entropy": f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT doc_id, unnest(words) AS word FROM d),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 SUM(CAST(ROUND(c * log2(c), 6) AS DECIMAL(18,6))) AS s
+          FROM wc GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_types,
+               ROUND(log2(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 9)
+                 AS entropy_bits
+        FROM per""",
     "tx15_pipeline_funnel": f"""
         WITH d AS (
           SELECT doc_id, text, {_DUCK_NORM} AS norm, {_DUCK_WORDS} AS words
@@ -1048,6 +1097,7 @@ SPARK_QUERIES = {
     "tx6_unigram_logprob": unigram_logprob,
     "tx16_bigram_logprob": bigram_logprob,
     "tx17_zipf_spectrum": zipf_spectrum,
+    "tx18_token_entropy": token_entropy,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
     "tx10_blocklist_policy": blocklist_policy,

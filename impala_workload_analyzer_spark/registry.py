@@ -42,6 +42,9 @@ _PRIORITY = (
     "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     "pt4_plan_fingerprints", "st8_streaming_cms",
     "dd12_winnow_neardup", "tx17_zipf_spectrum",
+    # --- new in round 6, never driver-witnessed ---
+    "sim13_ivfpq_topk", "st9_streaming_kmv", "dd13_component_keep_best",
+    "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",
@@ -56,11 +59,11 @@ _PRIORITY = (
     "w2_time_share_per_query", "a13_avg_time_pct_per_operator",
     "a14_abs_time_pct_per_operator",
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
+    # --- position 51+: the r03/r04 tail, code unchanged, local-gate
+    # re-validated; rotates into round 7's window ---
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
     "pt1_plan_edges",
     "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
-    # --- position 51+: the r02/r03/r04 tail, code unchanged, local-gate
-    # re-validated; rotates into round 7's window ---
     "dd3_minhash_lsh_pairs", "dd4_simhash_signatures", "dd6_simhash_neardup",
     "sim3_label_centroids", "a18_operator_time_quantiles",
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",

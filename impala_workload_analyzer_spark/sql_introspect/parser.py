@@ -30,12 +30,15 @@ conventions wherever they are hand-checkable from the public sources
 parens from CompoundPredicate/InPredicate (an IN-subquery renders ONE
 paren pair, supplied by Subquery.toSql), ``NOT LIKE`` as a NOT-wrapped
 LikePredicate, INTERVAL units printed as written, window frames rendered
-``ROWS|RANGE [BETWEEN] ... [AND ...]``. The snapshot ships no Impala
-frontend jars (``.MISSING_LARGE_BLOBS``), so byte-parity against the
-reference binary is unverifiable; remaining knowingly-open deviations:
-function-name case follows the input (as Impala), but whitespace
-normalization inside uncommon constructs (nested CASE, chained
-BETWEEN) is ours. ``tests/test_sql_introspect.py`` pins the corpus-shape
+``ROWS|RANGE [BETWEEN] ... [AND ...]``. The r06 pass closed the last
+two open cases against the public Apache frontend sources: nested CASE
+renders in ``CaseExpr.toSql``'s single-space ``CASE [op] WHEN .. THEN ..
+[ELSE ..] END`` form and chained BETWEEN as ``expr [NOT] BETWEEN lo AND
+hi`` joined by the CompoundPredicate — both pinned in
+``tests/test_sql_introspect.py``. The snapshot ships no Impala frontend
+jars (``.MISSING_LARGE_BLOBS``), so BYTE-parity against the reference
+binary itself stays unverifiable; no knowingly-open rendering deviation
+remains. ``tests/test_sql_introspect.py`` pins the corpus-shape
 templates.
 
 Everything here is pure Python executed inside Arrow-batched

@@ -426,6 +426,100 @@ def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st9 — ev14's KMV distinct sketch maintained as STREAMING state via
+    ``applyInPandasWithState``: per event_type, the state is the k
+    smallest distinct 60-bit user-id hashes — and ONLY those k values, so
+    state is bounded at k hashes per key for an unbounded stream (the
+    KMV guarantee, vs the unbounded exact-distinct state st4-style dedup
+    would need). The emitted rows are the ranked minimum set itself,
+    which the oracle reproduces exactly from the batch table — the same
+    sketch-equals-batch witness st8 uses for CMS. The Python hash is
+    bit-identical to ev14's SQL ``_H60`` (md5 first 15 hex digits), so
+    the sketch family stays single-definition across batch and stream.
+
+    Scale: keyed state, k * 8 bytes per event type; merging a batch is
+    (stored k-min set) union (batch distinct) -> k smallest — associative
+    and commutative, so micro-batch boundaries can never change the
+    result."""
+    import hashlib  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..pipeline.events_analytics import _KMV_K  # noqa: PLC0415
+
+    ev = _stream_events(spark, sf_dir).select("event_type", "user_id")
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("rk", LongType()),
+            StructField("h", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("mins_json", StringType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mins = set(json.loads(state.get[0])) if state.exists else set()
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                h = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+                mins.add(h)
+                if len(mins) > _KMV_K:
+                    mins.discard(max(mins))
+        kept = sorted(mins)
+        state.update((json.dumps(kept),))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(kept),
+                "rk": range(1, len(kept) + 1),
+                "h": kept,
+            }
+        )
+
+    agg = ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(agg, "st9_out", "update")
+    # update mode re-emits a key's (possibly shorter, element-wise larger)
+    # min set every micro-batch it changes in; the i-th smallest of a
+    # growing set is monotone non-increasing, so min-per-rank over all
+    # emissions IS the final state under any batch split
+    return (
+        spark.table("st9_out")
+        .groupBy("event_type", F.col("rk").cast("bigint").alias("rk"))
+        .agg(F.min("h").cast("bigint").alias("h"))
+    )
+
+
+def _st9_oracle() -> str:
+    from ..pipeline.events_analytics import _KMV_K  # noqa: PLC0415
+
+    return f"""
+        WITH hashes AS (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+          FROM events),
+        ranked AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM hashes)
+        SELECT event_type, CAST(rk AS BIGINT) AS rk, h
+        FROM ranked WHERE rk <= {_KMV_K}"""
+
+
 def _st8_oracle() -> str:
     from ..pipeline.events_analytics import _CMS_D, _CMS_W  # noqa: PLC0415
 
@@ -441,6 +535,7 @@ def _st8_oracle() -> str:
 
 
 ORACLES = {
+    "st9_streaming_kmv": _st9_oracle(),
     "st8_streaming_cms": _st8_oracle(),
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
     "st1_streaming_tumbling": _EV1_ORACLE,
@@ -487,4 +582,5 @@ SPARK_QUERIES = {
     "st6_streaming_ingest": streaming_profile_ingest,
     "st7_streaming_interval_join": streaming_interval_join,
     "st8_streaming_cms": streaming_cms,
+    "st9_streaming_kmv": streaming_kmv,
 }

@@ -1100,3 +1100,176 @@ def test_quantize_recall_near_exact(spark, sf_dir):
     assert len(rows) == n_q
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
     assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.8
+
+
+def test_ivfpq_adc_equals_reconstructed_l2(spark, sf_dir):
+    """sim13: structure (k ranked rows per query, distances non-negative
+    and non-decreasing in rank) plus the ADC identity — the summed
+    lookup-table distance must equal L2² between the query and the
+    candidate's PQ-RECONSTRUCTED vector (codewords concatenated), within
+    the 6-dp per-term rounding. That identity is what makes ADC a
+    float-free scoring path rather than an unrelated heuristic."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _PQ_CODES,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _TOP_K,
+        ivfpq_topk,
+    )
+
+    rows = ivfpq_topk(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TOP_K
+        dists = [r["adc_dist"] for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in load_table(spark, sf_dir, "embeddings").collect()}
+    cb = {
+        (s, cid): vecs[cid][s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+        for cid in range(_PQ_CODES) for s in range(_PQ_SUBS)
+    }
+
+    def code_of(vid, s):
+        sub = vecs[vid][s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+        best = min(
+            (round(sum((float(a) - float(b)) ** 2 for a, b in zip(sub, cb[(s, c)])), 9), c)
+            for c in range(_PQ_CODES)
+        )
+        return best[1]
+
+    some_q = sorted(by_q)[0]
+    for r in by_q[some_q]:
+        recon_d = 0.0
+        for s in range(_PQ_SUBS):
+            cw = cb[(s, code_of(r["neighbor_id"], s))]
+            qsub = vecs[some_q][s * _PQ_SUBDIM:(s + 1) * _PQ_SUBDIM]
+            recon_d += round(
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qsub, cw)), 6
+            )
+        assert math.isclose(r["adc_dist"], round(recon_d, 6), abs_tol=1e-5)
+
+
+def test_streaming_kmv_bounded_and_estimator_consistent(spark, sf_dir):
+    """st9: at most k state rows per event_type, ranks dense from 1,
+    hashes strictly increasing — and the k-th smallest hash must
+    reproduce ev14's KMV estimate exactly (same sketch, two engines)."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _KMV_K,
+        kmv_distinct,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_kmv,
+    )
+
+    by_type = {}
+    for r in streaming_kmv(spark, sf_dir).collect():
+        by_type.setdefault(r["event_type"], []).append((r["rk"], r["h"]))
+    assert by_type
+    for t, pairs in by_type.items():
+        pairs.sort()
+        assert len(pairs) <= _KMV_K
+        assert [rk for rk, _ in pairs] == list(range(1, len(pairs) + 1))
+        hs = [h for _, h in pairs]
+        assert hs == sorted(set(hs))
+
+    for r in kmv_distinct(spark, sf_dir).collect():
+        pairs = by_type[r["event_type"]]
+        if r["n_distinct"] > _KMV_K:
+            hk = pairs[_KMV_K - 1][1]
+            assert abs((_KMV_K - 1) * 2.0**60 / hk - r["kmv_estimate"]) < 1e-4
+
+
+def test_component_keep_best_picks_max_quality(spark, sf_dir):
+    """dd13: exactly one kept doc per component, and it attains the
+    component's max quality (doc_id tie-break); membership equals dd8."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        component_keep_best,
+        neardup_components,
+    )
+
+    rows = component_keep_best(spark, sf_dir).collect()
+    comp8 = {r["doc_id"]: r["component_id"]
+             for r in neardup_components(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["component_id"] for r in rows} == comp8
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        assert len(members) == members[0]["n_members"]
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        best_q = max(m["quality"] for m in members)
+        assert kept[0]["quality"] == best_q
+        ties = [m["doc_id"] for m in members if m["quality"] == best_q]
+        assert kept[0]["doc_id"] == min(ties)
+
+
+def test_event_transitions_rows_and_probs(spark, sf_dir):
+    """ev19: per from_type the probabilities sum to 1, and total
+    transition count is (events - distinct users) — every user
+    contributes exactly (n_events - 1) bigrams."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        event_transitions,
+    )
+
+    rows = event_transitions(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["prob"]
+    for t, p in by_from.items():
+        assert abs(p - 1.0) < 1e-6, (t, p)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """tx18: 0 <= H <= log2(n_types) (uniform upper bound), with H = 0
+    exactly when the doc repeats one token; every doc present."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import token_entropy
+
+    rows = token_entropy(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["n_types"] <= r["n_tokens"]
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["n_types"]) + 1e-9
+        if r["n_types"] == 1:
+            assert abs(r["entropy_bits"]) < 1e-9
+
+
+def test_runtime_drift_partitions_population(spark, sf_dir):
+    """a23: early_n + late_n accounts for every query in the group, and
+    drift equals the ratio of the reported floor-means."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        runtime_drift,
+    )
+
+    rows = runtime_drift(spark, sf_dir).collect()
+    assert rows
+    totals = {(r["cluster"], r["sql_type"]): r["cnt"]
+              for r in corpus_queries(spark, sf_dir)
+              .groupBy("cluster", "sql_type").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    for r in rows:
+        assert r["early_n"] + r["late_n"] == totals[(r["cluster"], r["sql_type"])]
+        assert abs(r["drift"] - round(r["late_mean"] / r["early_mean"], 9)) < 1e-9
+        assert r["early_mean"] > 0 and r["late_mean"] > 0

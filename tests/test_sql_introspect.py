@@ -204,6 +204,16 @@ def test_insert_not_parameterized():
     # ROWS/RANGE stay non-reserved outside OVER
     ("SELECT rows FROM t WHERE range = 5",
      "SELECT ? FROM ? WHERE ? = 1"),
+    # nested CASE renders in CaseExpr.toSql's single-space form — input
+    # whitespace/newlines normalize away, structure keeps no extra parens
+    ("SELECT CASE WHEN a = 1 THEN  CASE  b WHEN 2 THEN 'x'  ELSE 'y' END "
+     "ELSE 'z' END FROM t",
+     "SELECT CASE WHEN ? = 1 THEN CASE ? WHEN 1 THEN '?' ELSE '?' END "
+     "ELSE '?' END FROM ?"),
+    # chained BETWEEN under AND: each BetweenPredicate.toSql is
+    # 'expr BETWEEN lo AND hi', the CompoundPredicate joins with ' AND '
+    ("SELECT c1 FROM t WHERE a BETWEEN 1 AND 5 AND b NOT BETWEEN 6 AND 9",
+     "SELECT ? FROM ? WHERE ? BETWEEN 1 AND 1 AND ? NOT BETWEEN 1 AND 1"),
 ])
 def test_parameterize_impala_tosql_parity(sql, expected):
     assert parameterize_sql(sql) == expected
