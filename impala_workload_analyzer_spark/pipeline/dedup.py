@@ -87,10 +87,12 @@ _SHINGLE_DF_CAP = 100  # drop shingles shared by more than this many docs
                        # from CANDIDATE GENERATION (verification stays exact)
 
 
-def _verify_jaccard(cands: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard for the given candidate (doc_a < doc_b) pairs, computed
-    against the FULL shingle sets — candidate pruning upstream never skews
-    the reported similarity, mirroring dd3's LSH verify stage."""
+def _pair_overlap(cands: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b) for the given candidate
+    (doc_a < doc_b) pairs, computed against the FULL shingle sets —
+    candidate pruning upstream never skews the reported overlap. The
+    shared verify stage behind exact Jaccard (dd2/dd3/dd12) and
+    asymmetric containment (dd14)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cands.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -105,14 +107,19 @@ def _verify_jaccard(cands: DataFrame, shingles: DataFrame) -> DataFrame:
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
+    )
+
+
+def _verify_jaccard(cands: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for the given candidate pairs, mirroring dd3's LSH
+    verify stage."""
+    return _pair_overlap(cands, shingles).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
     )
 
 
@@ -129,7 +136,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_of(_shingles_df(spark, sf_dir))
 
 
-def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
+def _rare_shingle_cands(shingles: DataFrame) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs sharing at least one shingle whose
+    document frequency is <= _SHINGLE_DF_CAP — the hot-key-guarded
+    generation stage shared by dd2 and dd14."""
     rare = shingles.join(
         shingles.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -137,7 +147,7 @@ def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
         .select("shingle"),
         "shingle",
     )
-    cands = (
+    return (
         rare.alias("a")
         .join(
             rare.alias("b"),
@@ -147,7 +157,10 @@ def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = _verify_jaccard(cands, shingles)
+
+
+def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
+    pairs = _verify_jaccard(_rare_shingle_cands(shingles), shingles)
     return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
     )
@@ -546,6 +559,65 @@ def component_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_TAU = 0.5  # max-containment report threshold
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14 — asymmetric CONTAINMENT detection: for candidate pairs,
+    C = |A∩B| / min(|A|, |B|) — the overlap measure that catches a short
+    document QUOTED INSIDE a longer one, which symmetric Jaccard
+    structurally misses (a 100-shingle doc contained in a 1000-shingle
+    doc has Jaccard 0.1 but containment 1.0). The quote/subset case is
+    the standard second pass of a web-scrape dedup after dd2/dd3's
+    near-identity pass. Output carries both sizes so downstream can tell
+    which side is the container.
+
+    Scale: same hot-key-guarded candidate stage as dd2
+    (``_rare_shingle_cands``) and the same exact verify stage
+    (``_pair_overlap``) — no new join shapes, the only change is the
+    reported ratio."""
+    shingles = _shingles_df(spark, sf_dir)
+    overlap = _pair_overlap(_rare_shingle_cands(shingles), shingles)
+    out = overlap.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+        F.round(
+            F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double"), 9
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= _CONTAIN_TAU)
+
+
+_DD14_SQL = f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        rare AS (
+          SELECT s.doc_id, s.shingle FROM shingles s
+          JOIN (SELECT shingle FROM shingles
+                GROUP BY shingle HAVING COUNT(*) <= {_SHINGLE_DF_CAP}) r
+            ON s.shingle = r.shingle
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        cont AS (
+          SELECT i.doc_a, i.doc_b,
+                 CAST(i.inter AS BIGINT) AS inter,
+                 CAST(sa.sz AS BIGINT) AS sz_a,
+                 CAST(sb.sz AS BIGINT) AS sz_b,
+                 ROUND(CAST(i.inter AS DOUBLE)
+                       / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 9) AS containment
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          JOIN cands c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+        SELECT * FROM cont WHERE containment >= {_CONTAIN_TAU}"""
+
+
 def _dd13_oracle() -> str:
     from .text import _DUCK_NORM, _DUCK_WORDS  # noqa: PLC0415
 
@@ -742,6 +814,7 @@ _DD11_SQL = f"""
 
 
 ORACLES = {
+    "dd14_containment_pairs": _DD14_SQL,
     "dd13_component_keep_best": _dd13_oracle(),
     "dd12_winnow_neardup": _dd12_oracle(),
     "dd11_bloom_prefilter": _DD11_SQL,
@@ -897,4 +970,5 @@ SPARK_QUERIES = {
     "dd7_norm_dedup_keep_best": norm_dedup_keep_best,
     "dd8_neardup_components": neardup_components,
     "dd13_component_keep_best": component_keep_best,
+    "dd14_containment_pairs": containment_pairs,
 }

@@ -671,6 +671,51 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CADENCE_MIN_GAPS = 5    # below this, no cadence claim
+_CADENCE_CV_TAU = 0.25   # coefficient of variation under this -> machine-like
+
+
+def cadence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev20 — BOT/AUTOMATION detection by inter-event cadence: per user,
+    the gaps between consecutive events (ts, event_id order) summarize to
+    count, floor-mean, and coefficient of variation (stddev/mean);
+    near-zero CV is the machine signature — humans are bursty, cron jobs
+    are metronomes. The standard abuse-filter input for both product
+    analytics and training-data curation (scripted content farms).
+
+    Float discipline: gap sums and sums of squares accumulate as exact
+    DECIMAL (gaps fit DECIMAL(19,0); squares DECIMAL(38,0)), then both
+    engines evaluate the identical double expression for CV — partial-agg
+    order can never move the gate value. One user-keyed shuffle for the
+    lead() window; the agg reuses its partitioning."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", F.col("gap").cast("decimal(19,0)").alias("gap"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.col("s2").cast("double") / F.col("n_gaps") - mean * mean
+    cv = F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 9)
+    return agg.filter(F.col("n_gaps") >= _CADENCE_MIN_GAPS).select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(FLOOR(CAST(s1 AS DOUBLE) / n_gaps) AS BIGINT)").alias(
+            "mean_gap_us"
+        ),
+        cv.alias("cv"),
+        (cv <= _CADENCE_CV_TAU).alias("is_regular"),
+    )
+
+
 _CMS_D = 4       # hash rows
 _CMS_W = 256     # buckets per row
 _CMS_TOP = 20    # report the top-N true heavy hitters
@@ -870,6 +915,32 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev20_cadence_profile": f"""
+        WITH gaps AS (
+          SELECT user_id,
+                 CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                      - epoch_us(ts) AS DECIMAL(19,0)) AS gap
+          FROM events),
+        agg AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 SUM(gap) AS s1,
+                 SUM(gap * gap) AS s2
+          FROM gaps WHERE gap IS NOT NULL
+          GROUP BY user_id),
+        scored AS (
+          SELECT user_id, n_gaps,
+                 CAST(FLOOR(CAST(s1 AS DOUBLE) / n_gaps) AS BIGINT)
+                   AS mean_gap_us,
+                 ROUND(sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_gaps
+                        - (CAST(s1 AS DOUBLE) / n_gaps)
+                        * (CAST(s1 AS DOUBLE) / n_gaps), 0.0))
+                       / (CAST(s1 AS DOUBLE) / n_gaps), 9) AS cv
+          FROM agg WHERE n_gaps >= {_CADENCE_MIN_GAPS})
+        SELECT user_id, n_gaps, mean_gap_us, cv,
+               cv <= {_CADENCE_CV_TAU} AS is_regular
+        FROM scored""",
     "ev19_event_transitions": """
         WITH seq AS (
           SELECT user_id, event_type,
@@ -1193,6 +1264,7 @@ SPARK_QUERIES = {
     "ev17_cms_heavy_hitters": cms_heavy_hitters,
     "ev18_funnel_latency": funnel_latency,
     "ev19_event_transitions": event_transitions,
+    "ev20_cadence_profile": cadence_profile,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

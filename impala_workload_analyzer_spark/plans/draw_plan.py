@@ -238,22 +238,34 @@ def plan_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES = {
-    "pt4_plan_fingerprints": with_corpus("""
-        , per_op AS (
-          SELECT query_id, id,
-                 CAST(id AS VARCHAR) || ':' || name || ':'
-                   || CAST(COALESCE(parent_id, -1) AS VARCHAR) AS tok
-          FROM iwa_operators),
-        per_q AS (
-          SELECT query_id,
-                 md5(string_agg(tok, '|' ORDER BY id)) AS fingerprint,
-                 COUNT(*) AS n_ops
-          FROM per_op GROUP BY query_id)
-        SELECT fingerprint, n_ops, COUNT(*) AS n_queries,
-               MIN(query_id) AS example_query_id
-        FROM per_q GROUP BY 1, 2"""),
-    "pt3_critical_path": with_corpus("""
+def critical_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt5 — CRITICAL-PATH HOTSPOTS: explode pt3's winning root-to-leaf
+    chains into their member operators and roll up by operator name —
+    how often each operator class sits on the workload's slowest chain,
+    and how much critical-path time it carries. The fleet-level answer
+    to pt3's per-query question: which operator to optimize FIRST.
+
+    Scale: pt3's output is one row per query; exploding the path string
+    yields plan-depth rows per query, joined back to the bucketed
+    operator corpus on (query_id, id) — the same co-location key every
+    plan analytic uses."""
+    crit = critical_path(spark, sf_dir)
+    nodes = crit.select(
+        "query_id", F.explode(F.split("path", ">")).alias("id_str")
+    ).select("query_id", F.col("id_str").cast("bigint").alias("id"))
+    ops = corpus_operators(spark, sf_dir).select("query_id", "id", "name", "avg_time")
+    return (
+        nodes.join(ops, ["query_id", "id"])
+        .groupBy("name")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("avg_time").cast("bigint").alias("total_time"),
+        )
+    )
+
+
+_PT3_WALK = """
         , edges AS (
           SELECT o.query_id, p.id AS parent_op, o.id
           FROM iwa_operators o
@@ -291,7 +303,39 @@ ORACLES = {
           SELECT query_id, id AS leaf_id, path, total AS total_time,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY total DESC, path ASC) AS rn
-          FROM walk)
+          FROM walk)"""
+
+
+ORACLES = {
+    "pt5_critical_hotspots": with_corpus(_PT3_WALK + """,
+        crit AS (
+          SELECT query_id, path FROM ranked WHERE rn = 1),
+        nodes AS (
+          SELECT query_id,
+                 CAST(unnest(string_split(path, '>')) AS BIGINT) AS id
+          FROM crit)
+        SELECT o.name,
+               CAST(COUNT(DISTINCT n.query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(o.avg_time) AS BIGINT) AS total_time
+        FROM nodes n
+        JOIN iwa_operators o ON o.query_id = n.query_id AND o.id = n.id
+        GROUP BY o.name"""),
+    "pt4_plan_fingerprints": with_corpus("""
+        , per_op AS (
+          SELECT query_id, id,
+                 CAST(id AS VARCHAR) || ':' || name || ':'
+                   || CAST(COALESCE(parent_id, -1) AS VARCHAR) AS tok
+          FROM iwa_operators),
+        per_q AS (
+          SELECT query_id,
+                 md5(string_agg(tok, '|' ORDER BY id)) AS fingerprint,
+                 COUNT(*) AS n_ops
+          FROM per_op GROUP BY query_id)
+        SELECT fingerprint, n_ops, COUNT(*) AS n_queries,
+               MIN(query_id) AS example_query_id
+        FROM per_q GROUP BY 1, 2"""),
+    "pt3_critical_path": with_corpus(_PT3_WALK + """
         SELECT query_id, leaf_id, path, total_time FROM ranked WHERE rn = 1"""),
     "pt1_plan_edges": with_corpus("""
         SELECT o.query_id, p.id AS parent_op, o.id AS child_op
@@ -349,4 +393,5 @@ SPARK_QUERIES = {
     "pt2_plan_paths": plan_paths,
     "pt3_critical_path": critical_path,
     "pt4_plan_fingerprints": plan_fingerprints,
+    "pt5_critical_hotspots": critical_hotspots,
 }

@@ -45,6 +45,7 @@ _PRIORITY = (
     # --- new in round 6, never driver-witnessed ---
     "sim13_ivfpq_topk", "st9_streaming_kmv", "dd13_component_keep_best",
     "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
+    "dd14_containment_pairs", "ev20_cadence_profile", "pt5_critical_hotspots",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",
@@ -56,11 +57,11 @@ _PRIORITY = (
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     "a9_join_audit_rollup", "a10_preagg_reduction",
     "a11_preagg_reduction_hist", "a16_counter_consistency",
-    "w2_time_share_per_query", "a13_avg_time_pct_per_operator",
-    "a14_abs_time_pct_per_operator",
-    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
+    "w2_time_share_per_query",
     # --- position 51+: the r03/r04 tail, code unchanged, local-gate
     # re-validated; rotates into round 7's window ---
+    "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
+    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",
     "pt1_plan_edges",
     "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",

@@ -1273,3 +1273,92 @@ def test_runtime_drift_partitions_population(spark, sf_dir):
         assert r["early_n"] + r["late_n"] == totals[(r["cluster"], r["sql_type"])]
         assert abs(r["drift"] - round(r["late_mean"] / r["early_mean"], 9)) < 1e-9
         assert r["early_mean"] > 0 and r["late_mean"] > 0
+
+
+def test_containment_catches_what_jaccard_misses(spark, sf_dir):
+    """dd14: containment >= Jaccard always (inter/min >= inter/union);
+    every reported ratio re-derives from the pair's true shingle sets;
+    and a synthetic quote-inclusion pair scores containment 1.0."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _pair_overlap,
+        _rare_shingle_cands,
+        _shingles_of,
+        containment_pairs,
+    )
+
+    rows = containment_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        jac = r["inter"] / (r["sz_a"] + r["sz_b"] - r["inter"])
+        assert r["containment"] >= round(jac, 9) - 1e-9
+        assert r["containment"] == round(
+            r["inter"] / min(r["sz_a"], r["sz_b"]), 9
+        )
+
+    # quote inclusion: doc 2 embeds doc 1 verbatim inside unrelated text
+    quote = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, "intro words here " + quote + " closing words there")],
+        "doc_id long, text string",
+    )
+    sh = _shingles_of(docs)
+    pair = _pair_overlap(_rare_shingle_cands(sh), sh).collect()[0]
+    assert pair["inter"] == min(pair["sz_a"], pair["sz_b"])  # containment 1.0
+
+
+def test_cadence_profile_matches_brute_force(spark, sf_dir):
+    """ev20: per-user gap count/mean/cv re-derived in Python from the
+    raw events must match exactly (the decimal-sum discipline makes the
+    engine value reproducible bit-for-bit)."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _CADENCE_MIN_GAPS,
+        cadence_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS us", "event_id"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if len(gaps) < _CADENCE_MIN_GAPS:
+            continue
+        n = len(gaps)
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 0.0)
+        expect[uid] = (n, math.floor(s1 / n), round(math.sqrt(var) / mean, 9))
+    got = {r["user_id"]: (r["n_gaps"], r["mean_gap_us"], r["cv"])
+           for r in cadence_profile(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for uid, (n, mean_floor, cv) in expect.items():
+        gn, gm, gcv = got[uid]
+        assert (gn, gm) == (n, mean_floor)
+        assert abs(gcv - cv) < 1e-9
+
+
+def test_critical_hotspots_conserve_path_time(spark, sf_dir):
+    """pt5: summed hotspot time equals the summed critical-path totals,
+    and node counts equal the summed path lengths — the rollup loses
+    nothing pt3 found."""
+    from impala_workload_analyzer_spark.plans.draw_plan import (
+        critical_hotspots,
+        critical_path,
+    )
+
+    crit = critical_path(spark, sf_dir).collect()
+    hot = critical_hotspots(spark, sf_dir).collect()
+    assert sum(r["total_time"] for r in hot) == sum(r["total_time"] for r in crit)
+    assert sum(r["n_nodes"] for r in hot) == sum(
+        len(r["path"].split(">")) for r in crit
+    )
+    assert all(r["n_queries"] <= len(crit) for r in hot)
