@@ -205,3 +205,57 @@ def test_mm4_takes_shard_local_plan(spark, sf_dir):
                 if ln.strip().startswith("(") and "Exchange" in ln
                 and "Reused" not in ln and "broadcast" not in ln.lower()]
     assert len(shuffles) <= 2, plan
+
+
+def test_ev19_shuffle_budget(spark, sf_dir):
+    """Transition matrix: the user-keyed lead() window is the only
+    full-data exchange; the count agg and normalizing window operate on
+    type-cardinality² rows. No join in the plan at all."""
+    plan = _plan(spark, sf_dir, "ev19_event_transitions")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 3, plan
+
+
+def test_ev20_reuses_user_partitioning(spark, sf_dir):
+    """Cadence profile: the per-user agg must reuse the lead() window's
+    user_id partitioning — one full-data exchange total (plus at most
+    one tiny post-agg exchange)."""
+    plan = _plan(spark, sf_dir, "ev20_cadence_profile")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 2, plan
+
+
+def test_sim13_broadcasts_index_sides(spark, sf_dir):
+    """IVF-PQ search: centroids, codebook, probes, and the ADC lookup
+    tables are all constant-size and must broadcast; the only allowed
+    sort-merge joins are the corpus-sized code joins keyed by vec_id
+    (which CANNOT broadcast at scale)."""
+    plan = _plan(spark, sf_dir, "sim13_ivfpq_topk")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tx18_two_doc_keyed_shuffles(spark, sf_dir):
+    """Token entropy: explode -> (doc, word) count -> per-doc agg is at
+    most two exchanges; no join anywhere."""
+    plan = _plan(spark, sf_dir, "tx18_token_entropy")
+    assert "Join" not in plan, plan
+    shuffles = [ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "Exchange" in ln
+                and "Reused" not in ln]
+    assert len(shuffles) <= 2, plan
+
+
+def test_a23_broadcasts_bounds(spark, sf_dir):
+    """Runtime drift: the 2-value bounds row joins back via broadcast;
+    the only real shuffle is the (cluster, sql_type) agg."""
+    plan = _plan(spark, sf_dir, "a23_runtime_drift")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
