@@ -64,6 +64,10 @@ HEADLINERS = (
     "sim11_pq_assign",
     "mm4_multimodal_packing",
     "ev17_cms_heavy_hitters",
+    # round-6 families
+    "sim13_ivfpq_topk",
+    "dd14_containment_pairs",
+    "tx18_token_entropy",
 )
 
 

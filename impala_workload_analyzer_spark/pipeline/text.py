@@ -740,6 +740,60 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx19 — DSIR-style IMPORTANCE WEIGHTS for domain-targeted data
+    selection (Xie et al. 2023's shape with unigram features): train an
+    add-one-smoothed unigram LM on the TARGET domain (the
+    alphabetically-first source — a deterministic stand-in for "the
+    domain you want more of") and one on the whole corpus, then score
+    every document by its mean per-token log(p_target / p_corpus).
+    High scorers read like the target domain; sampling proportional to
+    exp(score) is the DSIR resampling step. Both LMs share the corpus
+    vocabulary as smoothing support, so unseen-in-target tokens are
+    well-defined.
+
+    Scale: two vocab dims built by one token groupBy each, both
+    broadcast back over the token stream (tx6's plan — even a 10M-type
+    vocab is ~100 MB); one doc-keyed agg. Mean rounds to 6 decimals
+    (ln() last-ulp discipline, as tx6)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    target = docs.groupBy().agg(F.min("source").alias("target_src"))
+    toks = docs.select("doc_id", "source", F.explode("words").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count("*").alias("c"))
+    tvocab = (
+        toks.crossJoin(F.broadcast(target))
+        .filter(F.col("source") == F.col("target_src"))
+        .groupBy("word")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = vocab.groupBy().agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    ttotals = tvocab.groupBy().agg(F.sum("ct").alias("nt"))
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(tvocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ttotals))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lr"), 6).alias("avg_log_ratio"),
+    )
+
+
 _DUCK_WORDS = f"string_split({_DUCK_NORM}, ' ')"
 
 _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
@@ -754,6 +808,32 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx19_dsir_importance": f"""
+        WITH d AS (SELECT doc_id, source, {_DUCK_WORDS} AS words
+                   FROM documents),
+        target AS (SELECT MIN(source) AS target_src FROM documents),
+        toks AS (SELECT doc_id, source, unnest(words) AS word FROM d),
+        vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+        tvocab AS (
+          SELECT word, COUNT(*) AS ct
+          FROM toks CROSS JOIN target
+          WHERE source = target_src GROUP BY word),
+        totals AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+        ttotals AS (SELECT SUM(ct) AS nt FROM tvocab),
+        scored AS (
+          SELECT t.doc_id, t.source,
+                 ln(CAST(COALESCE(tv.ct, 0) + 1 AS DOUBLE)
+                    / CAST(tt.nt + x.v AS DOUBLE))
+                 - ln(CAST(vb.c + 1 AS DOUBLE) / CAST(x.n + x.v AS DOUBLE))
+                   AS lr
+          FROM toks t
+          JOIN vocab vb USING (word)
+          LEFT JOIN tvocab tv USING (word)
+          CROSS JOIN totals x CROSS JOIN ttotals tt)
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lr), 6) AS avg_log_ratio
+        FROM scored GROUP BY doc_id, source""",
     "tx18_token_entropy": f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
         toks AS (SELECT doc_id, unnest(words) AS word FROM d),
@@ -1098,6 +1178,7 @@ SPARK_QUERIES = {
     "tx16_bigram_logprob": bigram_logprob,
     "tx17_zipf_spectrum": zipf_spectrum,
     "tx18_token_entropy": token_entropy,
+    "tx19_dsir_importance": dsir_importance,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
     "tx10_blocklist_policy": blocklist_policy,

@@ -12,13 +12,16 @@ batch consumer's rows changed: sim1/2/4/5/6/8/9/10/12), ev18 (two-phase
 quantile path + integer rank arithmetic), dd11 (positives-only shuffle
 join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
 additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
-tx17, plus ev18/dd11/sim12 already above), then the six entries whose
-newest green rows date to r01 (o4 set1 tpch_q14 w2b w3 x1), then as
-much of the r02/r03-era block as fits. The tail of that block (dd3/dd4/
-dd6, sim3, a18, tx1-4, ...) holds green r03/r04 rows on unchanged code
-re-validated by the local gate (tools/check.py at sf0.01) and rotates
-to round 7. Unlisted names keep module order after the prioritized
-block, so a new query is never silently dropped.
+tx17, plus ev18/dd11/sim12 already above), then the eleven operators
+NEW in round 6 (sim13 st9 dd13 ev19 tx18 a23 dd14 ev20 pt5 tx19 st10
+— all local-gate green at sf0.01, the first nine at sf0.1 too), then
+the six entries whose newest green rows date to r01 (o4 set1 tpch_q14
+w2b w3 x1), then as much of the r03-era block as fits. The tail of
+that block (a13/a14, f-family, pt1, dd1-dd6, sim3, a18, tx1-4, ...)
+holds green r03/r04 rows on unchanged code re-validated by the local
+gate (tools/check.py at sf0.01) and rotates to round 7. Unlisted names
+keep module order after the prioritized block, so a new query is never
+silently dropped.
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ _PRIORITY = (
     "sim13_ivfpq_topk", "st9_streaming_kmv", "dd13_component_keep_best",
     "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
     "dd14_containment_pairs", "ev20_cadence_profile", "pt5_critical_hotspots",
+    "tx19_dsir_importance", "st10_streaming_transitions",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",
@@ -56,10 +60,10 @@ _PRIORITY = (
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     "a9_join_audit_rollup", "a10_preagg_reduction",
-    "a11_preagg_reduction_hist", "a16_counter_consistency",
-    "w2_time_share_per_query",
+    "a11_preagg_reduction_hist",
     # --- position 51+: the r03/r04 tail, code unchanged, local-gate
     # re-validated; rotates into round 7's window ---
+    "a16_counter_consistency", "w2_time_share_per_query",
     "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret",

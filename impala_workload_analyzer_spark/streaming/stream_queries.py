@@ -375,6 +375,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming output row-for-row (the boundary case end == watermark
 # does not occur in the fixtures; both < and <= match empirically).
 from ..pipeline.events_analytics import _EV1_ORACLE  # noqa: E402
+from ..pipeline.events_analytics import ORACLES as _EV_ORACLES  # noqa: E402
 
 _ST2_ORACLE = f"""
     WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
@@ -503,6 +504,81 @@ def streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st10 — ev19's event-type transition matrix maintained streaming:
+    per-user keyed state holds ONLY the last seen event (us, event_id,
+    type) — constant bytes per user — and each micro-batch emits exactly
+    the new consecutive bigrams, with the stored last event bridging the
+    batch boundary. The final rollup (counts + per-from normalization)
+    runs over the emitted bigram rows, which are type-cardinality² after
+    aggregation. Checked against ev19's batch oracle — stream equals
+    batch on the in-order finite source, the st1/st8/st9 witness."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _stream_events(spark, sf_dir).selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us", "event_id"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("last_eid", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["us", "event_id"])
+        types = batch["event_type"].tolist()
+        seq = ([state.get[2]] if state.exists else []) + types
+        last = batch.iloc[-1]
+        state.update((int(last["us"]), int(last["event_id"]),
+                      str(last["event_type"])))
+        if len(seq) > 1:
+            yield pd.DataFrame(
+                {"from_type": seq[:-1], "to_type": seq[1:]}
+            )
+
+    bigrams = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(bigrams, "st10_out", "update")
+    counts = (
+        spark.table("st10_out")
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf).cast("double"), 9).alias("prob"),
+    )
+
+
 def _st9_oracle() -> str:
     from ..pipeline.events_analytics import _KMV_K  # noqa: PLC0415
 
@@ -539,6 +615,8 @@ ORACLES = {
     "st8_streaming_cms": _st8_oracle(),
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
     "st1_streaming_tumbling": _EV1_ORACLE,
+    # stream == batch on the in-order finite source: same oracle as ev19
+    "st10_streaming_transitions": _EV_ORACLES["ev19_event_transitions"],
     "st2_streaming_sessions": _ST2_ORACLE,
     "st4_streaming_dedup": """
         SELECT DISTINCT user_id, event_type,
@@ -583,4 +661,5 @@ SPARK_QUERIES = {
     "st7_streaming_interval_join": streaming_interval_join,
     "st8_streaming_cms": streaming_cms,
     "st9_streaming_kmv": streaming_kmv,
+    "st10_streaming_transitions": streaming_transitions,
 }

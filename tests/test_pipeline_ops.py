@@ -1362,3 +1362,36 @@ def test_critical_hotspots_conserve_path_time(spark, sf_dir):
         len(r["path"].split(">")) for r in crit
     )
     assert all(r["n_queries"] <= len(crit) for r in hot)
+
+
+def test_dsir_importance_favors_target_domain(spark, sf_dir):
+    """tx19: every doc scored once, and target-domain docs average a
+    strictly higher log-ratio than the rest — the LM trained on the
+    target must recognize its own domain (the DSIR premise)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import dsir_importance
+
+    rows = dsir_importance(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    target = min(r["source"] for r in rows)
+    t_scores = [r["avg_log_ratio"] for r in rows if r["source"] == target]
+    o_scores = [r["avg_log_ratio"] for r in rows if r["source"] != target]
+    assert t_scores and o_scores
+    assert sum(t_scores) / len(t_scores) > sum(o_scores) / len(o_scores)
+
+
+def test_streaming_transitions_equal_batch(spark, sf_dir):
+    """st10: the streaming transition matrix (keyed last-event state)
+    equals ev19's batch matrix row for row on the finite in-order
+    source."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        event_transitions,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_transitions,
+    )
+
+    batch = {tuple(r) for r in event_transitions(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in streaming_transitions(spark, sf_dir).collect()}
+    assert batch == stream
