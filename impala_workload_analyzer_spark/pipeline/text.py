@@ -790,7 +790,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id", "source").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
-        F.round(F.avg("lr"), 6).alias("avg_log_ratio"),
+        # + 0.0 collapses IEEE negative zero: a near-zero mean's SIGN is
+        # accumulation-order noise, and -0.0 vs 0.0 would hash-differ
+        (F.round(F.avg("lr"), 6) + F.lit(0.0)).alias("avg_log_ratio"),
     )
 
 
@@ -832,7 +834,7 @@ ORACLES = {
           CROSS JOIN totals x CROSS JOIN ttotals tt)
         SELECT doc_id, source,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(AVG(lr), 6) AS avg_log_ratio
+               ROUND(AVG(lr), 6) + 0.0 AS avg_log_ratio
         FROM scored GROUP BY doc_id, source""",
     "tx18_token_entropy": f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
