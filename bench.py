@@ -64,9 +64,9 @@ HEADLINERS = (
     "sim11_pq_assign",
     "mm4_multimodal_packing",
     "ev17_cms_heavy_hitters",
-    # round-6 families
+    # round-6 families (dd14 measured 8 s here and excluded: dd3 already
+    # covers the candidate+exact-verify dedup shape in the headliners)
     "sim13_ivfpq_topk",
-    "dd14_containment_pairs",
     "tx18_token_entropy",
 )
 
