@@ -358,6 +358,50 @@ def runtime_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cost_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a24 — per-operator-name COST MODEL calibration: least-squares fit
+    of avg_time against num_rows across the workload's operators, giving
+    each operator class an empirical ns-per-row slope, fixed-cost
+    intercept, and R² — measured-profile grounding for the kind of cost
+    reasoning the reference's join audit hard-codes (joins.py's
+    broadcast-vs-partitioned constants). An operator whose R² is high
+    and slope large is row-bound; a high intercept marks per-instance
+    setup cost.
+
+    Float discipline: all five moments (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as exact DECIMAL — commutative, so partial-agg order can
+    never move the fit — and both engines then evaluate the identical
+    closed-form double expressions. Groups with zero variance in either
+    axis are excluded (no line to fit). One grouped agg over the
+    bucketed operator corpus; output is name-cardinality rows."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "name",
+        F.col("num_rows").cast("decimal(19,0)").alias("x"),
+        F.col("avg_time").cast("decimal(19,0)").alias("y"),
+    )
+    agg = ops.groupBy("name").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_ops").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    varx = n * F.col("sxx").cast("double") - sx * sx
+    vary = n * F.col("syy").cast("double") - sy * sy
+    slope = cov / varx
+    return agg.filter((varx > 0) & (vary > 0)).select(
+        "name",
+        "n_ops",
+        F.round(slope, 6).alias("ns_per_row"),
+        F.round((sy - slope * sx) / n, 6).alias("fixed_ns"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
 _QUANTILES = (("q50", 0.5), ("q95", 0.95), ("q99", 0.99))
 
 
@@ -499,6 +543,28 @@ ORACLES: dict[str, str] = {
                                  ORDER BY runtime, query_id) AS decile
           FROM iwa_queries) banded
         GROUP BY 1, 2"""),
+    "a24_cost_model_fit": with_corpus("""
+        SELECT name, n_ops,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS ns_per_row,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS fixed_ns,
+               ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM (
+          SELECT name,
+                 CAST(COUNT(*) AS BIGINT) AS n_ops,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))
+                          * CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))
+                          * CAST(num_rows AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(avg_time AS DECIMAL(19,0))
+                          * CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS syy
+          FROM iwa_operators GROUP BY name) t
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""),
     "a23_runtime_drift": with_corpus(f"""
         SELECT cluster, sql_type, early_n, late_n, early_mean, late_mean,
                ROUND(CAST(late_mean AS DOUBLE) / early_mean, 9) AS drift
@@ -542,6 +608,7 @@ SPARK_QUERIES = {
     "a21_runtime_deciles": runtime_deciles,
     "a22_operator_cooccurrence": operator_cooccurrence,
     "a23_runtime_drift": runtime_drift,
+    "a24_cost_model_fit": cost_model_fit,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,

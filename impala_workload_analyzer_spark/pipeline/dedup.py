@@ -562,6 +562,52 @@ def component_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx20 — per-document N-GRAM NOVELTY: the fraction of a document's
+    word-3-gram shingles appearing in NO other document. High-novelty
+    docs carry content the corpus has nowhere else; docs whose shingles
+    are all corpus-common are template/boilerplate assemblies even when
+    no single near-duplicate exists — the uniqueness signal pairwise
+    dedup (dd2/dd3) cannot see. Lives in the dedup module because it is
+    pure shingle machinery (the text family consumes its output).
+
+    Scale: one groupBy(shingle) document-frequency pass whose table
+    joins back SHINGLE-KEYED (vocabulary-sized — too big to broadcast at
+    100 TB), then one doc-keyed agg. Docs with < 3 words have no
+    shingles and are excluded, as in dd2."""
+    shingles = _shingles_df(spark, sf_dir)
+    df = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        shingles.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_shingles"), 9
+            ).alias("novelty"),
+        )
+    )
+
+
+_TX20_SQL = f"""
+        WITH {_DUCK_SHINGLES.strip()},
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique,
+               ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS novelty
+        FROM shingles s JOIN dfreq d USING (shingle)
+        GROUP BY s.doc_id"""
+
+
 _CONTAIN_TAU = 0.5  # max-containment report threshold
 
 
@@ -817,6 +863,7 @@ _DD11_SQL = f"""
 
 
 ORACLES = {
+    "tx20_ngram_novelty": _TX20_SQL,
     "dd14_containment_pairs": _DD14_SQL,
     "dd13_component_keep_best": _dd13_oracle(),
     "dd12_winnow_neardup": _dd12_oracle(),
@@ -974,4 +1021,5 @@ SPARK_QUERIES = {
     "dd8_neardup_components": neardup_components,
     "dd13_component_keep_best": component_keep_best,
     "dd14_containment_pairs": containment_pairs,
+    "tx20_ngram_novelty": ngram_novelty,
 }

@@ -50,6 +50,7 @@ _PRIORITY = (
     "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
     "dd14_containment_pairs", "ev20_cadence_profile", "pt5_critical_hotspots",
     "tx19_dsir_importance", "st10_streaming_transitions",
+    "tx20_ngram_novelty", "a24_cost_model_fit",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",
@@ -59,10 +60,10 @@ _PRIORITY = (
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
-    "a9_join_audit_rollup", "a10_preagg_reduction",
-    "a11_preagg_reduction_hist",
+    "a9_join_audit_rollup",
     # --- position 51+: the r03/r04 tail, code unchanged, local-gate
     # re-validated; rotates into round 7's window ---
+    "a10_preagg_reduction", "a11_preagg_reduction_hist",
     "a16_counter_consistency", "w2_time_share_per_query",
     "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",

@@ -1395,3 +1395,60 @@ def test_streaming_transitions_equal_batch(spark, sf_dir):
     batch = {tuple(r) for r in event_transitions(spark, sf_dir).collect()}
     stream = {tuple(r) for r in streaming_transitions(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_ngram_novelty_bounds_and_universe(spark, sf_dir):
+    """tx20: novelty in [0,1], n_unique <= n_shingles, covered docs are
+    exactly those with >= 3 words, and summed n_unique equals the count
+    of df==1 shingles (the partition identity)."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _shingles_df,
+        ngram_novelty,
+    )
+
+    rows = ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    sh = _shingles_df(spark, sf_dir)
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in sh.select("doc_id").distinct().collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+    n_singleton = (
+        sh.groupBy("shingle").count().filter(F.col("count") == 1).count()
+    )
+    assert sum(r["n_unique"] for r in rows) == n_singleton
+
+
+def test_cost_model_fit_matches_numpy(spark, sf_dir):
+    """a24: slope/intercept/r2 per operator name equal a numpy polyfit
+    re-derivation on the raw (num_rows, avg_time) pairs."""
+    import numpy as np
+
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        cost_model_fit,
+    )
+
+    pts: dict[str, list[tuple[int, int]]] = {}
+    for r in corpus_operators(spark, sf_dir).select(
+        "name", "num_rows", "avg_time"
+    ).collect():
+        pts.setdefault(r["name"], []).append((r["num_rows"], r["avg_time"]))
+    got = {r["name"]: r for r in cost_model_fit(spark, sf_dir).collect()}
+    for name, p in pts.items():
+        x = np.array([a for a, _ in p], dtype=np.float64)
+        y = np.array([b for _, b in p], dtype=np.float64)
+        if x.var() == 0 or y.var() == 0:
+            assert name not in got
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        g = got[name]
+        assert g["n_ops"] == len(p)
+        assert abs(g["ns_per_row"] - slope) < max(1e-6, abs(slope) * 1e-6)
+        assert abs(g["fixed_ns"] - intercept) < max(1e-3, abs(intercept) * 1e-6)
+        assert abs(g["r2"] - r * r) < 1e-6
