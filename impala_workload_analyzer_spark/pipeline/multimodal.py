@@ -203,6 +203,108 @@ def multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = (("text", 0.7), ("image", 0.2), ("audio", 0.1))
+
+
+def modality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm5 — MODALITY-BALANCED mixture report: total trainable tokens per
+    modality (text = whitespace tokens, image = ViT patch tokens from the
+    typed metadata, audio = wav2vec-style samples/hop frames), each
+    modality's realized share of the token budget, its target share, and
+    the resample rate (target/realized) a mixture-balancing sampler would
+    apply — tx12's source-mixture arithmetic lifted to the modality axis,
+    the knob a multimodal pre-training run actually sets.
+
+    Scale: three independent single-scan aggregates (no joins between
+    modalities — they union AFTER aggregation, 3 rows), then share
+    arithmetic against the broadcast 1-row grand total. All token
+    formulas are integer-exact in both engines."""
+    from .text import _SPARK_NORM  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = docs.select(
+        F.size(F.split(F.expr(_SPARK_NORM), " ")).cast("bigint").alias("t")
+    ).groupBy().agg(
+        F.lit("text").alias("modality"),
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("t").alias("total_tokens"),
+    )
+    image = media_table(spark, sf_dir).select(
+        (
+            F.ceil(F.col("meta.width") / float(_MM_PATCH))
+            * F.ceil(F.col("meta.height") / float(_MM_PATCH))
+        ).cast("bigint").alias("t")
+    ).groupBy().agg(
+        F.lit("image").alias("modality"),
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("t").alias("total_tokens"),
+    )
+    audio = docs.select(
+        F.expr(
+            f"CAST(FLOOR((1000 + (n_chars * 13) % 5000) / CAST({_MM_AUDIO_HOP} AS DOUBLE)) AS BIGINT)"
+        ).alias("t")
+    ).groupBy().agg(
+        F.lit("audio").alias("modality"),
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("t").alias("total_tokens"),
+    )
+    per_mod = text.unionByName(image).unionByName(audio)
+    grand = per_mod.groupBy().agg(F.sum("total_tokens").alias("grand"))
+    targets = spark.createDataFrame(list(_MIX_TARGETS), ["modality", "target_share"])
+    share = F.col("total_tokens").cast("double") / F.col("grand")
+    return (
+        per_mod.crossJoin(F.broadcast(grand))
+        .join(F.broadcast(targets), "modality")
+        .select(
+            "modality",
+            "n_items",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(share, 9).alias("token_share"),
+            "target_share",
+            F.round(F.col("target_share") / share, 9).alias("resample_rate"),
+        )
+    )
+
+
+_MM_AUDIO_HOP = 320  # wav2vec-style samples per audio token
+
+
+def _mm5_oracle() -> str:
+    return f"""
+        WITH text AS (
+          SELECT 'text' AS modality, CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(len(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+                   AS BIGINT) AS total_tokens
+          FROM documents),
+        image AS (
+          SELECT 'image', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(CEIL((16 + n_chars % 64) / {float(_MM_PATCH)})
+                          * CEIL((16 + (n_chars * 7) % 48) / {float(_MM_PATCH)}))
+                   AS BIGINT)
+          FROM documents),
+        audio AS (
+          SELECT 'audio', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(FLOOR((1000 + (n_chars * 13) % 5000)
+                                / CAST({_MM_AUDIO_HOP} AS DOUBLE))) AS BIGINT)
+          FROM documents),
+        per_mod AS (
+          SELECT * FROM text UNION ALL SELECT * FROM image
+          UNION ALL SELECT * FROM audio),
+        grand AS (SELECT SUM(total_tokens) AS g FROM per_mod),
+        targets(modality, target_share) AS (
+          VALUES ('text', CAST(0.7 AS DOUBLE)),
+                 ('image', CAST(0.2 AS DOUBLE)),
+                 ('audio', CAST(0.1 AS DOUBLE)))
+        SELECT p.modality, p.n_items, p.total_tokens,
+               ROUND(p.total_tokens / CAST(g.g AS DOUBLE), 9) AS token_share,
+               t.target_share,
+               ROUND(t.target_share
+                     / (p.total_tokens / CAST(g.g AS DOUBLE)), 9)
+                 AS resample_rate
+        FROM per_mod p CROSS JOIN grand g JOIN targets t USING (modality)"""
+
+
 def _mm4_oracle() -> str:
     from .text import _DUCK_H, _DUCK_NORM  # noqa: PLC0415
 
@@ -237,6 +339,7 @@ def _mm4_oracle() -> str:
 
 ORACLES = {
     "mm4_multimodal_packing": _mm4_oracle(),
+    "mm5_modality_mixture": _mm5_oracle(),
     "mm1_image_features": """
         SELECT doc_id AS media_id,
                16 + n_chars % 64 AS width,
@@ -269,4 +372,5 @@ SPARK_QUERIES = {
     "mm2_frame_samples": frame_samples,
     "mm3_audio_stats": audio_stats,
     "mm4_multimodal_packing": multimodal_packing,
+    "mm5_modality_mixture": modality_mixture,
 }

@@ -12,11 +12,11 @@ batch consumer's rows changed: sim1/2/4/5/6/8/9/10/12), ev18 (two-phase
 quantile path + integer rank arithmetic), dd11 (positives-only shuffle
 join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
 additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
-tx17, plus ev18/dd11/sim12 already above), then the eleven operators
+tx17, plus ev18/dd11/sim12 already above), then the fourteen operators
 NEW in round 6 (sim13 st9 dd13 ev19 tx18 a23 dd14 ev20 pt5 tx19 st10
-— all local-gate green at sf0.01, the first nine at sf0.1 too), then
-the six entries whose newest green rows date to r01 (o4 set1 tpch_q14
-w2b w3 x1), then as much of the r03-era block as fits. The tail of
+tx20 a24 mm5 — all local-gate green at sf0.01 AND sf0.1), then the six
+entries whose newest green rows date to r01 (o4 set1 tpch_q14 w2b w3
+x1), then as much of the r03-era block as fits. The tail of
 that block (a13/a14, f-family, pt1, dd1-dd6, sim3, a18, tx1-4, ...)
 holds green r03/r04 rows on unchanged code re-validated by the local
 gate (tools/check.py at sf0.01) and rotates to round 7. Unlisted names
@@ -50,7 +50,7 @@ _PRIORITY = (
     "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
     "dd14_containment_pairs", "ev20_cadence_profile", "pt5_critical_hotspots",
     "tx19_dsir_importance", "st10_streaming_transitions",
-    "tx20_ngram_novelty", "a24_cost_model_fit",
+    "tx20_ngram_novelty", "a24_cost_model_fit", "mm5_modality_mixture",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",
@@ -60,9 +60,9 @@ _PRIORITY = (
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
-    "a9_join_audit_rollup",
     # --- position 51+: the r03/r04 tail, code unchanged, local-gate
     # re-validated; rotates into round 7's window ---
+    "a9_join_audit_rollup",
     "a10_preagg_reduction", "a11_preagg_reduction_hist",
     "a16_counter_consistency", "w2_time_share_per_query",
     "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",

@@ -1452,3 +1452,21 @@ def test_cost_model_fit_matches_numpy(spark, sf_dir):
         assert abs(g["ns_per_row"] - slope) < max(1e-6, abs(slope) * 1e-6)
         assert abs(g["fixed_ns"] - intercept) < max(1e-3, abs(intercept) * 1e-6)
         assert abs(g["r2"] - r * r) < 1e-6
+
+
+def test_modality_mixture_partitions_budget(spark, sf_dir):
+    """mm5: the three modality shares sum to 1, every modality covers all
+    docs, and resample_rate * token_share reproduces target_share."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.multimodal import (
+        modality_mixture,
+    )
+
+    rows = {r["modality"]: r for r in modality_mixture(spark, sf_dir).collect()}
+    assert set(rows) == {"text", "image", "audio"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert all(r["n_items"] == n_docs for r in rows.values())
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-6
+    assert abs(sum(r["target_share"] for r in rows.values()) - 1.0) < 1e-9
+    for r in rows.values():
+        assert abs(r["resample_rate"] * r["token_share"] - r["target_share"]) < 1e-6
