@@ -914,7 +914,100 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_DECILES = 10
+
+
+def user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev21 — EVENT-VOLUME CONCENTRATION (the Lorenz/decile report): users
+    ranked by event count split into 10 equal-size deciles (NTILE
+    semantics: the first n_users%10 deciles hold one extra user), each
+    decile reporting its user count, event count, share of all events,
+    and the cumulative share — the "top 10% of users generate X% of
+    traffic" number behind abuse triage, crawl budgeting, and per-user
+    sampling caps in training-data curation.
+
+    Scale: NTILE itself would sort every user in ONE task, so the decile
+    split is computed WITHOUT a global sort: per-user counts collapse to
+    a (count -> n_users) HISTOGRAM (cardinality <= max events/user, tiny
+    at any corpus size), a prefix sum over that histogram places each
+    distinct count value at its global rank interval, and interval
+    overlap against the NTILE boundary grid assigns users to deciles.
+    Same-count users are interchangeable across a boundary — every split
+    yields identical decile sums — so histogram arithmetic reproduces
+    NTILE exactly (the DuckDB oracle runs literal NTILE). One full
+    shuffle (per-user counts); everything after runs on the histogram."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = per_user.groupBy("cnt").agg(F.count("*").alias("n_at"))
+    wv = Window.orderBy(F.desc("cnt")).rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("before", F.coalesce(F.sum("n_at").over(wv), F.lit(0)))
+    totals = per_user.groupBy().agg(
+        F.count("*").alias("n_total"), F.sum("cnt").alias("ev_total")
+    )
+    grid = (
+        spark.range(1, _N_DECILES + 1)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "decile", "ev_total",
+            F.expr(
+                f"(decile - 1) * (n_total DIV {_N_DECILES})"
+                f" + least(CAST(decile - 1 AS BIGINT), n_total % {_N_DECILES})"
+            ).alias("lo"),
+            F.expr(
+                f"decile * (n_total DIV {_N_DECILES})"
+                f" + least(CAST(decile AS BIGINT), n_total % {_N_DECILES})"
+            ).alias("hi"),
+        )
+    )
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("before") + F.col("n_at"), F.col("hi"))
+        - F.greatest(F.col("before"), F.col("lo")),
+    )
+    agg = (
+        hist.crossJoin(F.broadcast(grid))
+        .withColumn("k", overlap)
+        .filter(F.col("k") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_users"),
+            F.sum(F.col("k") * F.col("cnt")).cast("bigint").alias("n_events"),
+            F.first("ev_total").alias("ev_total"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile", "n_users", "n_events",
+        F.round(F.col("n_events") / F.col("ev_total").cast("double"), 9).alias("share"),
+        F.round(
+            F.sum("n_events").over(wd) / F.col("ev_total").cast("double"), 9
+        ).alias("cum_share"),
+    )
+
+
 ORACLES = {
+    "ev21_user_concentration": """
+        WITH per_user AS (
+          SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS ev_total FROM per_user),
+        d AS (
+          SELECT cnt, NTILE(10) OVER (ORDER BY cnt DESC, user_id) AS decile
+          FROM per_user),
+        agg AS (
+          SELECT CAST(decile AS INTEGER) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events
+          FROM d GROUP BY decile)
+        SELECT decile, n_users, n_events,
+               ROUND(n_events / t.ev_total, 9) AS share,
+               ROUND(SUM(n_events) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / t.ev_total, 9) AS cum_share
+        FROM agg CROSS JOIN tot t""",
     "ev20_cadence_profile": f"""
         WITH gaps AS (
           SELECT user_id,
@@ -1265,6 +1358,7 @@ SPARK_QUERIES = {
     "ev18_funnel_latency": funnel_latency,
     "ev19_event_transitions": event_transitions,
     "ev20_cadence_profile": cadence_profile,
+    "ev21_user_concentration": user_concentration,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

@@ -847,6 +847,96 @@ def pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CELL_CAP = 20   # kept vectors per cell — the output is nlists x cap, bounded
+_N_SALTS = 8     # phase-1 slices per cell; scales with corpus/cells at 100 TB
+
+
+def cell_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim14 — CLUSTER-BALANCED corpus pruning (the SemDeDup-family
+    per-cell cap): every vector is assigned to its nearest label-mean
+    centroid (sim4's coarse quantizer, argmax cosine with label
+    tie-break) and each cell keeps only its ``_CELL_CAP`` most-central
+    vectors (highest centroid cosine, vec_id tie-break) — the balanced
+    subsample that stops head clusters from dominating a training
+    mixture. Output is bounded (nlists x cap rows) at any corpus size.
+
+    Scale: a per-cell top-K via ``Window.partitionBy(cell)`` would sort
+    an entire cell — possibly most of the corpus — in one task, so the
+    cut is the SALTED TWO-PHASE top-K: phase 1 ranks inside
+    (cell, vec_id % _N_SALTS) slices (each ~corpus/(cells*salts) rows)
+    and keeps each slice's top ``_CELL_CAP``; phase 2 re-ranks only the
+    salts*cap survivors per cell. Exact, not approximate: any row in a
+    cell's global top-K is necessarily in its slice's top-K
+    (``test_cell_balanced_two_phase_exact`` pins equality vs the naive
+    single-window cut). Assignment itself is sim4's broadcast map-side
+    cross product + one ``max_by`` partial agg."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    assign = (
+        _ivf_scored(emb)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("c_label").alias("cell"), F.col("score")),
+                F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            F.col("best.score").alias("centrality"),
+        )
+    )
+    w1 = Window.partitionBy("cell", "salt").orderBy(
+        F.desc("centrality"), F.asc("vec_id")
+    )
+    survivors = (
+        assign.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(_N_SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _CELL_CAP)
+    )
+    w2 = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= _CELL_CAP)
+        .select("cell", "rank", "vec_id", "centrality")
+    )
+
+
+_SIM14_SQL = f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9)
+                   AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, c_label AS cell, score AS centrality FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        ranked AS (
+          SELECT cell, vec_id, centrality,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY centrality DESC, vec_id ASC) AS rank
+          FROM assign)
+        SELECT cell, CAST(rank AS BIGINT) AS rank, vec_id, centrality
+        FROM ranked WHERE rank <= {_CELL_CAP}"""
+
+
 _SIM11_SQL = f"""
         WITH sub AS (
           SELECT vec_id, ss.s,
@@ -1010,6 +1100,7 @@ _SIM12_SQL = f"""
 
 ORACLES = {
     "sim13_ivfpq_topk": _SIM13_SQL,
+    "sim14_cell_balanced_sample": _SIM14_SQL,
     "sim11_pq_assign": _SIM11_SQL,
     "sim12_quantize_recall": _SIM12_SQL,
     "sim9_lsh_recall": f"""
@@ -1258,4 +1349,5 @@ SPARK_QUERIES = {
     "sim11_pq_assign": pq_assign,
     "sim12_quantize_recall": quantize_recall,
     "sim13_ivfpq_topk": ivfpq_topk,
+    "sim14_cell_balanced_sample": cell_balanced_sample,
 }

@@ -140,6 +140,35 @@ def features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def template_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4_template_runtime — the workload-analyzer HEADLINE report: per
+    parameterized statement template (Q5's fingerprint), how many
+    statements instantiate it and their total / floor-mean / max runtime
+    — "which query shapes cost the cluster the most", the rollup every
+    capacity review starts from. Statements with no template (DDL,
+    inserts, parse failures) are out of scope by definition.
+
+    Scale: the parse already ran per-row (q1's stateless mapInPandas
+    projection); this adds ONE shuffle keyed by template string —
+    cardinality = distinct templates, orders of magnitude below
+    statements — after a query_id-keyed join whose both sides came out
+    of the same ingest. All runtime arithmetic is exact BIGINT (floor
+    mean via DIV), so partial-agg order can never move a value."""
+    feats = sql_features(spark, sf_dir).select("query_id", "parameterized_stmt")
+    q = materialized_table(spark, sf_dir, "queries").select("query_id", "runtime")
+    return (
+        feats.filter(F.col("parameterized_stmt").isNotNull())
+        .join(q, "query_id")
+        .groupBy("parameterized_stmt")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("runtime").cast("bigint").alias("total_runtime"),
+            F.max("runtime").cast("bigint").alias("max_runtime"),
+        )
+        .withColumn("avg_runtime", F.expr("total_runtime DIV n_queries"))
+    )
+
+
 # Expected counters per corpus statement template (profile_render.
 # sql_stmt_for); SELECT statements rotate through 4 shape variants on
 # k % 4. Values below were pinned by running extract_sql_features on each
@@ -208,9 +237,19 @@ ORACLES = {
                COUNT(DISTINCT parameterized_stmt) AS n_templates
         FROM ({_FEATURE_CASE})
         GROUP BY stmt_type"""),
+    "q4_template_runtime": with_corpus(f"""
+        SELECT f.parameterized_stmt,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(q.runtime) AS BIGINT) AS total_runtime,
+               CAST(MAX(q.runtime) AS BIGINT) AS max_runtime,
+               CAST(SUM(q.runtime) // COUNT(*) AS BIGINT) AS avg_runtime
+        FROM ({_FEATURE_CASE}) f JOIN iwa_queries q USING (query_id)
+        WHERE f.parameterized_stmt IS NOT NULL
+        GROUP BY f.parameterized_stmt"""),
 }
 
 SPARK_QUERIES = {
     "q1_sql_features": sql_features,
     "q3_features_rollup": features_rollup,
+    "q4_template_runtime": template_runtime,
 }

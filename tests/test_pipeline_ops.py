@@ -1470,3 +1470,103 @@ def test_modality_mixture_partitions_budget(spark, sf_dir):
     assert abs(sum(r["target_share"] for r in rows.values()) - 1.0) < 1e-9
     for r in rows.values():
         assert abs(r["resample_rate"] * r["token_share"] - r["target_share"]) < 1e-6
+
+
+def test_cell_balanced_two_phase_exact(spark, sf_dir):
+    """sim14: the salted two-phase per-cell top-K is row-identical to the
+    naive single-window cut, and each cell's ranks are 1..min(cap, size)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = similarity.cell_balanced_sample(spark, sf_dir).collect()
+    emb = similarity._with_norm(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    )
+    assign = (
+        similarity._ivf_scored(emb)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("c_label").alias("cell"), F.col("score")),
+                F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.cell", F.col("best.score").alias("centrality"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("centrality"), F.asc("vec_id")
+    )
+    naive = (
+        assign.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= similarity._CELL_CAP)
+        .select("cell", "rank", "vec_id", "centrality")
+        .collect()
+    )
+    key = lambda r: (r["cell"], r["rank"], r["vec_id"], r["centrality"])
+    assert sorted(map(key, got)) == sorted(map(key, naive))
+    per_cell = {}
+    for r in got:
+        per_cell.setdefault(r["cell"], []).append(r["rank"])
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= similarity._CELL_CAP
+
+
+def test_user_concentration_matches_ntile(spark, sf_dir):
+    """ev21: histogram-derived deciles reproduce literal NTILE decile sums
+    and the Lorenz invariants (shares sum to 1, cum_share monotone)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        user_concentration,
+    )
+
+    got = {r["decile"]: r for r in user_concentration(spark, sf_dir).collect()}
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ntile = (
+        per_user.withColumn(
+            "decile",
+            F.ntile(10).over(Window.orderBy(F.desc("cnt"), F.asc("user_id"))),
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("cnt").alias("n_events"))
+        .collect()
+    )
+    for r in ntile:
+        g = got[r["decile"]]
+        assert g["n_users"] == r["n_users"]
+        assert g["n_events"] == r["n_events"]
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-6
+    cum = [got[d]["cum_share"] for d in sorted(got)]
+    assert cum == sorted(cum) and abs(cum[-1] - 1.0) < 1e-8
+
+
+def test_template_runtime_consistent_with_features(spark, sf_dir):
+    """q4: template cardinalities and runtime bounds agree with q1's
+    per-statement output (sum of n_queries = templated statements; the
+    floor mean brackets total/n)."""
+    from impala_workload_analyzer_spark.sql_introspect.queries import (
+        sql_features,
+        template_runtime,
+    )
+
+    rows = template_runtime(spark, sf_dir).collect()
+    n_templated = (
+        sql_features(spark, sf_dir)
+        .filter("parameterized_stmt IS NOT NULL")
+        .count()
+    )
+    assert sum(r["n_queries"] for r in rows) == n_templated
+    for r in rows:
+        assert r["max_runtime"] <= r["total_runtime"]
+        assert (
+            r["avg_runtime"] * r["n_queries"]
+            <= r["total_runtime"]
+            < (r["avg_runtime"] + 1) * r["n_queries"]
+        )
