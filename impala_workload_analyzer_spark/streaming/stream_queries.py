@@ -596,6 +596,73 @@ def _st9_oracle() -> str:
         FROM ranked WHERE rk <= {_KMV_K}"""
 
 
+def streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st11 — dd11's Bloom filter maintained as a STREAMING aggregation
+    over the arriving seen-corpus shard: per filter bit, how many digest
+    hashes of arriving documents land on it (the bit-LOAD histogram).
+    State and output are bounded at ``_BLOOM_M`` rows for an unbounded
+    stream — the same bounded-sketch-as-state witness as st8 (CMS) and
+    st9 (KMV). The emitted bit SET equals dd11's batch-built filter
+    bit-for-bit (digest duplicates can set a bit, never unset one), and
+    the load histogram is the early-warning FPR-drift signal a streaming
+    ingest watches BEFORE dd11's join-side audit can measure realized
+    FPR. No digest dedup on purpose: deduplicating would need unbounded
+    digest-keyed state — the stream folds every arriving doc into m
+    counters, which is exactly what the oracle states (doc-level counts).
+    Hash family is dd11's, imported — the build and this stream can
+    never drift apart."""
+    from ..pipeline.dedup import (  # noqa: PLC0415
+        _BLOOM_K, _BLOOM_M, _INCR_SPLIT, _SPARK_H,
+    )
+
+    docs = _stream_docs(spark, sf_dir)
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    seen = docs.filter(bucket < _INCR_SPLIT).withColumn("digest", F.md5("text"))
+
+    def bits(i: int) -> "F.Column":
+        seeded = "CONCAT('%d:', digest)" % i
+        return F.expr(f"CAST({_SPARK_H.format(x=seeded)} % {_BLOOM_M} AS INT)")
+
+    agg = (
+        seen.select(F.explode(F.array(*[bits(i) for i in range(_BLOOM_K)])).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count("*").alias("n_hashes"))
+    )
+    _run_to_memory(agg, "st11_out", "complete")
+    return spark.table("st11_out").select(
+        F.col("bit").cast("bigint").alias("bit"), "n_hashes"
+    )
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream from the documents scan-cache directory — the landing dir a
+    cluster-scale ingest would watch for arriving shards (the
+    _stream_events construction, documents-shaped)."""
+    from ..io import scan_cache_dir  # noqa: PLC0415
+
+    src_dir = scan_cache_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(src_dir).schema
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def _st11_oracle() -> str:
+    from ..pipeline.dedup import (  # noqa: PLC0415
+        _BLOOM_K, _BLOOM_M, _DUCK_H, _INCR_SPLIT,
+    )
+
+    return f"""
+        WITH seen AS (
+          SELECT md5(text) AS digest FROM documents
+          WHERE {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100
+                < {_INCR_SPLIT}),
+        ks AS (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+        SELECT {_DUCK_H.format(x="CAST(i AS VARCHAR) || ':' || digest")}
+                 % {_BLOOM_M} AS bit,
+               COUNT(*) AS n_hashes
+        FROM seen CROSS JOIN ks
+        GROUP BY 1"""
+
+
 def _st8_oracle() -> str:
     from ..pipeline.events_analytics import _CMS_D, _CMS_W  # noqa: PLC0415
 
@@ -611,6 +678,7 @@ def _st8_oracle() -> str:
 
 
 ORACLES = {
+    "st11_streaming_bloom": _st11_oracle(),
     "st9_streaming_kmv": _st9_oracle(),
     "st8_streaming_cms": _st8_oracle(),
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
@@ -662,4 +730,5 @@ SPARK_QUERIES = {
     "st8_streaming_cms": streaming_cms,
     "st9_streaming_kmv": streaming_kmv,
     "st10_streaming_transitions": streaming_transitions,
+    "st11_streaming_bloom": streaming_bloom,
 }

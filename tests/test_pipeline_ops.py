@@ -1570,3 +1570,39 @@ def test_template_runtime_consistent_with_features(spark, sf_dir):
             <= r["total_runtime"]
             < (r["avg_runtime"] + 1) * r["n_queries"]
         )
+
+
+def test_streaming_bloom_bits_equal_batch_filter(spark, sf_dir):
+    """st11: the streamed bit set equals dd11's batch-built filter
+    bit-for-bit, and total hash mass is n_seen_docs * K."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _INCR_SPLIT,
+        _SPARK_H,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_bloom,
+    )
+
+    got = {r["bit"]: r["n_hashes"] for r in streaming_bloom(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    seen = (
+        docs.filter(bucket < _INCR_SPLIT)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch_bits = set()
+    for i in range(_BLOOM_K):
+        seeded = "CONCAT('%d:', digest)" % i
+        expr = f"CAST({_SPARK_H.format(x=seeded)} % {_BLOOM_M} AS BIGINT)"
+        batch_bits |= {
+            r["bit"] for r in seen.select(F.expr(expr).alias("bit")).collect()
+        }
+    assert set(got) == batch_bits
+    n_seen_docs = docs.filter(bucket < _INCR_SPLIT).count()
+    assert sum(got.values()) == n_seen_docs * _BLOOM_K
