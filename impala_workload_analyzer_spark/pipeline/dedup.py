@@ -608,6 +608,90 @@ _TX20_SQL = f"""
         GROUP BY s.doc_id"""
 
 
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
+    novelty and the per-document metric behind exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the fraction of a document's word positions covered by at
+    least one 3-gram occurring MORE THAN ONCE in the corpus — counting
+    within-doc repeats, since self-repetition is duplicated text too.
+    tx20 asks "how many of my distinct shingles are unique"; dd15 asks
+    "how much of my TEXT would an exact-substring deduper delete" —
+    they differ exactly when repeated shingles cluster in one span.
+    The 3-gram width is the same shingle knob the dd2/dd12 family
+    tunes; production substring dedup widens it (50 in the paper)
+    without changing the plan.
+
+    Scale: one groupBy(shingle) occurrence-count pass; duplicated
+    shingles join back SHINGLE-KEYED (vocabulary-sized — too big to
+    broadcast at 100 TB, same as tx20); each duplicated occurrence
+    explodes to its 3 token positions, collapses through a
+    doc-position distinct, then one doc-keyed agg — every stage
+    partial-agg'd, nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.expr(_words(True)).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    occ = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', slice(w, i, 3)))"
+            )
+        ).alias("p0", "shingle"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "shingle")
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("shingle")
+    )
+    cov = (
+        occ.join(dup, "shingle")
+        .select("doc_id", F.explode(F.expr("sequence(pos, pos + 2)")).alias("tok"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_covered"))
+    )
+    base = words.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    n_cov = F.coalesce("n_covered", F.lit(0)).cast("bigint")
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_cov.alias("n_covered"),
+        F.round(n_cov / F.col("n_tokens").cast("double"), 9).alias("dup_fraction"),
+    )
+
+
+_DD15_SQL = f"""
+        WITH wrds AS (
+          SELECT doc_id, {_words(False)} AS w FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+          FROM wrds WHERE len(w) >= 3),
+        occ AS (
+          SELECT doc_id, s['pos'] AS pos, s['shingle'] AS shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                     i -> struct_pack(pos := i,
+                            shingle := array_to_string(w[i:i+2], ' ')))) AS s
+            FROM wrds WHERE len(w) >= 3)),
+        dup AS (
+          SELECT shingle FROM occ GROUP BY shingle HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + d AS tok
+          FROM occ JOIN dup USING (shingle)
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS d) ds),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+          FROM cov GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(a.n_covered, 0) AS n_covered,
+               ROUND(COALESCE(a.n_covered, 0)
+                     / CAST(b.n_tokens AS DOUBLE), 9) AS dup_fraction
+        FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
 _CONTAIN_TAU = 0.5  # max-containment report threshold
 
 
@@ -865,6 +949,7 @@ _DD11_SQL = f"""
 ORACLES = {
     "tx20_ngram_novelty": _TX20_SQL,
     "dd14_containment_pairs": _DD14_SQL,
+    "dd15_dup_span_coverage": _DD15_SQL,
     "dd13_component_keep_best": _dd13_oracle(),
     "dd12_winnow_neardup": _dd12_oracle(),
     "dd11_bloom_prefilter": _DD11_SQL,
@@ -1021,5 +1106,6 @@ SPARK_QUERIES = {
     "dd8_neardup_components": neardup_components,
     "dd13_component_keep_best": component_keep_best,
     "dd14_containment_pairs": containment_pairs,
+    "dd15_dup_span_coverage": dup_span_coverage,
     "tx20_ngram_novelty": ngram_novelty,
 }

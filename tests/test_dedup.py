@@ -116,3 +116,45 @@ def test_incremental_dedup_matches_recompute(spark, sf_dir):
     got = {r["doc_id"]: (r["status"], r["canonical_doc_id"])
            for r in incremental_dedup(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_dup_span_coverage_python_twin(spark, sf_dir):
+    """dd15: coverage fractions match an independent pure-Python
+    positional-shingle computation, and bounds hold (0 <= covered <=
+    n_tokens; a doc whose every shingle is corpus-unique has coverage 0)."""
+    import re
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import dup_span_coverage
+
+    docs = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower().strip()).split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    occ = Counter()
+    spans = {}
+    for doc_id, w in docs.items():
+        if len(w) < 3:
+            continue
+        spans[doc_id] = [
+            (" ".join(w[i : i + 3]), i) for i in range(len(w) - 2)
+        ]
+        occ.update(s for s, _ in spans[doc_id])
+    expect = {}
+    for doc_id, sh in spans.items():
+        covered = set()
+        for s, i in sh:
+            if occ[s] >= 2:
+                covered.update((i, i + 1, i + 2))
+        expect[doc_id] = (len(docs[doc_id]), len(covered))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["dup_fraction"])
+        for r in dup_span_coverage(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for doc_id, (n_tokens, n_covered) in expect.items():
+        gt, gc, frac = got[doc_id]
+        assert (gt, gc) == (n_tokens, n_covered)
+        assert 0 <= gc <= gt
+        assert abs(frac - gc / gt) < 1e-8
