@@ -169,24 +169,23 @@ def _ngram_jaccard_of(shingles: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd3 — MinHash-LSH candidate pairs verified by exact Jaccard.
-
-    signature[i] = min over shingles of (a_i * (h(shingle) mod p) + b_i)
-    mod p; 8 bands x 2 rows; candidates join on band key; survivors keep
-    jaccard >= 0.5. Fixed coefficients, md5-based h -> fully deterministic
-    and oracle-checked (pyspark.ml's MinHashLSH would be seed-dependent)."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
-    )
-    sig = sh.groupBy("doc_id").agg(
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}) MinHash signature from the shingle-hash DF —
+    the single definition shared by dd3's band join and dd16's
+    calibration, so the estimator can never drift from the index."""
+    return sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hx") + F.lit(b)) % _P).alias(f"h{i}")
             for i, (a, b) in enumerate(_COEFFS)
         ]
     )
+
+
+def _band_candidates(sh: DataFrame) -> DataFrame:
+    """dd3's LSH candidate generation: signature -> banded keys ->
+    same-band self-join -> distinct (doc_a < doc_b) pairs."""
     n_bands = _N_HASHES // _BAND_SIZE
-    bands = sig.select(
+    bands = _minhash_sig(sh).select(
         "doc_id",
         F.explode(
             F.array(
@@ -202,7 +201,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_key")
-    cands = (
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -212,6 +211,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3 — MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    signature[i] = min over shingles of (a_i * (h(shingle) mod p) + b_i)
+    mod p; 8 bands x 2 rows; candidates join on band key; survivors keep
+    jaccard >= 0.5. Fixed coefficients, md5-based h -> fully deterministic
+    and oracle-checked (pyspark.ml's MinHashLSH would be seed-dependent)."""
+    cands = _band_candidates(
+        _shingles_df(spark, sf_dir).withColumn(
+            "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
+        )
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # whole point of LSH at scale: work is O(|candidates| x doc_len), never
@@ -608,6 +621,58 @@ _TX20_SQL = f"""
         GROUP BY s.doc_id"""
 
 
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd16 — MinHash ESTIMATE calibration: for every LSH candidate pair
+    (dd3's band join), the signature-estimated Jaccard (matching
+    components / _N_HASHES — the unbiased Broder estimator) next to the
+    exact shingle Jaccard and the signed error. This is the audit that
+    says whether _N_HASHES is wide enough for the dedup threshold —
+    completing the measure-don't-guess family: sim9/sim10/sim12 price
+    the ANN approximations, dd16 prices the dedup sketch itself (a pair
+    the estimator puts at 0.56 when truth is 0.44 is a threshold
+    misclassification the per-pair error column makes visible).
+
+    Scale: the signature table is corpus-sized but _N_HASHES ints wide;
+    candidates come from dd3's banded join (never all-pairs); the exact
+    side is the shared _pair_overlap verify — the audit adds only a
+    doc-keyed sig join per side, cost O(|candidates|). Band-collision
+    pairs sharing NO shingle keep exact Jaccard 0 via the left join."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
+    )
+    sig = _minhash_sig(sh).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_N_HASHES)]).alias("sig")
+    )
+    cands = _band_candidates(sh)
+    est = (
+        cands.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1"
+                " ELSE 0 END), 0, (acc, v) -> acc + v)"
+                f" / CAST({_N_HASHES} AS DOUBLE)"
+            ),
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    exact = _verify_jaccard(cands, _shingles_df(spark, sf_dir))
+    j = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b",
+        F.round("est_jaccard", 9).alias("est_jaccard"),
+        F.round(j, 9).alias("jaccard"),
+        F.round(F.col("est_jaccard") - j, 9).alias("error"),
+    )
+
+
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
     novelty and the per-document metric behind exact-substring dedup
@@ -950,6 +1015,31 @@ ORACLES = {
     "tx20_ngram_novelty": _TX20_SQL,
     "dd14_containment_pairs": _DD14_SQL,
     "dd15_dup_span_coverage": _DD15_SQL,
+    "dd16_minhash_calibration": f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        {_DUCK_MINHASH_SIG},
+        {_DUCK_BANDS},
+        cands AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           AND x.doc_id < y.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 ({" + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                              for i in range(_N_HASHES))})
+                   / {float(_N_HASHES)} AS est_j
+          FROM cands c
+          JOIN sig a ON a.doc_id = c.doc_a
+          JOIN sig b ON b.doc_id = c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b,
+               ROUND(e.est_j, 9) AS est_jaccard,
+               ROUND(COALESCE(j.jaccard, 0.0), 9) AS jaccard,
+               ROUND(e.est_j - COALESCE(j.jaccard, 0.0), 9) AS error
+        FROM est e
+        LEFT JOIN jac j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b""",
     "dd13_component_keep_best": _dd13_oracle(),
     "dd12_winnow_neardup": _dd12_oracle(),
     "dd11_bloom_prefilter": _DD11_SQL,
@@ -1107,5 +1197,6 @@ SPARK_QUERIES = {
     "dd13_component_keep_best": component_keep_best,
     "dd14_containment_pairs": containment_pairs,
     "dd15_dup_span_coverage": dup_span_coverage,
+    "dd16_minhash_calibration": minhash_calibration,
     "tx20_ngram_novelty": ngram_novelty,
 }

@@ -12,9 +12,9 @@ batch consumer's rows changed: sim1/2/4/5/6/8/9/10/12), ev18 (two-phase
 quantile path + integer rank arithmetic), dd11 (positives-only shuffle
 join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
 additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
-tx17, plus ev18/dd11/sim12 already above), then the nineteen operators
+tx17, plus ev18/dd11/sim12 already above), then the twenty operators
 NEW in round 6 (sim13 st9 dd13 ev19 tx18 a23 dd14 ev20 pt5 tx19 st10
-tx20 a24 mm5 sim14 ev21 q4 st11 dd15 — all local-gate green at sf0.01 AND
+tx20 a24 mm5 sim14 ev21 q4 st11 dd15 dd16 — all local-gate green at sf0.01 AND
 sf0.1), then the six
 entries whose newest green rows date to r01 (o4 set1 tpch_q14 w2b w3
 x1), then as much of the r03-era block as fits. The tail of
@@ -54,7 +54,7 @@ _PRIORITY = (
     "tx20_ngram_novelty", "a24_cost_model_fit", "mm5_modality_mixture",
     "sim14_cell_balanced_sample", "ev21_user_concentration",
     "q4_template_runtime", "st11_streaming_bloom",
-    "dd15_dup_span_coverage",
+    "dd15_dup_span_coverage", "dd16_minhash_calibration",
     # --- newest green rows date to r01 ---
     "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
     "w2b_nation_revenue_share", "w3_top_customers_per_nation",

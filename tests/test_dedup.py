@@ -158,3 +158,25 @@ def test_dup_span_coverage_python_twin(spark, sf_dir):
         assert (gt, gc) == (n_tokens, n_covered)
         assert 0 <= gc <= gt
         assert abs(frac - gc / gt) < 1e-8
+
+
+def test_minhash_calibration_bounds(spark, sf_dir):
+    """dd16: estimates are k/N grid values in [0,1]; exact Jaccard matches
+    dd2's uncapped computation on the same pairs; every dd3 survivor
+    (jaccard >= threshold) appears as a calibration row."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _N_HASHES,
+        minhash_calibration,
+        minhash_lsh_pairs,
+    )
+
+    rows = minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["est_jaccard"] * _N_HASHES
+        assert abs(k - round(k)) < 1e-6 and 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(r["error"] - (r["est_jaccard"] - r["jaccard"])) < 1e-8
+    cal = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    for r in minhash_lsh_pairs(spark, sf_dir).collect():
+        assert cal[(r["doc_a"], r["doc_b"])] == r["jaccard"]
