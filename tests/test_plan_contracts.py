@@ -259,3 +259,67 @@ def test_a23_broadcasts_bounds(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a23_runtime_drift")
     assert "SortMergeJoin" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_sim14_two_phase_windows(spark, sf_dir):
+    """sim14's per-cell top-K must run as the salted two-phase cut: a
+    window partitioned by (cell, salt) feeding one partitioned by cell —
+    never a single global-cell sort of the whole corpus — with the
+    centroid side broadcast into the assignment."""
+    plan = _plan(spark, sf_dir, "sim14_cell_balanced_sample")
+    assert plan.count("Window") >= 2, plan
+    assert "salt" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ev21_no_global_user_sort(spark, sf_dir):
+    """ev21 derives NTILE deciles from the count histogram: the only
+    single-partition window runs over DISTINCT COUNT VALUES (tiny), and
+    the per-user rows are never globally sorted — no Window node may
+    consume the full per-user output, and the decile grid must arrive
+    broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ev21_user_concentration")
+    # exactly two Window NODES: the histogram prefix-sum and the 10-row
+    # cum-share — and neither may be an NTILE over per-user rows
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert "ntile" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_st11_bounded_groupby_state(spark, sf_dir):
+    """st11's streaming aggregation keys on the filter bit — the plan's
+    stateful aggregate must group by 'bit' only (state bounded at m
+    rows), with no digest-keyed dedup state anywhere."""
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        _stream_docs,
+    )
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _INCR_SPLIT,
+        _SPARK_H,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _stream_docs(spark, sf_dir)
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    seen = docs.filter(bucket < _INCR_SPLIT).withColumn("digest", F.md5("text"))
+
+    def bits(i):
+        seeded = "CONCAT('%d:', digest)" % i
+        return F.expr(f"CAST({_SPARK_H.format(x=seeded)} % {_BLOOM_M} AS INT)")
+
+    agg = (
+        seen.select(
+            F.explode(F.array(*[bits(i) for i in range(_BLOOM_K)])).alias("bit")
+        )
+        .groupBy("bit")
+        .agg(F.count("*").alias("n_hashes"))
+    )
+    assert agg.isStreaming
+    txt = agg._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    assert "Deduplicate" not in txt, txt
+    agg_lines = [ln for ln in txt.splitlines() if "Aggregate" in ln]
+    assert agg_lines and all("digest" not in ln for ln in agg_lines), txt
