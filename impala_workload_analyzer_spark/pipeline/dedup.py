@@ -817,7 +817,7 @@ _DD14_SQL = f"""
 
 
 def _dd13_oracle() -> str:
-    from .text import _DUCK_NORM, _DUCK_WORDS  # noqa: PLC0415
+    from .text import _DUCK_WORDS  # noqa: PLC0415
 
     return f"""
         WITH RECURSIVE x AS (SELECT 1){_DUCK_JACCARD},
