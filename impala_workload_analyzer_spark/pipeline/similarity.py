@@ -669,6 +669,21 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup term rounds to 6 decimals and accumulates as DECIMAL(18,6),
     so the summed distance is exact and order-independent — ranking can
     never diverge across engines."""
+    return (
+        _ivfpq_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
+def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc, rank) — the full ADC-ranked candidate list
+    shared by sim13's top-k cut and sim15's rerank pool."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     scored = _ivf_scored(emb)
     assign = scored.groupBy("vec_id").agg(
@@ -709,15 +724,58 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
-    return (
-        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _TOP_K)
+    return dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+_RERANK_POOL = 20  # ADC nominees re-scored with exact floats per query
+
+
+def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim15 — the exact-rerank FINAL stage of the IVF-PQ deployment
+    (Jégou et al. 2011 §V's two-stage retrieval): sim13's codes-only ADC
+    scan nominates a ``_RERANK_POOL``-deep pool per query, and ONLY
+    those vectors are read as floats and re-scored with exact cosine for
+    the final top-k. This is the piece that makes PQ's lossy distances
+    acceptable in production — at 100 TB, search touches k' float
+    vectors per query instead of the corpus. The output carries BOTH
+    ranks, so per-pair rank displacement between ADC order and exact
+    order is visible — the residual error that remains after the
+    sim12/dd16-style sketch calibration.
+
+    Scale: the pool is queries x pool rows — broadcast into both float
+    joins; everything upstream is sim13's plan unchanged."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    pool = (
+        _ivfpq_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= _RERANK_POOL)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+            F.col("rank").alias("adc_rank"),
         )
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        F.broadcast(pool)
+        .join(q, "query_id")
+        .join(n, "neighbor_id")
+        .withColumn(
+            "sim",
+            F.round(F.expr(_spark_dot("qv", "nv")) / (F.col("qn") * F.col("nn")), 9),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim", "adc_rank")
     )
 
 
@@ -973,7 +1031,7 @@ _PQ_L2 = (
     " (x, y) -> x + y)"
 )
 
-_SIM13_SQL = f"""
+_SIM13_BODY = f"""
         WITH e AS (
           SELECT vec_id, label, embedding,
                  sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
@@ -1038,10 +1096,30 @@ _SIM13_SQL = f"""
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY adc ASC, neighbor_id ASC) AS rank
-          FROM dist)
+          FROM dist)"""
+
+_SIM13_SQL = f"""{_SIM13_BODY}
         SELECT query_id, neighbor_id, rank,
                ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist
         FROM ranked WHERE rank <= {_TOP_K}"""
+
+_SIM15_SQL = f"""{_SIM13_BODY},
+        pool AS (
+          SELECT query_id, neighbor_id, rank AS adc_rank FROM ranked
+          WHERE rank <= {_RERANK_POOL}),
+        ex AS (
+          SELECT p.query_id, p.neighbor_id, p.adc_rank,
+                 ROUND({_duck_dot('eq.embedding', 'en.embedding')}
+                       / (eq.nrm * en.nrm), 9) AS sim
+          FROM pool p
+          JOIN e eq ON eq.vec_id = p.query_id
+          JOIN e en ON en.vec_id = p.neighbor_id),
+        rr AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM ex)
+        SELECT query_id, neighbor_id, rank, sim, adc_rank
+        FROM rr WHERE rank <= {_TOP_K}"""
 
 
 _SIM12_SQL = f"""
@@ -1101,6 +1179,7 @@ _SIM12_SQL = f"""
 ORACLES = {
     "sim13_ivfpq_topk": _SIM13_SQL,
     "sim14_cell_balanced_sample": _SIM14_SQL,
+    "sim15_ivfpq_rerank": _SIM15_SQL,
     "sim11_pq_assign": _SIM11_SQL,
     "sim12_quantize_recall": _SIM12_SQL,
     "sim9_lsh_recall": f"""
@@ -1350,4 +1429,5 @@ SPARK_QUERIES = {
     "sim12_quantize_recall": quantize_recall,
     "sim13_ivfpq_topk": ivfpq_topk,
     "sim14_cell_balanced_sample": cell_balanced_sample,
+    "sim15_ivfpq_rerank": ivfpq_rerank,
 }

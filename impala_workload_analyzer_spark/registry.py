@@ -64,8 +64,11 @@ _PRIORITY = (
     "a4_distinct_scan_tables", "a5_scan_size_per_query",
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
-    # --- position 51+: the r03/r04 tail, code unchanged, local-gate
-    # re-validated; rotates into round 7's window ---
+    # --- position 51+: rotates into round 7's window ---
+    # new in round 6 past the window budget (local-gate green both
+    # scales, pytest-pinned): the IVF-PQ exact-rerank final stage
+    "sim15_ivfpq_rerank",
+    # the r03/r04 tail, code unchanged, local-gate re-validated
     "a9_join_audit_rollup",
     "a10_preagg_reduction", "a11_preagg_reduction_hist",
     "a16_counter_consistency", "w2_time_share_per_query",

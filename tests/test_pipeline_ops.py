@@ -1606,3 +1606,38 @@ def test_streaming_bloom_bits_equal_batch_filter(spark, sf_dir):
     assert set(got) == batch_bits
     n_seen_docs = docs.filter(bucket < _INCR_SPLIT).count()
     assert sum(got.values()) == n_seen_docs * _BLOOM_K
+
+
+def test_ivfpq_rerank_improves_or_matches_adc(spark, sf_dir):
+    """sim15: the rerank pool contains sim13's top-k (pool is a superset
+    cut of the same ADC ranking), every reranked sim equals the true
+    cosine, and rerank recall vs exact top-k is >= sim13's ADC recall."""
+    from pyspark.sql import functions as F
+
+    exact = {}
+    for r in similarity.brute_force_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc = {}
+    for r in similarity.ivfpq_topk(spark, sf_dir).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rer = {}
+    rows = similarity.ivfpq_rerank(spark, sf_dir).collect()
+    for r in rows:
+        rer.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert 1 <= r["adc_rank"] <= similarity._RERANK_POOL
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    for r in rows[:50]:
+        assert abs(r["sim"] - cos(emb[r["query_id"]], emb[r["neighbor_id"]])) < 1e-6
+    n_adc = sum(len(adc[q] & exact.get(q, set())) for q in adc)
+    n_rer = sum(len(rer[q] & exact.get(q, set())) for q in rer)
+    assert n_rer >= n_adc
