@@ -802,6 +802,104 @@ _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+_SWEEP_STEPS = 20  # threshold grid: k/_SWEEP_STEPS for k = 0.._SWEEP_STEPS
+
+
+def quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx21 — QUALITY-THRESHOLD retention sweep: for each cutoff k/20 on
+    tx2's type-token ratio, how many documents and tokens survive
+    ``ttr >= cutoff`` (count + fraction) — the retention-vs-threshold
+    curve a filtering deployment reads BEFORE pinning the cutoff tx2
+    hard-codes (raise it until token loss bends, the standard
+    quality/quantity trade). 21 rows at any corpus size.
+
+    Exactness: a doc's grid bucket is floor(20*distinct/count) computed
+    as INTEGER division — the boundary doc (ttr exactly k/20) can never
+    land differently across engines the way a rounded-double bucket
+    could. Scale: one full-data pass collapses to a 21-bucket histogram
+    (map-side partial agg); the suffix-cumulative window runs over the
+    zero-filled 21-row grid, never the corpus — ev21's
+    histogram-not-sort construction on the quality axis."""
+    per = (
+        _with_norm(load_table(spark, sf_dir, "documents"))
+        .select(
+            F.size(F.array_distinct("words")).cast("bigint").alias("d"),
+            F.size("words").cast("bigint").alias("c"),
+        )
+        .select(
+            F.expr(f"CAST({_SWEEP_STEPS} * d AS BIGINT) DIV c").alias("bucket"),
+            F.col("c").alias("n_tokens"),
+        )
+    )
+    hist = per.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_toks")
+    )
+    totals = per.groupBy().agg(
+        F.count("*").alias("tot_docs"), F.sum("n_tokens").alias("tot_toks")
+    )
+    grid = (
+        spark.range(0, _SWEEP_STEPS + 1)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .join(hist, F.col("k") == F.col("bucket"), "left")
+        .select(
+            "k",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        )
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.select(
+            "k",
+            F.sum("n_docs").over(w).cast("bigint").alias("docs_retained"),
+            F.sum("n_toks").over(w).cast("bigint").alias("tokens_retained"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("k").cast("double") / _SWEEP_STEPS).alias("threshold"),
+            "docs_retained",
+            "tokens_retained",
+            F.round(F.col("docs_retained") / F.col("tot_docs").cast("double"), 9)
+            .alias("doc_frac"),
+            F.round(F.col("tokens_retained") / F.col("tot_toks").cast("double"), 9)
+            .alias("token_frac"),
+        )
+    )
+
+
+_TX21_SQL = f"""
+        WITH per AS (
+          SELECT ({_SWEEP_STEPS} * len(list_distinct(w))) // len(w) AS bucket,
+                 CAST(len(w) AS BIGINT) AS n_tokens
+          FROM (SELECT {_DUCK_WORDS} AS w FROM documents)),
+        hist AS (
+          SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS n_toks
+          FROM per GROUP BY bucket),
+        tot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS tot_docs,
+                 CAST(SUM(n_tokens) AS DOUBLE) AS tot_toks FROM per),
+        grid AS (
+          SELECT CAST(k AS BIGINT) AS k,
+                 COALESCE(h.n_docs, 0) AS n_docs,
+                 COALESCE(h.n_toks, 0) AS n_toks
+          FROM (SELECT unnest(range(0, {_SWEEP_STEPS} + 1)) AS k) g
+          LEFT JOIN hist h ON h.bucket = g.k),
+        cum AS (
+          SELECT k,
+                 CAST(SUM(n_docs) OVER (ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS docs_retained,
+                 CAST(SUM(n_toks) OVER (ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tokens_retained
+          FROM grid)
+        SELECT CAST(k AS DOUBLE) / {_SWEEP_STEPS} AS threshold,
+               docs_retained, tokens_retained,
+               ROUND(docs_retained / t.tot_docs, 9) AS doc_frac,
+               ROUND(tokens_retained / t.tot_toks, 9) AS token_frac
+        FROM cum CROSS JOIN tot t"""
+
+
 _BLOCK_SUM = " + ".join(
     f"CAST(list_contains(words, '{t}') AS INT)" for t in _BLOCKLIST
 )
@@ -810,6 +908,7 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "tx21_quality_sweep": _TX21_SQL,
     "tx19_dsir_importance": f"""
         WITH d AS (SELECT doc_id, source, {_DUCK_WORDS} AS words
                    FROM documents),
@@ -1170,6 +1269,7 @@ ORACLES = {
 }
 
 SPARK_QUERIES = {
+    "tx21_quality_sweep": quality_sweep,
     "tx1_token_stats": token_stats,
     "tx7_tfidf_top_terms": tfidf_top_terms,
     "tx2_quality_score": quality_score,

@@ -1641,3 +1641,34 @@ def test_ivfpq_rerank_improves_or_matches_adc(spark, sf_dir):
     n_adc = sum(len(adc[q] & exact.get(q, set())) for q in adc)
     n_rer = sum(len(rer[q] & exact.get(q, set())) for q in rer)
     assert n_rer >= n_adc
+
+
+def test_quality_sweep_retention_invariants(spark, sf_dir):
+    """tx21: threshold 0 retains everything; retention is monotone
+    non-increasing in the threshold; counts agree with a direct per-doc
+    recomputation at a mid-grid cutoff."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _with_norm,
+        quality_sweep,
+    )
+
+    rows = sorted(
+        quality_sweep(spark, sf_dir).collect(), key=lambda r: r["threshold"]
+    )
+    assert len(rows) == 21
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        F.size(F.array_distinct("words")).alias("d"), F.size("words").alias("c")
+    ).collect()
+    assert rows[0]["docs_retained"] == len(docs)
+    assert rows[0]["doc_frac"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_retained"] <= a["docs_retained"]
+        assert b["tokens_retained"] <= a["tokens_retained"]
+    mid = rows[10]  # threshold 0.5
+    expect_docs = sum(1 for r in docs if 20 * r["d"] // r["c"] >= 10)
+    expect_toks = sum(r["c"] for r in docs if 20 * r["d"] // r["c"] >= 10)
+    assert mid["docs_retained"] == expect_docs
+    assert mid["tokens_retained"] == expect_toks
