@@ -66,9 +66,10 @@ _PRIORITY = (
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     # --- position 51+: rotates into round 7's window ---
     # new in round 6 past the window budget (local-gate green both
-    # scales, pytest-pinned): the IVF-PQ exact-rerank final stage and
-    # the quality-threshold retention sweep
+    # scales, pytest-pinned): the IVF-PQ exact-rerank final stage, the
+    # quality-threshold retention sweep, and live rate alerting
     "sim15_ivfpq_rerank", "tx21_quality_sweep",
+    "st12_streaming_rate_alerts",
     # the r03/r04 tail, code unchanged, local-gate re-validated
     "a9_join_audit_rollup",
     "a10_preagg_reduction", "a11_preagg_reduction_hist",

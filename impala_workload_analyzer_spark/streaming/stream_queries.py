@@ -596,6 +596,131 @@ def _st9_oracle() -> str:
         FROM ranked WHERE rk <= {_KMV_K}"""
 
 
+def streaming_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st12 — ev13's traffic-rate alerting LIVE: per event_type the keyed
+    state holds the last ``_RATE_LOOKBACK`` CLOSED hourly bucket counts
+    plus the open bucket — bounded at 25 longs per key for an unbounded
+    stream. A bucket is evaluated when it CLOSES (the next hour's first
+    event arrives): alert when its count reaches ``_RATE_TAU`` x the
+    mean of the trailing observed buckets. The still-open final hour is
+    deliberately NOT evaluated — a live alerter cannot score an hour
+    that is still filling — so the oracle is ev13's rollup minus each
+    type's maximum (open) bucket.
+
+    Exactness: the alert gate compares in INTEGER arithmetic
+    (count * lookback >= tau * trailing_sum), so no float baseline can
+    flip a boundary bucket between engines; the reported baseline /
+    ratio doubles are display values rounded after the decision. As with
+    st5/st9/st10, stream==batch is the witness on the in-order finite
+    source (each chunk is processed in (ts, event_id) order)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..pipeline.events_analytics import _RATE_LOOKBACK, _RATE_TAU  # noqa: PLC0415
+
+    tau = int(_RATE_TAU)
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("hour_start", LongType()),
+            StructField("n_events", LongType()),
+            StructField("baseline", DoubleType()),
+            StructField("rate_ratio", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hist", ArrayType(LongType())),
+            StructField("cur_hour", LongType()),
+            StructField("cur_n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        hist, cur_hour, cur_n = (
+            state.get if state.exists else ([], -1, 0)
+        )
+        hist = list(hist)
+        rows = []
+
+        def close_bucket():
+            nonlocal hist
+            if len(hist) >= _RATE_LOOKBACK:
+                prev = sum(hist[-_RATE_LOOKBACK:])
+                if cur_n * _RATE_LOOKBACK >= tau * prev:
+                    rows.append(
+                        (
+                            key[0],
+                            int(cur_hour),
+                            int(cur_n),
+                            round(prev / float(_RATE_LOOKBACK), 6),
+                            round(cur_n * _RATE_LOOKBACK / float(prev), 6),
+                        )
+                    )
+            hist = (hist + [cur_n])[-_RATE_LOOKBACK:]
+
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        if len(chunk):
+            chunk = chunk.sort_values(["epoch", "event_id"])
+            for ep in chunk["epoch"].tolist():
+                h = (ep // 3600) * 3600
+                if cur_hour == -1:
+                    cur_hour, cur_n = h, 0
+                elif h != cur_hour:
+                    close_bucket()
+                    cur_hour, cur_n = h, 0
+                cur_n += 1
+        state.update((hist, int(cur_hour), int(cur_n)))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "hour_start", "n_events", "baseline",
+                     "rate_ratio"],
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(out, "st12_out", "append")
+    return spark.table("st12_out")
+
+
+def _st12_oracle() -> str:
+    from ..pipeline.events_analytics import _RATE_LOOKBACK, _RATE_TAU  # noqa: PLC0415
+
+    return f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT *,
+                 SUM(n_events) OVER w24 AS prev_sum,
+                 COUNT(*) OVER w24 AS n_prev,
+                 MAX(hour_start) OVER (PARTITION BY event_type) AS last_hour
+          FROM hourly
+          WINDOW w24 AS (PARTITION BY event_type ORDER BY hour_start
+                 ROWS BETWEEN {_RATE_LOOKBACK} PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour_start, n_events,
+               ROUND(prev_sum / {float(_RATE_LOOKBACK)}, 6) AS baseline,
+               ROUND(n_events * {float(_RATE_LOOKBACK)} / prev_sum, 6)
+                 AS rate_ratio
+        FROM scored
+        WHERE n_prev >= {_RATE_LOOKBACK} AND hour_start < last_hour
+          AND n_events * {_RATE_LOOKBACK} >= {int(_RATE_TAU)} * prev_sum"""
+
+
 def streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st11 — dd11's Bloom filter maintained as a STREAMING aggregation
     over the arriving seen-corpus shard: per filter bit, how many digest
@@ -678,6 +803,7 @@ def _st8_oracle() -> str:
 
 
 ORACLES = {
+    "st12_streaming_rate_alerts": _st12_oracle(),
     "st11_streaming_bloom": _st11_oracle(),
     "st9_streaming_kmv": _st9_oracle(),
     "st8_streaming_cms": _st8_oracle(),
@@ -731,4 +857,5 @@ SPARK_QUERIES = {
     "st9_streaming_kmv": streaming_kmv,
     "st10_streaming_transitions": streaming_transitions,
     "st11_streaming_bloom": streaming_bloom,
+    "st12_streaming_rate_alerts": streaming_rate_alerts,
 }

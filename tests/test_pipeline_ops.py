@@ -1672,3 +1672,40 @@ def test_quality_sweep_retention_invariants(spark, sf_dir):
     expect_toks = sum(r["c"] for r in docs if 20 * r["d"] // r["c"] >= 10)
     assert mid["docs_retained"] == expect_docs
     assert mid["tokens_retained"] == expect_toks
+
+
+def test_streaming_rate_alerts_subset_of_batch(spark, sf_dir):
+    """st12: the live alerts are exactly ev13's batch alerts restricted to
+    CLOSED buckets (every type's open final hour excluded), with the
+    integer gate agreeing with the float gate at the fixtures."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _RATE_LOOKBACK,
+        rate_alerts,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_rate_alerts,
+    )
+
+    live = {
+        (r["event_type"], r["hour_start"]): r["n_events"]
+        for r in streaming_rate_alerts(spark, sf_dir).collect()
+    }
+    last_hour = {
+        r["event_type"]: r["h"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_timestamp(F.date_trunc("hour", "ts"))).alias("h")
+        )
+        .collect()
+    }
+    batch_closed = {
+        (r["event_type"], r["hour_start"]): r["n_events"]
+        for r in rate_alerts(spark, sf_dir).collect()
+        if r["hour_start"] < last_hour[r["event_type"]]
+    }
+    assert live == batch_closed
+    assert _RATE_LOOKBACK == 24
