@@ -402,6 +402,52 @@ def cost_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESID_TOP = 20  # model-unexplained instances reported
+
+
+def cost_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a25 — COST-MODEL residual outliers: every operator instance scored
+    against a24's fitted per-name line (predicted = ns_per_row * rows +
+    fixed), reporting the ``_RESID_TOP`` instances with the largest
+    absolute residual — "which executions the calibrated model cannot
+    explain", the triage list a regression review reads after a24
+    calibrates. Predictions use a24's PUBLISHED 6-dp coefficients, so
+    the report is reproducible from its own numbers and engine-exact
+    (identical double expressions both sides; |residual| ordering
+    tie-broken by (query_id, op_id)).
+
+    Scale: a24's single grouped agg builds the name-cardinality fit
+    table, broadcast back over the bucketed operator scan (ev12's
+    two-pass shape — the operator stream never shuffles); the top-N cut
+    is a distributed TakeOrderedAndProject."""
+    fit = cost_model_fit(spark, sf_dir).select("name", "ns_per_row", "fixed_ns")
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id",
+        F.col("id").alias("op_id"),
+        "name",
+        F.col("num_rows").cast("bigint").alias("num_rows"),
+        F.col("avg_time").cast("bigint").alias("avg_time"),
+    )
+    pred = F.round(
+        F.col("ns_per_row") * F.col("num_rows") + F.col("fixed_ns"), 6
+    )
+    scored = (
+        ops.join(F.broadcast(fit), "name")
+        .withColumn("predicted", pred)
+        .withColumn("residual", F.round(F.col("avg_time") - F.col("predicted"), 6))
+    )
+    return (
+        scored.orderBy(
+            F.abs(F.col("residual")).desc(), F.asc("query_id"), F.asc("op_id")
+        )
+        .limit(_RESID_TOP)
+        .select(
+            "query_id", "op_id", "name", "num_rows", "avg_time",
+            "predicted", "residual",
+        )
+    )
+
+
 _QUANTILES = (("q50", 0.5), ("q95", 0.95), ("q99", 0.99))
 
 
@@ -543,6 +589,38 @@ ORACLES: dict[str, str] = {
                                  ORDER BY runtime, query_id) AS decile
           FROM iwa_queries) banded
         GROUP BY 1, 2"""),
+    "a25_cost_model_outliers": with_corpus(f"""
+        , moments AS (
+          SELECT name,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))
+                          * CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(num_rows AS DECIMAL(19,0))
+                          * CAST(num_rows AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(avg_time AS DECIMAL(19,0))
+                          * CAST(avg_time AS DECIMAL(19,0))) AS DOUBLE) AS syy
+          FROM iwa_operators GROUP BY name),
+        fit AS (
+          SELECT name,
+                 ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS ns_per_row,
+                 ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n, 6) AS fixed_ns
+          FROM moments
+          WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+        scored AS (
+          SELECT o.query_id, o.id AS op_id, o.name,
+                 CAST(o.num_rows AS BIGINT) AS num_rows,
+                 CAST(o.avg_time AS BIGINT) AS avg_time,
+                 ROUND(f.ns_per_row * o.num_rows + f.fixed_ns, 6) AS predicted
+          FROM iwa_operators o JOIN fit f USING (name))
+        SELECT query_id, op_id, name, num_rows, avg_time, predicted,
+               ROUND(avg_time - predicted, 6) AS residual
+        FROM scored
+        ORDER BY ABS(ROUND(avg_time - predicted, 6)) DESC, query_id, op_id
+        LIMIT {_RESID_TOP}"""),
     "a24_cost_model_fit": with_corpus("""
         SELECT name, n_ops,
                ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
@@ -609,6 +687,7 @@ SPARK_QUERIES = {
     "a22_operator_cooccurrence": operator_cooccurrence,
     "a23_runtime_drift": runtime_drift,
     "a24_cost_model_fit": cost_model_fit,
+    "a25_cost_model_outliers": cost_model_outliers,
     "a17_query_num_hosts": query_num_hosts,
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,

@@ -67,3 +67,43 @@ def test_cooccurrence_bounded_by_individual_presence(spark, sf_dir):
         assert r["name_a"] < r["name_b"]
         assert 1 <= r["num_queries"] <= min(
             presence[r["name_a"]], presence[r["name_b"]])
+
+
+def test_cost_model_outliers_consistent_with_fit(spark, sf_dir):
+    """a25: every reported prediction reproduces from a24's published
+    coefficients, residual = actual - predicted, and the report is the
+    true global top-|residual| cut."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.corpus.builder import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _RESID_TOP,
+        cost_model_fit,
+        cost_model_outliers,
+    )
+
+    fit = {
+        r["name"]: (r["ns_per_row"], r["fixed_ns"])
+        for r in cost_model_fit(spark, sf_dir).collect()
+    }
+    rows = cost_model_outliers(spark, sf_dir).collect()
+    assert len(rows) == _RESID_TOP
+    for r in rows:
+        slope, fixed = fit[r["name"]]
+        assert abs(r["predicted"] - round(slope * r["num_rows"] + fixed, 6)) < 1e-9
+        assert abs(r["residual"] - round(r["avg_time"] - r["predicted"], 6)) < 1e-9
+    floor = min(abs(r["residual"]) for r in rows)
+    ops = corpus_operators(spark, sf_dir).select(
+        "name", "num_rows", "avg_time"
+    ).collect()
+    bigger = sum(
+        1
+        for o in ops
+        if o["name"] in fit
+        and abs(
+            o["avg_time"]
+            - round(fit[o["name"]][0] * o["num_rows"] + fit[o["name"]][1], 6)
+        )
+        > floor
+    )
+    assert bigger <= _RESID_TOP
