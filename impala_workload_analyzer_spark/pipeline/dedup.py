@@ -673,6 +673,78 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17 — the DEDUP-TIER comparison report: the four text dedup
+    methods (exact digest dd1, n-gram Jaccard dd2, MinHash-LSH dd3,
+    SimHash dd6) measured on ONE axis — pair count, documents a
+    drop-newer policy (drop ``doc_b`` of every pair) would remove, and
+    the token mass removed, as counts and corpus fractions. This is the
+    instrument that decides a pipeline's tier ordering: run the cheap
+    exact tier first if it already removes most of what the fuzzy tiers
+    would, spend the banded joins only on the remainder.
+
+    Policy note: drop-doc_b is the transitive-free greedy policy —
+    deterministic and SQL-stateable (component-canonical removal is
+    dd8/dd13's job); a doc caught by two tiers counts in both rows on
+    purpose — this is the comparison, not a union execution plan.
+
+    Scale: each tier keeps its own banded/shuffle shape unchanged; the
+    rollup adds one method-keyed agg over pair lists (pairs, not corpus)
+    and one doc-keyed join for dropped-token mass; totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = docs.select(F.md5("text").alias("dg"), "doc_id")
+    mins = dg.groupBy("dg").agg(F.min("doc_id").alias("doc_a"))
+    exact_pairs = (
+        dg.join(mins, "dg")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    methods = (
+        ("exact", exact_pairs),
+        ("jaccard3", ngram_jaccard_pairs(spark, sf_dir)),
+        ("minhash", minhash_lsh_pairs(spark, sf_dir)),
+        ("simhash", simhash_neardup_pairs(spark, sf_dir)),
+    )
+    pairs = None
+    for name, df in methods:
+        p = df.select(F.lit(name).alias("method"), "doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    tok = docs.select(
+        "doc_id", F.size(F.expr(_words(True))).cast("bigint").alias("n_tokens")
+    )
+    tot = tok.groupBy().agg(
+        F.count("*").cast("double").alias("docs"),
+        F.sum("n_tokens").cast("double").alias("toks"),
+    )
+    np_ = pairs.groupBy("method").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    dr = (
+        pairs.select("method", "doc_b")
+        .distinct()
+        .join(tok, F.col("doc_b") == F.col("doc_id"))
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_dropped"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_dropped"),
+        )
+    )
+    nd = F.coalesce("n_docs_dropped", F.lit(0)).cast("bigint")
+    td = F.coalesce("tokens_dropped", F.lit(0)).cast("bigint")
+    grid = spark.createDataFrame([(m,) for m, _ in methods], ["method"])
+    return (
+        grid.join(np_, "method", "left")
+        .join(dr, "method", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            nd.alias("n_docs_dropped"),
+            td.alias("tokens_dropped"),
+            F.round(nd / F.col("docs"), 9).alias("doc_drop_frac"),
+            F.round(td / F.col("toks"), 9).alias("token_drop_frac"),
+        )
+    )
+
+
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
     novelty and the per-document metric behind exact-substring dedup
@@ -1183,6 +1255,52 @@ ORACLES = {
         FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}""",
 }
 
+
+# dd17's oracle composes the three fuzzy tiers' full oracle texts as
+# nested WITH-subqueries (DuckDB scopes each), plus the inline exact tier.
+ORACLES["dd17_dedup_comparison"] = f"""
+        WITH pairs AS (
+          SELECT 'exact' AS method, m.doc_a, t.doc_id AS doc_b
+          FROM (SELECT md5(text) AS dg, doc_id FROM documents) t
+          JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS doc_a
+                FROM documents GROUP BY 1) m USING (dg)
+          WHERE t.doc_id <> m.doc_a
+          UNION ALL
+          SELECT 'jaccard3', doc_a, doc_b
+          FROM ({ORACLES["dd2_ngram_jaccard_pairs"]})
+          UNION ALL
+          SELECT 'minhash', doc_a, doc_b
+          FROM ({ORACLES["dd3_minhash_lsh_pairs"]})
+          UNION ALL
+          SELECT 'simhash', doc_a, doc_b
+          FROM ({ORACLES["dd6_simhash_neardup"]})),
+        tok AS (
+          SELECT doc_id, CAST(len({_words(False)}) AS BIGINT) AS n_tokens
+          FROM documents),
+        tot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS docs,
+                 CAST(SUM(n_tokens) AS DOUBLE) AS toks FROM tok),
+        grid(method) AS (
+          VALUES ('exact'), ('jaccard3'), ('minhash'), ('simhash')),
+        np AS (
+          SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY method),
+        dr AS (
+          SELECT method, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tokens_dropped
+          FROM (SELECT DISTINCT method, doc_b FROM pairs) d
+          JOIN tok ON tok.doc_id = d.doc_b
+          GROUP BY method)
+        SELECT g.method, COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(dr.n_docs_dropped, 0) AS n_docs_dropped,
+               COALESCE(dr.tokens_dropped, 0) AS tokens_dropped,
+               ROUND(COALESCE(dr.n_docs_dropped, 0) / t.docs, 9)
+                 AS doc_drop_frac,
+               ROUND(COALESCE(dr.tokens_dropped, 0) / t.toks, 9)
+                 AS token_drop_frac
+        FROM grid g LEFT JOIN np USING (method)
+        LEFT JOIN dr USING (method) CROSS JOIN tot t"""
+
 SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
     "dd10_incremental_dedup": incremental_dedup,
@@ -1198,5 +1316,6 @@ SPARK_QUERIES = {
     "dd14_containment_pairs": containment_pairs,
     "dd15_dup_span_coverage": dup_span_coverage,
     "dd16_minhash_calibration": minhash_calibration,
+    "dd17_dedup_comparison": dedup_comparison,
     "tx20_ngram_novelty": ngram_novelty,
 }

@@ -180,3 +180,44 @@ def test_minhash_calibration_bounds(spark, sf_dir):
     cal = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
     for r in minhash_lsh_pairs(spark, sf_dir).collect():
         assert cal[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+
+
+def test_dedup_comparison_consistent_with_tiers(spark, sf_dir):
+    """dd17: every method row reproduces from the tier outputs it
+    summarizes (pair counts and distinct-doc_b drop sets), and fractions
+    divide the corpus totals."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _words,
+        dedup_comparison,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+
+    got = {r["method"]: r for r in dedup_comparison(spark, sf_dir).collect()}
+    assert set(got) == {"exact", "jaccard3", "minhash", "simhash"}
+    docs = load_table(spark, sf_dir, "documents")
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.expr(_words(True))).alias("n")
+        ).collect()
+    }
+    tiers = {
+        "jaccard3": ngram_jaccard_pairs(spark, sf_dir),
+        "minhash": minhash_lsh_pairs(spark, sf_dir),
+        "simhash": simhash_neardup_pairs(spark, sf_dir),
+    }
+    for name, df in tiers.items():
+        rows = df.select("doc_a", "doc_b").collect()
+        dropped = {r["doc_b"] for r in rows}
+        assert got[name]["n_pairs"] == len(rows)
+        assert got[name]["n_docs_dropped"] == len(dropped)
+        assert got[name]["tokens_dropped"] == sum(tok[d] for d in dropped)
+    n_docs, n_toks = len(tok), sum(tok.values())
+    for r in got.values():
+        assert abs(r["doc_drop_frac"] - r["n_docs_dropped"] / n_docs) < 1e-8
+        assert abs(r["token_drop_frac"] - r["tokens_dropped"] / n_toks) < 1e-8
