@@ -642,6 +642,73 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_rollup(_ranked_delays(_funnel_delays(ev), target_chunks))
 
 
+_ATTR_WINDOWS_H = (1, 2, 4, 8, 24, 168)  # attribution-window grid, hours
+
+
+def funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev22 — ATTRIBUTION-WINDOW sensitivity sweep: for each consecutive
+    funnel step pair, the conversions landing within each cutoff of the
+    window grid, as a count and as a fraction of the step's ELIGIBLE
+    users (those who completed the from-step). This is the curve that
+    picks an attribution window — widen it until the count plateaus;
+    past the knee a longer window only admits coincidence — read next
+    to ev18's latency quantiles and ev15's watermark sizing.
+
+    Scale: delays reuse ev10/ev18's shared user-keyed funnel chain; each
+    delay maps to its grid bucket by an INTEGER comparison sum
+    (engine-exact, no float boundaries) and collapses to a
+    (pair x bucket) histogram; the cumulative-within-window join runs
+    over that constant-size table, never the delays — the ev21/tx21
+    histogram construction on the funnel-delay axis. Eligible counts are
+    a per-pair scalar joined broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    delays = _funnel_delays(ev)
+    bucket = sum(
+        (F.col("delay_us") > h * 3_600_000_000).cast("int")
+        for h in _ATTR_WINDOWS_H
+    )
+    hist = (
+        delays.withColumn("bucket", bucket)
+        .groupBy("step_pair", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    times = _funnel_times(ev)
+    elig_rows = [
+        times[i]
+        .agg(F.count("*").alias("eligible"))
+        .select(
+            F.lit(f"{_FUNNEL_STEPS[i]}->{_FUNNEL_STEPS[i + 1]}").alias("step_pair"),
+            "eligible",
+        )
+        for i in range(len(_FUNNEL_STEPS) - 1)
+    ]
+    elig = elig_rows[0]
+    for r in elig_rows[1:]:
+        elig = elig.unionByName(r)
+    wins = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(_ATTR_WINDOWS_H)], ["k", "window_hours"]
+    )
+    grid = elig.crossJoin(F.broadcast(wins))
+    conv = (
+        grid.join(
+            hist,
+            (grid["step_pair"] == hist["step_pair"])
+            & (hist["bucket"] <= grid["k"]),
+            "left",
+        )
+        .groupBy(grid["step_pair"], "window_hours", "eligible")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_converted"))
+    )
+    return conv.select(
+        "step_pair",
+        F.col("window_hours").cast("bigint").alias("window_hours"),
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.col("eligible").cast("double"), 9
+        ).alias("conversion_rate"),
+    )
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev19 — per-user event-type TRANSITION MATRIX: each user's events in
     (ts, event_id) order yield (from_type -> to_type) bigram counts, and
@@ -990,6 +1057,43 @@ def user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "ev22_funnel_window_sweep": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id),
+        delays AS (
+          SELECT 'view->click' AS step_pair,
+                 epoch_us(s2.t) - epoch_us(s1.t) AS delay_us
+          FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+          UNION ALL
+          SELECT 'click->purchase', epoch_us(s3.t) - epoch_us(s2.t)
+          FROM s2 JOIN s3 ON s2.user_id = s3.user_id),
+        hist AS (
+          SELECT step_pair, (CASE WHEN delay_us > 1 * 3600000000 THEN 1 ELSE 0 END) + (CASE WHEN delay_us > 2 * 3600000000 THEN 1 ELSE 0 END) + (CASE WHEN delay_us > 4 * 3600000000 THEN 1 ELSE 0 END) + (CASE WHEN delay_us > 8 * 3600000000 THEN 1 ELSE 0 END) + (CASE WHEN delay_us > 24 * 3600000000 THEN 1 ELSE 0 END) + (CASE WHEN delay_us > 168 * 3600000000 THEN 1 ELSE 0 END) AS bucket, COUNT(*) AS cnt
+          FROM delays GROUP BY 1, 2),
+        elig AS (
+          SELECT 'view->click' AS step_pair, COUNT(*) AS eligible FROM s1
+          UNION ALL
+          SELECT 'click->purchase', COUNT(*) FROM s2),
+        wins(k, window_hours) AS (VALUES (0, 1), (1, 2), (2, 4), (3, 8), (4, 24), (5, 168))
+        SELECT e.step_pair,
+               CAST(w.window_hours AS BIGINT) AS window_hours,
+               CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS n_converted,
+               ROUND(COALESCE(SUM(h.cnt), 0) / CAST(e.eligible AS DOUBLE), 9)
+                 AS conversion_rate
+        FROM elig e CROSS JOIN wins w
+        LEFT JOIN hist h ON h.step_pair = e.step_pair AND h.bucket <= w.k
+        GROUP BY e.step_pair, w.window_hours, e.eligible""",
     "ev21_user_concentration": """
         WITH per_user AS (
           SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
@@ -1359,6 +1463,7 @@ SPARK_QUERIES = {
     "ev19_event_transitions": event_transitions,
     "ev20_cadence_profile": cadence_profile,
     "ev21_user_concentration": user_concentration,
+    "ev22_funnel_window_sweep": funnel_window_sweep,
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }

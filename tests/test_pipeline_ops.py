@@ -1709,3 +1709,38 @@ def test_streaming_rate_alerts_subset_of_batch(spark, sf_dir):
     }
     assert live == batch_closed
     assert _RATE_LOOKBACK == 24
+
+
+def test_funnel_window_sweep_monotone_and_consistent(spark, sf_dir):
+    """ev22: per pair, conversions are monotone non-decreasing in the
+    window; the widest window matches a direct delay-count recomputation;
+    rates divide the eligible counts."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _ATTR_WINDOWS_H,
+        _funnel_delays,
+        funnel_window_sweep,
+    )
+
+    rows = funnel_window_sweep(spark, sf_dir).collect()
+    per_pair = {}
+    for r in rows:
+        per_pair.setdefault(r["step_pair"], []).append(r)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    delays = {}
+    for r in _funnel_delays(ev).collect():
+        delays.setdefault(r["step_pair"], []).append(r["delay_us"])
+    for pair, rs in per_pair.items():
+        rs.sort(key=lambda r: r["window_hours"])
+        assert [r["window_hours"] for r in rs] == sorted(_ATTR_WINDOWS_H)
+        counts = [r["n_converted"] for r in rs]
+        assert counts == sorted(counts)
+        for r in rs:
+            expect = sum(
+                1
+                for d in delays.get(pair, [])
+                if d <= r["window_hours"] * 3_600_000_000
+            )
+            assert r["n_converted"] == expect
