@@ -118,8 +118,9 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
     )
 
 
-def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 — per cluster: max and time-weighted average concurrency."""
+def _swept_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, level, interval) — the sweep-line output rows shared by
+    w1's max/avg rollup and w5's time-weighted percentiles."""
     q = corpus_queries(spark, sf_dir)
     clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
     scoped = q.join(clusters, "cluster", "left_semi").select("cluster", "start_time", "end_time")
@@ -144,9 +145,14 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_chunks = min(
         n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
     )
-    swept = _two_phase_sweep(events, target_chunks).filter(
+    return _two_phase_sweep(events, target_chunks).filter(
         F.col("interval").isNotNull()
     )
+
+
+def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — per cluster: max and time-weighted average concurrency."""
+    swept = _swept_levels(spark, sf_dir)
     return (
         swept.groupBy("cluster")
         .agg(
@@ -160,7 +166,90 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_W5_PCTS = ((50, "p50_concurrent"), (95, "p95_concurrent"))
+
+
+def concurrency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w5 — TIME-WEIGHTED concurrency percentiles per cluster: the
+    smallest level L whose busy-time at-or-below share reaches p% (p50 /
+    p95), next to max and total busy time — the capacity numbers w1's
+    max/avg bracket but don't pin ("the cluster runs at <= L concurrent
+    queries 95% of its busy time" is the provisioning statement). Only
+    busy intervals (level > 0) weigh in, matching w1's average.
+
+    Exactness: the percentile pick is pure integer arithmetic
+    (cum_us * 100 >= p * total_us) over exact microsecond sums — no
+    float share can flip a boundary level. Scale: the sweep rows reuse
+    w1's adaptive (possibly two-phase) scan; they collapse to a
+    (cluster x level) histogram — cardinality bounded by max
+    concurrency — and the cumulative window runs over that histogram,
+    never the events."""
+    swept = _swept_levels(spark, sf_dir).filter(F.col("level") > 0)
+    hist = swept.groupBy("cluster", "level").agg(
+        F.sum("interval").cast("bigint").alias("busy_us")
+    )
+    wl = Window.partitionBy("cluster").orderBy("level").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("cluster")
+    cum = hist.select(
+        "cluster",
+        "level",
+        F.sum("busy_us").over(wl).alias("cum_us"),
+        F.sum("busy_us").over(wt).alias("total_us"),
+        F.max("level").over(wt).alias("max_concurrent"),
+    )
+    picks = [
+        cum.filter(F.col("cum_us") * 100 >= p * F.col("total_us"))
+        .groupBy("cluster")
+        .agg(F.min("level").cast("bigint").alias(alias))
+        for p, alias in _W5_PCTS
+    ]
+    out = picks[0]
+    for df in picks[1:]:
+        out = out.join(df, "cluster")
+    caps = cum.groupBy("cluster").agg(
+        F.max("max_concurrent").cast("bigint").alias("max_concurrent"),
+        F.max("total_us").cast("bigint").alias("busy_us"),
+    )
+    return out.join(caps, "cluster")
+
+
 ORACLES = {
+    "w5_concurrency_percentiles": with_corpus("""
+        , ev AS (
+          SELECT cluster, start_time AS ts, 1 AS delta FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries WHERE tag = 'tpch')
+          UNION ALL
+          SELECT cluster, end_time AS ts, -1 AS delta FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries WHERE tag = 'tpch')
+        ),
+        swept AS (
+          SELECT cluster,
+                 SUM(delta) OVER (PARTITION BY cluster ORDER BY ts, delta
+                                  ROWS UNBOUNDED PRECEDING) AS level,
+                 LEAD(ts) OVER (PARTITION BY cluster ORDER BY ts, delta) - ts AS interval
+          FROM ev
+        ),
+        hist AS (
+          SELECT cluster, level, CAST(SUM(interval) AS BIGINT) AS busy_us
+          FROM swept WHERE interval IS NOT NULL AND level > 0
+          GROUP BY cluster, level),
+        cum AS (
+          SELECT cluster, level,
+                 SUM(busy_us) OVER (PARTITION BY cluster ORDER BY level
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_us,
+                 SUM(busy_us) OVER (PARTITION BY cluster) AS total_us,
+                 MAX(level) OVER (PARTITION BY cluster) AS max_level
+          FROM hist)
+        SELECT cluster,
+               CAST(MIN(CASE WHEN cum_us * 100 >= 50 * total_us
+                             THEN level END) AS BIGINT) AS p50_concurrent,
+               CAST(MIN(CASE WHEN cum_us * 100 >= 95 * total_us
+                             THEN level END) AS BIGINT) AS p95_concurrent,
+               CAST(MAX(max_level) AS BIGINT) AS max_concurrent,
+               CAST(MAX(total_us) AS BIGINT) AS busy_us
+        FROM cum GROUP BY cluster"""),
     "w4_cluster_utilization": with_corpus("""
         , scoped AS (
           SELECT cluster, start_time, end_time FROM iwa_queries
@@ -274,4 +363,5 @@ def cluster_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_QUERIES = {
     "w1_concurrency_sweep": concurrency_sweep,
     "w4_cluster_utilization": cluster_utilization,
+    "w5_concurrency_percentiles": concurrency_percentiles,
 }

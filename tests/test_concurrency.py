@@ -72,3 +72,40 @@ def test_littles_law_identity_w4_equals_w1(spark, sf_dir):
     assert set(w1) == set(w4)
     for cluster, avg in w1.items():
         assert abs(avg - w4[cluster]) < 1e-6, (cluster, avg, w4[cluster])
+
+
+def test_concurrency_percentiles_bracket_w1(spark, sf_dir):
+    """w5: p50 <= p95 <= max per cluster, max agrees with w1, and the
+    p95 level covers >= 95% of busy time while the next-lower level
+    does not (the exact integer-percentile definition)."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        _swept_levels,
+        concurrency_percentiles,
+        concurrency_sweep,
+    )
+
+    w1 = {r["cluster"]: r["max_concurrent"]
+          for r in concurrency_sweep(spark, sf_dir).collect()}
+    rows = concurrency_percentiles(spark, sf_dir).collect()
+    busy = {}
+    for r in (
+        _swept_levels(spark, sf_dir)
+        .filter(F.col("level") > 0)
+        .groupBy("cluster", "level")
+        .agg(F.sum("interval").alias("us"))
+        .collect()
+    ):
+        busy.setdefault(r["cluster"], {})[r["level"]] = r["us"]
+    assert {r["cluster"] for r in rows} == set(w1)
+    for r in rows:
+        assert r["p50_concurrent"] <= r["p95_concurrent"] <= r["max_concurrent"]
+        assert r["max_concurrent"] == w1[r["cluster"]]
+        h = busy[r["cluster"]]
+        total = sum(h.values())
+        assert r["busy_us"] == total
+        at_or_below = sum(us for lv, us in h.items() if lv <= r["p95_concurrent"])
+        below = sum(us for lv, us in h.items() if lv < r["p95_concurrent"])
+        assert at_or_below * 100 >= 95 * total
+        assert below * 100 < 95 * total
