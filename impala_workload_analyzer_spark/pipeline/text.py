@@ -802,6 +802,70 @@ _PROFILE_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _PROFILE)
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in _LANGS)
 _STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+def curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk1 — the curated-corpus EXPORT sink, the pipeline's final stage:
+    tx2's kept documents physically written as parquet PARTITIONED BY
+    (lang, source) — the layout a downstream trainer's data loader reads
+    with partition pruning — then read BACK for the manifest this query
+    returns (partition, row count, one file per partition). The
+    round-trip through real files is the point: the driver row verifies
+    the write path end to end, not a plan that never materialized.
+
+    Layout contract: `repartition(lang, source)` routes every partition
+    key to exactly one task before `partitionBy`, so each (lang, source)
+    directory holds ONE file (n_files is asserted 1 in the output —
+    a layout regression, e.g. losing the repartition, fails the oracle);
+    rows sort by doc_id within files for reproducible bytes. At 100 TB
+    the same plan shards each partition by adding a bucket column to the
+    repartition keys and `maxRecordsPerFile` — the knobs change, the
+    shape doesn't. Output cardinality is |langs x sources|, tiny."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_score(spark, sf_dir).filter("keep").select("doc_id")
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    (
+        docs.join(kept, "doc_id")
+        .select("doc_id", "text", "n_chars", "lang", "source")
+        .repartition("lang", "source")
+        # partition cols lead the sort so the writer's required
+        # (lang, source) ordering is already satisfied and it keeps the
+        # doc_id order instead of re-sorting (its sorter is not stable)
+        .sortWithinPartitions("lang", "source", "doc_id")
+        .write.partitionBy("lang", "source")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("f").cast("bigint").alias("n_files"),
+        )
+    )
+
+
+_SNK1_SQL = f"""
+        WITH d AS (SELECT doc_id, lang, source, {_DUCK_NORM} AS norm,
+                          {_DUCK_WORDS} AS words FROM documents),
+        kept AS (
+          SELECT doc_id, lang, source FROM d
+          WHERE len(words) >= 10
+            AND CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(norm) AS DOUBLE) <= 0.2
+            AND CAST(len(list_distinct(words)) AS DOUBLE)
+                / CAST(len(words) AS DOUBLE) >= 0.2)
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files
+        FROM kept GROUP BY lang, source"""
+
+
 _SWEEP_STEPS = 20  # threshold grid: k/_SWEEP_STEPS for k = 0.._SWEEP_STEPS
 
 
@@ -908,6 +972,7 @@ _MIX_CASE = "CASE " + " ".join(
 ) + f" ELSE {_MIX_DEFAULT} END"
 
 ORACLES = {
+    "snk1_curated_export": _SNK1_SQL,
     "tx21_quality_sweep": _TX21_SQL,
     "tx19_dsir_importance": f"""
         WITH d AS (SELECT doc_id, source, {_DUCK_WORDS} AS words
@@ -1269,6 +1334,7 @@ ORACLES = {
 }
 
 SPARK_QUERIES = {
+    "snk1_curated_export": curated_export,
     "tx21_quality_sweep": quality_sweep,
     "tx1_token_stats": token_stats,
     "tx7_tfidf_top_terms": tfidf_top_terms,

@@ -1744,3 +1744,48 @@ def test_funnel_window_sweep_monotone_and_consistent(spark, sf_dir):
                 if d <= r["window_hours"] * 3_600_000_000
             )
             assert r["n_converted"] == expect
+
+
+def test_curated_export_roundtrip_layout(spark, sf_dir):
+    """snk1: the export writes one file per (lang, source) partition,
+    the read-back rows equal the kept set exactly (ids and text), and
+    files are doc_id-sorted within partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import _REPO_ROOT, load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        curated_export,
+        quality_score,
+    )
+
+    manifest = curated_export(spark, sf_dir).collect()
+    assert manifest and all(r["n_files"] == 1 for r in manifest)
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    back = spark.read.parquet(out)
+    kept_ids = {
+        r["doc_id"]
+        for r in quality_score(spark, sf_dir).filter("keep").collect()
+    }
+    got = back.select("doc_id", "lang", "source", "text").collect()
+    assert {r["doc_id"] for r in got} == kept_ids
+    src = {
+        r["doc_id"]: (r["lang"], r["source"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in got:
+        assert (r["lang"], r["source"], r["text"]) == src[r["doc_id"]]
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .select("f", "doc_id")
+        .collect()
+    )
+    by_file = {}
+    for r in per_file:
+        by_file.setdefault(r["f"], []).append(r["doc_id"])
+    for ids in by_file.values():
+        assert ids == sorted(ids)
