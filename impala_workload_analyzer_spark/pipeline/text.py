@@ -866,6 +866,92 @@ _SNK1_SQL = f"""
         FROM kept GROUP BY lang, source"""
 
 
+def incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk2 — INCREMENTAL export via DYNAMIC partition overwrite, the
+    daily-append pattern snk1's full rewrite can't afford at 100 TB:
+    yesterday's curated corpus (the dd10 seen split) sits in the
+    partitioned layout; today's shard overwrites ONLY the (lang, source)
+    partitions it touches (``partitionOverwriteMode=dynamic``), leaving
+    every untouched partition's files in place. The manifest reads the
+    whole layout back: touched partitions hold exactly the new shard's
+    kept rows, untouched ones still hold the seen rows — which is the
+    oracle's statement, so the driver row witnesses the overwrite-scope
+    semantics themselves, not just row counts.
+
+    Scale: the write moves only today's shard; untouched partitions cost
+    zero I/O — THE property that makes a partitioned lake maintainable.
+    Same one-file-per-partition routing as snk1."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+    from .dedup import _INCR_SPLIT, _SPARK_H  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.join(quality_score(spark, sf_dir).filter("keep").select("doc_id"), "doc_id")
+        .select("doc_id", "text", "n_chars", "lang", "source")
+        .withColumn(
+            "bucket", F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+        )
+    )
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)) + "_incr",
+    )
+
+    def write(df):
+        (
+            df.drop("bucket")
+            .repartition("lang", "source")
+            .sortWithinPartitions("lang", "source", "doc_id")
+            .write.partitionBy("lang", "source")
+            .mode("overwrite")
+            .parquet(out)
+        )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")
+    try:
+        write(kept.filter(F.col("bucket") < _INCR_SPLIT))
+        spark.conf.set(key, "dynamic")
+        write(kept.filter(F.col("bucket") >= _INCR_SPLIT))
+    finally:
+        spark.conf.set(key, old)
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+
+
+def _snk2_oracle() -> str:
+    from .dedup import _DUCK_H, _INCR_SPLIT  # noqa: PLC0415
+
+    return f"""
+        WITH d AS (SELECT doc_id, lang, source, {_DUCK_NORM} AS norm,
+                          {_DUCK_WORDS} AS words,
+                          {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100
+                            AS bucket
+                   FROM documents),
+        kept AS (
+          SELECT doc_id, lang, source, bucket FROM d
+          WHERE len(words) >= 10
+            AND CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(norm) AS DOUBLE) <= 0.2
+            AND CAST(len(list_distinct(words)) AS DOUBLE)
+                / CAST(len(words) AS DOUBLE) >= 0.2),
+        new_parts AS (
+          SELECT DISTINCT lang, source FROM kept
+          WHERE bucket >= {_INCR_SPLIT})
+        SELECT k.lang, k.source, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM kept k LEFT JOIN new_parts np
+          ON np.lang = k.lang AND np.source = k.source
+        WHERE (np.lang IS NOT NULL AND k.bucket >= {_INCR_SPLIT})
+           OR (np.lang IS NULL AND k.bucket < {_INCR_SPLIT})
+        GROUP BY k.lang, k.source"""
+
+
 _SWEEP_STEPS = 20  # threshold grid: k/_SWEEP_STEPS for k = 0.._SWEEP_STEPS
 
 
@@ -1335,6 +1421,7 @@ ORACLES = {
 
 SPARK_QUERIES = {
     "snk1_curated_export": curated_export,
+    "snk2_incremental_export": incremental_export,
     "tx21_quality_sweep": quality_sweep,
     "tx1_token_stats": token_stats,
     "tx7_tfidf_top_terms": tfidf_top_terms,
@@ -1356,3 +1443,9 @@ SPARK_QUERIES = {
     "tx14_vocab_coverage": vocab_coverage,
     "tx15_pipeline_funnel": pipeline_funnel,
 }
+
+# Registered AFTER the dicts exist: _snk2_oracle() imports .dedup, whose
+# own oracle build reads THIS module's ORACLES — appending post-definition
+# breaks the otherwise-circular import.
+ORACLES["snk2_incremental_export"] = _snk2_oracle()
+

@@ -1789,3 +1789,47 @@ def test_curated_export_roundtrip_layout(spark, sf_dir):
         by_file.setdefault(r["f"], []).append(r["doc_id"])
     for ids in by_file.values():
         assert ids == sorted(ids)
+
+
+def test_incremental_export_overwrite_scope(spark, sf_dir):
+    """snk2: dynamic overwrite replaces ONLY the partitions the new shard
+    touches — touched partitions hold exactly the new-shard kept docs,
+    untouched ones exactly the seen kept docs."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _INCR_SPLIT,
+        _SPARK_H,
+    )
+    from impala_workload_analyzer_spark.pipeline.text import (
+        incremental_export,
+        quality_score,
+    )
+    from impala_workload_analyzer_spark.io import load_table
+
+    got = {
+        (r["lang"], r["source"]): r["n_rows"]
+        for r in incremental_export(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = {
+        r["doc_id"]
+        for r in quality_score(spark, sf_dir).filter("keep").collect()
+    }
+    rows = docs.withColumn(
+        "bucket", F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    ).select("doc_id", "lang", "source", "bucket").collect()
+    seen, new = {}, {}
+    for r in rows:
+        if r["doc_id"] not in kept_ids:
+            continue
+        part = (r["lang"], r["source"])
+        (new if r["bucket"] >= _INCR_SPLIT else seen).setdefault(part, 0)
+        if r["bucket"] >= _INCR_SPLIT:
+            new[part] += 1
+        else:
+            seen[part] += 1
+    expect = dict(seen)
+    expect.update({p: n for p, n in new.items()})  # touched -> new counts
+    expect = {p: n for p, n in expect.items() if n > 0}
+    assert got == expect
