@@ -13,9 +13,10 @@ quantile path + integer rank arithmetic), dd11 (positives-only shuffle
 join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
 additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
 tx17, plus ev18/dd11/sim12 already above), then the twenty operators
-NEW in round 6 (sim13 st9 dd13 ev19 tx18 a23 dd14 ev20 pt5 tx19 st10
-tx20 a24 mm5 sim14 ev21 q4 st11 dd15 dd16 — all local-gate green at sf0.01 AND
-sf0.1), then the six
+NEW in round 6 that fit the window (sim13 st9 dd13 ev19 tx18 a23 dd14
+ev20 pt5 tx19 st10 tx20 a24 mm5 sim14 ev21 q4 st11 dd15 dd16 — all
+local-gate green at sf0.01 AND sf0.1; nine more round-6 additions are
+queued at position 51+), then the six
 entries whose newest green rows date to r01 (o4 set1 tpch_q14 w2b w3
 x1), then as much of the r03-era block as fits. The tail of
 that block (a13/a14, f-family, pt1, dd1-dd6, sim3, a18, tx1-4, ...)
@@ -65,9 +66,11 @@ _PRIORITY = (
     "a6_workload_distributions", "a15_rollup_by_sql_type",
     "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
     # --- position 51+: rotates into round 7's window ---
-    # new in round 6 past the window budget (local-gate green both
-    # scales, pytest-pinned): the IVF-PQ exact-rerank final stage, the
-    # quality-threshold retention sweep, and live rate alerting
+    # new in round 6 past the window budget (every one local-gate green
+    # at BOTH scales, pytest-pinned): IVF-PQ exact rerank, the
+    # retention sweep, live rate alerting, cost-model outlier triage,
+    # the dedup-tier comparison, the attribution-window sweep,
+    # concurrency percentiles, and the two export sinks
     "sim15_ivfpq_rerank", "tx21_quality_sweep",
     "st12_streaming_rate_alerts", "a25_cost_model_outliers",
     "dd17_dedup_comparison", "ev22_funnel_window_sweep",
