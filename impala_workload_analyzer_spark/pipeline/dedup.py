@@ -748,6 +748,50 @@ def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def effective_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd18 — EFFECTIVE dataset size after canonical near-dup removal:
+    per source, the raw document/token counts next to what survives
+    dd8's component-canonical policy (keep the min-doc_id member of each
+    near-dup component), with the survival ratios — the headline "how
+    much data do I actually have" number a training-run budget is set
+    against, and the per-source selection signal (a source whose token
+    survival is low is mostly echo).
+
+    Scale: components come from dd8's banded-LSH + label-propagation
+    graph unchanged; the canonical test is ``component_id == doc_id``
+    (labels converge to component-minimum doc ids, so no extra
+    min-per-component pass is needed); token counts fuse into the
+    document scan and one source-keyed agg finishes — the expensive part
+    is dd8 itself, reused as-is."""
+    comp = neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.expr(_words(True))).cast("bigint").alias("n_tokens"),
+    )
+    kept = F.col("component_id") == F.col("doc_id")
+    return (
+        docs.join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(kept.cast("bigint")).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("kept_docs").cast("bigint").alias("kept_docs"),
+            F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+            F.round(F.col("kept_docs") / F.col("n_docs").cast("double"), 9)
+            .alias("doc_survival"),
+            F.round(F.col("kept_tokens") / F.col("n_tokens").cast("double"), 9)
+            .alias("token_survival"),
+        )
+    )
+
+
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
     novelty and the per-document metric behind exact-substring dedup
@@ -1304,6 +1348,31 @@ ORACLES["dd17_dedup_comparison"] = f"""
         FROM grid g LEFT JOIN np USING (method)
         LEFT JOIN dr USING (method) CROSS JOIN tot t"""
 
+
+# dd18's oracle nests dd8's recursive-closure component oracle verbatim.
+ORACLES["dd18_effective_dataset"] = f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        tok AS (
+          SELECT doc_id, source,
+                 CAST(len({_words(False)}) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN c.component_id = t.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+               CAST(SUM(CASE WHEN c.component_id = t.doc_id
+                             THEN t.n_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               ROUND(SUM(CASE WHEN c.component_id = t.doc_id
+                              THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS doc_survival,
+               ROUND(SUM(CASE WHEN c.component_id = t.doc_id
+                              THEN t.n_tokens ELSE 0 END)
+                     / CAST(SUM(t.n_tokens) AS DOUBLE), 9) AS token_survival
+        FROM tok t JOIN comp c ON c.doc_id = t.doc_id
+        GROUP BY t.source"""
+
 SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
     "dd10_incremental_dedup": incremental_dedup,
@@ -1320,5 +1389,6 @@ SPARK_QUERIES = {
     "dd15_dup_span_coverage": dup_span_coverage,
     "dd16_minhash_calibration": minhash_calibration,
     "dd17_dedup_comparison": dedup_comparison,
+    "dd18_effective_dataset": effective_dataset,
     "tx20_ngram_novelty": ngram_novelty,
 }

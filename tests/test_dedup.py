@@ -221,3 +221,38 @@ def test_dedup_comparison_consistent_with_tiers(spark, sf_dir):
     for r in got.values():
         assert abs(r["doc_drop_frac"] - r["n_docs_dropped"] / n_docs) < 1e-8
         assert abs(r["token_drop_frac"] - r["tokens_dropped"] / n_toks) < 1e-8
+
+
+def test_effective_dataset_consistent_with_components(spark, sf_dir):
+    """dd18: per-source totals reproduce from dd8's components and raw
+    token counts; survival ratios bracket in (0, 1]; global kept docs =
+    number of components."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _words,
+        effective_dataset,
+        neardup_components,
+    )
+
+    rows = effective_dataset(spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["component_id"]
+            for r in neardup_components(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(_words(True))).alias("n")
+    ).collect()
+    agg = {}
+    for d in docs:
+        a = agg.setdefault(d["source"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += d["n"]
+        if comp[d["doc_id"]] == d["doc_id"]:
+            a[2] += 1
+            a[3] += d["n"]
+    assert {r["source"] for r in rows} == set(agg)
+    for r in rows:
+        e = agg[r["source"]]
+        assert [r["n_docs"], r["n_tokens"], r["kept_docs"], r["kept_tokens"]] == e
+        assert 0 < r["doc_survival"] <= 1 and 0 < r["token_survival"] <= 1
+    assert sum(r["kept_docs"] for r in rows) == len(set(comp.values()))
