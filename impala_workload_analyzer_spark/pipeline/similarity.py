@@ -1412,6 +1412,107 @@ ORACLES = {
         FROM comp""",
 }
 
+
+def ann_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim16 — the ANN-TIER comparison: every approximate search path
+    (banded LSH, IVF probe, int8-quantized scoring, IVF-PQ ADC, and the
+    ADC + exact-rerank deployment stack) measured on ONE recall axis —
+    query count, mean/min recall@k vs the exact sim1 baseline, and the
+    fraction of queries with perfect recall. This is dd17's instrument
+    for the similarity family: the table that says which accuracy each
+    speed tier actually buys, and what the rerank stage wins back over
+    raw ADC. Mean recall is computed from exact integer hit counts
+    (sum(hits) / (queries * k)), so the headline number can never move
+    with float accumulation order.
+
+    Scale: each tier keeps its own search plan unchanged; the rollup
+    aggregates the per-query audit rows (queries x tiers rows, tiny)."""
+    tiers = (
+        ("lsh", lsh_recall(spark, sf_dir)),
+        ("ivf", ivf_recall(spark, sf_dir)),
+        ("int8", quantize_recall(spark, sf_dir)),
+        ("adc", _recall_vs_exact(spark, sf_dir, ivfpq_topk(spark, sf_dir))),
+        ("rerank", _recall_vs_exact(spark, sf_dir, ivfpq_rerank(spark, sf_dir))),
+    )
+    rows = None
+    for name, df in tiers:
+        r = df.select(F.lit(name).alias("method"), "n_hits", "recall_at_k")
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("n_hits") / (F.count("*") * float(_TOP_K)), 9
+        ).alias("mean_recall"),
+        F.min("recall_at_k").alias("min_recall"),
+        F.round(
+            F.sum((F.col("n_hits") == _TOP_K).cast("bigint"))
+            / F.count("*").cast("double"),
+            9,
+        ).alias("frac_perfect"),
+    )
+
+
+
+# sim16's oracle nests the per-tier audit oracles (sim9/sim10/sim12)
+# verbatim and derives ADC/rerank recalls from the sim13/sim15 outputs
+# against a restated exact top-k — one rollup, five tiers.
+ORACLES["sim16_ann_comparison"] = f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        qq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+               FROM base WHERE vec_id < {_QUERY_K}),
+        ex AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                     ORDER BY ROUND({_duck_dot('qq.qv', 'b.embedding')}
+                              / (qq.qn * b.nrm), 9) DESC,
+                              b.vec_id ASC) AS rk
+            FROM base b CROSS JOIN qq WHERE b.vec_id <> qq.query_id) t
+          WHERE rk <= {_TOP_K}),
+        adc AS (SELECT query_id, neighbor_id FROM ({_SIM13_SQL}) t),
+        rrk AS (SELECT query_id, neighbor_id FROM ({_SIM15_SQL}) t),
+        hit2 AS (
+          SELECT 'adc' AS method, q2.query_id,
+                 CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM (SELECT query_id FROM qq) q2
+          LEFT JOIN adc a ON a.query_id = q2.query_id
+          LEFT JOIN ex x ON x.query_id = a.query_id
+                        AND x.neighbor_id = a.neighbor_id
+          GROUP BY q2.query_id
+          UNION ALL
+          SELECT 'rerank', q2.query_id,
+                 CAST(SUM(CASE WHEN x.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM (SELECT query_id FROM qq) q2
+          LEFT JOIN rrk a ON a.query_id = q2.query_id
+          LEFT JOIN ex x ON x.query_id = a.query_id
+                        AND x.neighbor_id = a.neighbor_id
+          GROUP BY q2.query_id),
+        r AS (
+          SELECT 'lsh' AS method, n_hits, recall_at_k
+          FROM ({ORACLES["sim9_lsh_recall"]}) t
+          UNION ALL
+          SELECT 'ivf', n_hits, recall_at_k
+          FROM ({ORACLES["sim10_ivf_recall"]}) t
+          UNION ALL
+          SELECT 'int8', n_hits, recall_at_k
+          FROM ({ORACLES["sim12_quantize_recall"]}) t
+          UNION ALL
+          SELECT method, n_hits, ROUND(n_hits / {float(_TOP_K)}, 9)
+          FROM hit2)
+        SELECT method,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(SUM(n_hits) / (COUNT(*) * {float(_TOP_K)}), 9)
+                 AS mean_recall,
+               MIN(recall_at_k) AS min_recall,
+               ROUND(SUM(CASE WHEN n_hits = {_TOP_K} THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS frac_perfect
+        FROM r GROUP BY method"""
+
 SPARK_QUERIES = {
     "dd5_embedding_neardup": embedding_neardup_pairs,
     "dd9_semantic_components": semantic_components,
@@ -1430,4 +1531,5 @@ SPARK_QUERIES = {
     "sim13_ivfpq_topk": ivfpq_topk,
     "sim14_cell_balanced_sample": cell_balanced_sample,
     "sim15_ivfpq_rerank": ivfpq_rerank,
+    "sim16_ann_comparison": ann_comparison,
 }

@@ -76,6 +76,7 @@ _PRIORITY = (
     "dd17_dedup_comparison", "ev22_funnel_window_sweep",
     "w5_concurrency_percentiles", "snk1_curated_export",
     "snk2_incremental_export", "dd18_effective_dataset",
+    "sim16_ann_comparison",
     # the r03/r04 tail, code unchanged, local-gate re-validated
     "a9_join_audit_rollup",
     "a10_preagg_reduction", "a11_preagg_reduction_hist",

@@ -1833,3 +1833,33 @@ def test_incremental_export_overwrite_scope(spark, sf_dir):
     expect.update({p: n for p, n in new.items()})  # touched -> new counts
     expect = {p: n for p, n in expect.items() if n > 0}
     assert got == expect
+
+
+def test_ann_comparison_reproduces_tier_audits(spark, sf_dir):
+    """sim16: each tier row reproduces from its own per-query audit, the
+    rerank tier's mean recall >= the ADC tier's, and all recalls sit in
+    [0, 1]."""
+    from pyspark.sql import functions as F
+
+    got = {r["method"]: r for r in similarity.ann_comparison(spark, sf_dir).collect()}
+    assert set(got) == {"lsh", "ivf", "int8", "adc", "rerank"}
+    audits = {
+        "lsh": similarity.lsh_recall(spark, sf_dir),
+        "ivf": similarity.ivf_recall(spark, sf_dir),
+        "adc": similarity._recall_vs_exact(
+            spark, sf_dir, similarity.ivfpq_topk(spark, sf_dir)
+        ),
+    }
+    for name, df in audits.items():
+        rows = df.collect()
+        r = got[name]
+        assert r["n_queries"] == len(rows)
+        total = sum(x["n_hits"] for x in rows)
+        assert abs(
+            r["mean_recall"] - round(total / (len(rows) * similarity._TOP_K), 9)
+        ) < 1e-9
+        assert r["min_recall"] == min(x["recall_at_k"] for x in rows)
+    for r in got.values():
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+        assert 0.0 <= r["frac_perfect"] <= 1.0
+    assert got["rerank"]["mean_recall"] >= got["adc"]["mean_recall"]
