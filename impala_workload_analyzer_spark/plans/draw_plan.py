@@ -68,6 +68,10 @@ def plan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op_edges.unionByName(ex_edges)
 
 
+_PAYLOAD_COLS = ("name", "avg_time")  # every plan analytic's payload
+_NODES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _colocated_nodes(spark: SparkSession, sf_dir: str,
                      payload_col: str) -> DataFrame:
     """Operators + their fragment's exchange_id, co-located per query.
@@ -85,15 +89,39 @@ def _colocated_nodes(spark: SparkSession, sf_dir: str,
     expression from the bucket spec, so the exchange can never be
     elided. One guaranteed shuffle, conf-leak-free, parallelism follows
     the cluster (``defaultParallelism``, not a hard-coded bucket count).
-    ``test_plan_contracts`` guards row conservation."""
-    ops = corpus_operators(spark, sf_dir).select(
-        "query_id", "id", "fragment_id", "parent_id", payload_col
-    )
-    frags = corpus_fragments(spark, sf_dir).select(
-        "query_id", F.col("id").alias("fragment_id"), "exchange_id"
-    )
-    return ops.join(frags, ["query_id", "fragment_id"], "left").repartition(
-        spark.sparkContext.defaultParallelism, F.hash("query_id")
+    ``test_plan_contracts`` guards row conservation.
+
+    Shared across pt2/pt3/pt5: the scan + broadcast join + co-location
+    shuffle is ~70% of a single pt query's wall time and is byte-identical
+    for every plan analytic, so ONE frame carrying every payload column is
+    built per (session, corpus) and persisted (MEMORY_AND_DISK — spills,
+    never OOMs); each caller projects its payload off the cached
+    partitions (a narrow op, co-location preserved). At cluster scale
+    this is the standard shared-scan pattern for a family of analytics
+    over one intermediate; correctness never depends on the cache
+    (a cold call simply rebuilds)."""
+    key = (id(spark), sf_dir)
+    base = _NODES_CACHE.get(key)
+    if base is None:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        ops = corpus_operators(spark, sf_dir).select(
+            "query_id", "id", "fragment_id", "parent_id", *_PAYLOAD_COLS
+        )
+        frags = corpus_fragments(spark, sf_dir).select(
+            "query_id", F.col("id").alias("fragment_id"), "exchange_id"
+        )
+        base = (
+            ops.join(frags, ["query_id", "fragment_id"], "left")
+            .repartition(
+                spark.sparkContext.defaultParallelism, F.hash("query_id")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _NODES_CACHE[key] = base
+    return base.select(
+        "query_id", "id", "fragment_id", "parent_id", payload_col,
+        "exchange_id",
     )
 
 
