@@ -3,27 +3,23 @@ dictionaries the driver contract (__spark_entry__.py) exposes.
 
 Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
-rotation schedule: each round front-loads (a) everything modified since
-the last driver run, (b) everything no driver round has ever witnessed,
-(c) the block longest unwitnessed. Round-6 window: the round-6 fix
-targets first — the sim family (the query batch changed from the
-proportional vec_id%50 to the fixed vec_id<_QUERY_K bound, so every
-batch consumer's rows changed: sim1/2/4/5/6/8/9/10/12), ev18 (two-phase
-quantile path + integer rank arithmetic), dd11 (positives-only shuffle
-join), m2/m3 (20-seed multi-init) — then the ten round-5 post-window
-additions no driver run has witnessed (sim11 mm4 ev17 pt4 st8 dd12
-tx17, plus ev18/dd11/sim12 already above), then the twenty operators
-NEW in round 6 that fit the window (sim13 st9 dd13 ev19 tx18 a23 dd14
-ev20 pt5 tx19 st10 tx20 a24 mm5 sim14 ev21 q4 st11 dd15 dd16 — all
-local-gate green at sf0.01 AND sf0.1; nine more round-6 additions are
-queued at position 51+), then the six
-entries whose newest green rows date to r01 (o4 set1 tpch_q14 w2b w3
-x1), then as much of the r03-era block as fits. The tail of
-that block (a13/a14, f-family, pt1, dd1-dd6, sim3, a18, tx1-4, ...)
-holds green r03/r04 rows on unchanged code re-validated by the local
-gate (tools/check.py at sf0.01) and rotates to round 7. Unlisted names
-keep module order after the prioritized block, so a new query is never
-silently dropped.
+rotation schedule: each round front-loads (a) everything no driver
+round has ever witnessed, (b) everything modified since the last driver
+run, (c) the block longest unwitnessed. Round-7 window: the eleven
+round-6 additions that landed past round 6's window and so have never
+been driver-witnessed (sim15 sim16 tx21 st12 a25 dd17 dd18 ev22 w5
+snk1 snk2 — every one local-gate green at sf0.01 AND sf0.1 since round
+6), then the queries whose code changed this round (a19 grew the
+in-engine sketch-certificate + oracle, sim5 graduated to a 6-decimal
+oracle, pt2/pt3/pt5 now share one persisted co-located node frame),
+then the 28-entry block whose newest green rows date to r03 (the
+oldest-witness tail: a5/a6/a9/a10/a11/a13/a14/a15/a16/a17, dd1-dd4/dd6,
+f1-f4, j2, p5, pt1, sim3, tx1-tx4, w2 — all re-validated by the local
+gate on unchanged code every round since), then round-7 additions /
+the oldest r04 entries up to the budget. The remaining r04-era block
+(the tpch suite, ev1-ev8, mm1-mm3, tx5-tx7, dd5/dd7, a18) rotates to
+round 8's window. Unlisted names keep module order after the
+prioritized block, so a new query is never silently dropped.
 """
 
 from __future__ import annotations
@@ -35,95 +31,81 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
-    # --- changed this round (r06): fixed-K query batch (every sim
-    # consumer), ev18 two-phase + integer ranks, dd11 positives-only
-    # shuffle join, 20-seed multi-init KMeans ---
+    # --- window positions 1-11: round-6 additions never driver-witnessed ---
+    "sim15_ivfpq_rerank", "sim16_ann_comparison", "tx21_quality_sweep",
+    "st12_streaming_rate_alerts", "a25_cost_model_outliers",
+    "dd17_dedup_comparison", "dd18_effective_dataset",
+    "ev22_funnel_window_sweep", "w5_concurrency_percentiles",
+    "snk1_curated_export", "snk2_incremental_export",
+    # --- 12-16: code changed this round (a19 certificate+oracle, sim5
+    # 6-decimal oracle, shared persisted plan-node frame) ---
+    "a19_operator_time_quantiles_sketch", "sim5_vectorized_topk",
+    "pt2_plan_paths", "pt3_critical_path", "pt5_critical_hotspots",
+    # --- 17-44: the r03-era block, the oldest-witness tail ---
+    "a5_scan_size_per_query", "a6_workload_distributions",
+    "a9_join_audit_rollup", "a10_preagg_reduction",
+    "a11_preagg_reduction_hist", "a13_avg_time_pct_per_operator",
+    "a14_abs_time_pct_per_operator", "a15_rollup_by_sql_type",
+    "a16_counter_consistency", "a17_query_num_hosts", "dd1_exact_dedup",
+    "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
+    "dd4_simhash_signatures", "dd6_simhash_neardup",
+    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
+    "f3_pp_time_roundtrip", "f4_bit_reinterpret", "j2_join_children",
+    "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
+    "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
+    "tx4_winnow_fingerprints", "w2_time_share_per_query",
+    # --- 45-50: oldest r04 entries (swapped for round-7 additions as
+    # they land) ---
+    "a18_operator_time_quantiles", "dd5_embedding_neardup",
+    "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly",
+    "ev2_sliding_hourly", "ev4_json_props_stats",
+    # --- position 51+: rotates into round 8's window, oldest witness
+    # first (remaining r04 block, then the r05/r06-witnessed greens) ---
+    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
+    "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
+    "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
+    "tx7_tfidf_top_terms", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "sim1_brute_force_topk", "sim2_lsh_topk", "sim4_ivf_topk",
     "sim6_range_search", "sim8_knn_label_assign", "sim9_lsh_recall",
-    "sim10_ivf_recall", "sim12_quantize_recall", "sim5_vectorized_topk",
-    "ev18_funnel_latency", "dd11_bloom_prefilter",
-    "m2_kmeans_elbow", "m3_kmeans_clusters",
-    # --- round-5 post-window additions, never driver-witnessed ---
+    "sim10_ivf_recall", "sim12_quantize_recall", "ev18_funnel_latency",
+    "dd11_bloom_prefilter", "m2_kmeans_elbow", "m3_kmeans_clusters",
     "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
-    "pt4_plan_fingerprints", "st8_streaming_cms",
-    "dd12_winnow_neardup", "tx17_zipf_spectrum",
-    # --- new in round 6, never driver-witnessed ---
-    "sim13_ivfpq_topk", "st9_streaming_kmv", "dd13_component_keep_best",
-    "ev19_event_transitions", "tx18_token_entropy", "a23_runtime_drift",
-    "dd14_containment_pairs", "ev20_cadence_profile", "pt5_critical_hotspots",
-    "tx19_dsir_importance", "st10_streaming_transitions",
-    "tx20_ngram_novelty", "a24_cost_model_fit", "mm5_modality_mixture",
+    "pt4_plan_fingerprints", "st8_streaming_cms", "dd12_winnow_neardup",
+    "tx17_zipf_spectrum", "sim13_ivfpq_topk", "st9_streaming_kmv",
+    "dd13_component_keep_best", "ev19_event_transitions",
+    "tx18_token_entropy", "a23_runtime_drift", "dd14_containment_pairs",
+    "ev20_cadence_profile", "tx19_dsir_importance",
+    "st10_streaming_transitions", "tx20_ngram_novelty",
+    "a24_cost_model_fit", "mm5_modality_mixture",
     "sim14_cell_balanced_sample", "ev21_user_concentration",
     "q4_template_runtime", "st11_streaming_bloom",
-    "dd15_dup_span_coverage", "dd16_minhash_calibration",
-    # --- newest green rows date to r01 ---
-    "o4_topn_orders", "set1_union_party_nations", "tpch_q14",
-    "w2b_nation_revenue_share", "w3_top_customers_per_nation",
-    "x1_region_nation_grid",
-    # --- r02/r03-era block, oldest first (as much as fits the window) ---
+    "dd15_dup_span_coverage", "dd16_minhash_calibration", "o4_topn_orders",
+    "set1_union_party_nations", "tpch_q14", "w2b_nation_revenue_share",
+    "w3_top_customers_per_nation", "x1_region_nation_grid",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
-    "a4_distinct_scan_tables", "a5_scan_size_per_query",
-    "a6_workload_distributions", "a15_rollup_by_sql_type",
-    "a17_query_num_hosts", "p5_operator_skew", "j2_join_children",
-    # --- position 51+: rotates into round 7's window ---
-    # new in round 6 past the window budget (every one local-gate green
-    # at BOTH scales, pytest-pinned): IVF-PQ exact rerank, the
-    # retention sweep, live rate alerting, cost-model outlier triage,
-    # the dedup-tier comparison, the attribution-window sweep,
-    # concurrency percentiles, and the two export sinks
-    "sim15_ivfpq_rerank", "tx21_quality_sweep",
-    "st12_streaming_rate_alerts", "a25_cost_model_outliers",
-    "dd17_dedup_comparison", "ev22_funnel_window_sweep",
-    "w5_concurrency_percentiles", "snk1_curated_export",
-    "snk2_incremental_export", "dd18_effective_dataset",
-    "sim16_ann_comparison",
-    # the r03/r04 tail, code unchanged, local-gate re-validated
-    "a9_join_audit_rollup",
-    "a10_preagg_reduction", "a11_preagg_reduction_hist",
-    "a16_counter_consistency", "w2_time_share_per_query",
-    "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
-    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
-    "f3_pp_time_roundtrip", "f4_bit_reinterpret",
-    "pt1_plan_edges",
-    "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
-    "dd3_minhash_lsh_pairs", "dd4_simhash_signatures", "dd6_simhash_neardup",
-    "sim3_label_centroids", "a18_operator_time_quantiles",
-    "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
-    "tx4_winnow_fingerprints", "tx5_stratified_split",
-    "tx6_unigram_logprob", "tx7_tfidf_top_terms",
-    "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
-    "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev4_json_props_stats",
-    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
-    "ev8_windowed_topk",
-    "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
-    "a19_operator_time_quantiles_sketch",
-    # --- r05-witnessed greens on unchanged code ---
-    "ev3_sessionize", "q3_features_rollup", "q1_sql_features",
-    "ing1_parsed_operators", "ing2_parsed_fragments",
+    "a4_distinct_scan_tables", "ev3_sessionize", "q3_features_rollup",
+    "q1_sql_features", "ing1_parsed_operators", "ing2_parsed_fragments",
     "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
-    "m0_cluster_features", "w1_concurrency_sweep", "w4_cluster_utilization",
-    "dd8_neardup_components", "dd9_semantic_components",
-    "dd10_incremental_dedup",
+    "m0_cluster_features", "w1_concurrency_sweep",
+    "w4_cluster_utilization", "dd8_neardup_components",
+    "dd9_semantic_components", "dd10_incremental_dedup",
     "st1_streaming_tumbling", "st2_streaming_sessions",
     "st3_stateful_user_stats", "st4_streaming_dedup",
     "st5_streaming_anomaly", "st6_streaming_ingest",
-    "st7_streaming_interval_join",
-    "pt2_plan_paths", "pt3_critical_path",
-    "ev9_retention_cohorts", "ev10_funnel_conversion",
-    "ev11_sessionize_salted", "ev12_anomaly_zscore", "ev13_rate_alerts",
-    "ev14_kmv_distinct", "ev15_disorder_profile",
-    "ev16_seasonality_heatmap",
-    "sim7_embedding_quantize",
-    "tx8_benchmark_contamination", "tx9_sequence_packing",
-    "tx10_blocklist_policy", "tx11_repetition_stats", "tx12_mixture_sample",
-    "tx13_boilerplate_stats", "tx14_vocab_coverage", "tx15_pipeline_funnel",
-    "tx16_bigram_logprob",
-    "a20_workload_cube", "a21_runtime_deciles", "a22_operator_cooccurrence",
+    "st7_streaming_interval_join", "ev9_retention_cohorts",
+    "ev10_funnel_conversion", "ev11_sessionize_salted",
+    "ev12_anomaly_zscore", "ev13_rate_alerts", "ev14_kmv_distinct",
+    "ev15_disorder_profile", "ev16_seasonality_heatmap",
+    "sim7_embedding_quantize", "tx8_benchmark_contamination",
+    "tx9_sequence_packing", "tx10_blocklist_policy",
+    "tx11_repetition_stats", "tx12_mixture_sample",
+    "tx13_boilerplate_stats", "tx14_vocab_coverage",
+    "tx15_pipeline_funnel", "tx16_bigram_logprob", "a20_workload_cube",
+    "a21_runtime_deciles", "a22_operator_cooccurrence",
     "set2_party_nation_overlap",
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 )
 
 
