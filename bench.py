@@ -12,7 +12,7 @@ but nothing is serialized to the driver. ``count()`` would let Catalyst
 prune projection-only queries down to a row count; ``collect()`` would
 bottleneck on driver serialization — neither measures the query. Each query
 runs once untimed (one-time codegen/JIT compile excluded), then
-``$SPARK_GRAFT_BENCH_REPS`` timed reps (default 2) keeping the best —
+``$SPARK_GRAFT_BENCH_REPS`` timed reps (default 3) keeping the best —
 steady-state throughput, which is what a long-running cluster job sees.
 """
 
@@ -73,7 +73,7 @@ HEADLINERS = (
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))  # best-of; first run eats codegen/FS-cache cold starts
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))  # best-of; host-load noise swings single reps +-10%
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

@@ -484,6 +484,67 @@ def operator_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "quantile", "value")
 
 
+_TAIL_P = 0.9  # tail = queries at or above the per-cluster p90 runtime
+
+
+def tail_latency_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w6 — TAIL-LATENCY ATTRIBUTION: per cluster, which operator class
+    carries the most time inside the slowest decile of queries — the
+    fleet-triage question ("what should THIS cluster's owners optimize")
+    that combines a18's exact rank-quantile (the p90 runtime cutoff,
+    integer rank arithmetic so both engines agree bit-for-bit) with A1's
+    operator rollup restricted to the tail set.
+
+    Scale: one window rank over query-cardinality rows for the cutoff,
+    the cutoff table is cluster-cardinality (broadcast), and the operator
+    rollup is one keyed aggregation over the tail's operators only."""
+    q = _filtered_queries(spark, sf_dir).filter(
+        F.col("runtime").isNotNull()
+    ).select("cluster", "query_id", "runtime")
+    wrk = Window.partitionBy("cluster").orderBy("runtime")
+    ranked = q.select(
+        "cluster",
+        "runtime",
+        (F.row_number().over(wrk) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy("cluster")).alias("n"),
+    )
+    thr = (
+        ranked.filter(F.col("rk") == F.floor(F.lit(_TAIL_P) * (F.col("n") - 1)))
+        .groupBy("cluster")
+        .agg(
+            F.min("runtime").alias("tail_threshold"),
+            F.min("n").cast("bigint").alias("n_queries"),
+        )
+    )
+    tail = q.join(F.broadcast(thr), "cluster").filter(
+        F.col("runtime") >= F.col("tail_threshold")
+    )
+    ops = corpus_operators(spark, sf_dir).select("query_id", "name", "avg_time")
+    agg = (
+        ops.join(tail.select("cluster", "query_id"), "query_id")
+        .groupBy("cluster", "name")
+        .agg(F.sum("avg_time").cast("bigint").alias("op_time"))
+    )
+    pick = Window.partitionBy("cluster").orderBy(F.desc("op_time"), F.asc("name"))
+    top = (
+        agg.withColumn("rk2", F.row_number().over(pick))
+        .filter(F.col("rk2") == 1)
+        .select("cluster", F.col("name").alias("top_operator"),
+                F.col("op_time").alias("top_operator_time"))
+    )
+    n_tail = tail.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_tail")
+    )
+    return (
+        thr.join(n_tail, "cluster")
+        .join(top, "cluster")
+        .select(
+            "cluster", "n_queries", "tail_threshold", "n_tail",
+            "top_operator", "top_operator_time",
+        )
+    )
+
+
 _SKETCH_EPS = 0.005  # rank-error bound checked in-engine; percentile_approx
 # at accuracy 10000 guarantees 1e-4 relative rank error — 50x slack
 
@@ -554,6 +615,41 @@ ORACLES: dict[str, str] = {
         JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
           ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
         GROUP BY name, q.quantile"""),
+    # w6: exact integer-rank p90 cutoff per cluster, then the operator
+    # rollup over the tail set — top operator per cluster
+    "w6_tail_latency_attribution": with_corpus(f"""
+        , fq AS (SELECT * FROM ({_FQ}) WHERE runtime IS NOT NULL),
+        ranked AS (
+          SELECT cluster, runtime,
+                 ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY runtime) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n
+          FROM fq),
+        thr AS (
+          SELECT cluster, MIN(runtime) AS tail_threshold,
+                 CAST(MIN(n) AS BIGINT) AS n_queries
+          FROM ranked
+          WHERE rk = CAST(FLOOR({_TAIL_P} * (n - 1)) AS BIGINT)
+          GROUP BY cluster),
+        tail AS (
+          SELECT f.cluster, f.query_id
+          FROM fq f JOIN thr t ON f.cluster = t.cluster
+          WHERE f.runtime >= t.tail_threshold),
+        agg AS (
+          SELECT t.cluster, o.name, CAST(SUM(o.avg_time) AS BIGINT) AS op_time
+          FROM iwa_operators o JOIN tail t ON o.query_id = t.query_id
+          GROUP BY 1, 2),
+        top AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY op_time DESC, name ASC) AS rk2
+          FROM agg),
+        nt AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_tail
+          FROM tail GROUP BY 1)
+        SELECT t.cluster, t.n_queries, t.tail_threshold, nt.n_tail,
+               top.name AS top_operator, top.op_time AS top_operator_time
+        FROM thr t
+        JOIN nt USING (cluster)
+        JOIN top ON top.cluster = t.cluster AND top.rk2 = 1"""),
     # a19's oracle recomputes the exact quantile and asserts the sketch's
     # in-engine rank-error certificate as literal TRUE (see the docstring)
     "a19_operator_time_quantiles_sketch": with_corpus("""
@@ -745,4 +841,5 @@ SPARK_QUERIES = {
     "p5_operator_skew": operator_skew,
     "a18_operator_time_quantiles": operator_time_quantiles,
     "a19_operator_time_quantiles_sketch": operator_time_quantiles_sketch,
+    "w6_tail_latency_attribution": tail_latency_attribution,
 }

@@ -792,6 +792,37 @@ def effective_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd19 — SOFT dedup: instead of dropping near-duplicates, every
+    document gets a sampling weight 1/|component| from dd8's near-dup
+    components (the down-weighting alternative the SemDeDup / D4 line of
+    work uses so no text is lost but duplicated content stops dominating
+    the training mixture). A component of size 1 keeps weight 1.0; a
+    5-way duplicate cluster contributes one document-equivalent spread
+    over its members.
+
+    Scale: dd8's components (banded LSH candidates + label propagation,
+    never all-pairs) plus ONE groupBy(component_id) for sizes and a
+    broadcast-sized join back — the weight table is corpus-row-count but
+    the size rollup shuffles only component-cardinality rows. Weight is
+    1.0/size — an exact IEEE division both engines compute identically."""
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("comp_size")
+    )
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "comp_size",
+            F.round(F.lit(1.0) / F.col("comp_size").cast("double"), 9).alias(
+                "weight"
+            ),
+        )
+    )
+
+
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
     novelty and the per-document metric behind exact-substring dedup
@@ -1373,6 +1404,16 @@ ORACLES["dd18_effective_dataset"] = f"""
         FROM tok t JOIN comp c ON c.doc_id = t.doc_id
         GROUP BY t.source"""
 
+# dd19's oracle nests dd8's recursive-closure component oracle verbatim.
+ORACLES["dd19_soft_dedup_weights"] = f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        sizes AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+          FROM comp GROUP BY component_id)
+        SELECT c.doc_id, c.component_id, s.comp_size,
+               ROUND(1.0 / CAST(s.comp_size AS DOUBLE), 9) AS weight
+        FROM comp c JOIN sizes s USING (component_id)"""
+
 SPARK_QUERIES = {
     "dd1_exact_dedup": exact_dedup,
     "dd10_incremental_dedup": incremental_dedup,
@@ -1390,5 +1431,6 @@ SPARK_QUERIES = {
     "dd16_minhash_calibration": minhash_calibration,
     "dd17_dedup_comparison": dedup_comparison,
     "dd18_effective_dataset": effective_dataset,
+    "dd19_soft_dedup_weights": soft_dedup_weights,
     "tx20_ngram_novelty": ngram_novelty,
 }

@@ -1056,7 +1056,86 @@ def user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev23 — CUSUM changepoint scan over per-type hourly event rates:
+    for each event_type, the largest sustained upward rate shift and the
+    hour it peaks. The one-sided reset-at-zero CUSUM
+    ``S_k = max(0, S_{k-1} + z_k)`` is NOT an associative fold, but it
+    has a closed prefix form — ``S_k = P_k - min(0, min_{j<=k} P_j)``
+    with P the plain prefix sum — so the whole scan is two window
+    functions (running sum + running min), no recursion, no UDF.
+
+    Exactness: the centered increment is computed in INTEGER arithmetic
+    (``c_k * n_hours - total`` instead of ``c_k - mean``), so every
+    intermediate is a BIGINT and both engines agree bit-for-bit.
+
+    Scale: one groupBy to hourly counts (map-side combined), then
+    windows partitioned by event_type over hour-cardinality rows —
+    thousands of rows per type-year even at 100 TB of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    per_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scanned = (
+        hourly.withColumn("n_hours", F.count("*").over(per_type))
+        .withColumn("total", F.sum("c").over(per_type))
+        .withColumn("z", F.col("c") * F.col("n_hours") - F.col("total"))
+        .withColumn("p", F.sum("z").over(ordered))
+        .withColumn("runmin", F.min("p").over(ordered))
+        .withColumn(
+            "cusum", F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("runmin"))
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum"), F.asc("h")
+    )
+    return (
+        scanned.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("peak_hour"),
+            F.col("cusum").cast("bigint").alias("peak_cusum"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+        )
+    )
+
+
 ORACLES = {
+    # ev23: CUSUM via prefix-sum-minus-running-min, all-integer increments
+    "ev23_rate_cusum": """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
+                 SUM(c) OVER (PARTITION BY event_type) AS total
+          FROM hourly),
+        scanned AS (
+          SELECT *,
+                 SUM(c * n_hours - total) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS p
+          FROM stats),
+        cus AS (
+          SELECT *,
+                 p - LEAST(0, MIN(p) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING)) AS cusum
+          FROM scanned),
+        picked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cusum DESC, h ASC) AS rk
+          FROM cus)
+        SELECT event_type,
+               CAST(epoch(h) AS BIGINT) AS peak_hour,
+               CAST(cusum AS BIGINT) AS peak_cusum,
+               CAST(n_hours AS BIGINT) AS n_hours
+        FROM picked WHERE rk = 1""",
     "ev22_funnel_window_sweep": """
         WITH s1 AS (
           SELECT user_id, MIN(ts) AS t FROM events
@@ -1445,6 +1524,7 @@ ORACLES["ev11_sessionize_salted"] = ORACLES["ev3_sessionize"]  # same semantics
 
 SPARK_QUERIES = {
     "ev1_tumbling_hourly": tumbling_hourly,
+    "ev23_rate_cusum": rate_cusum,
     "ev2_sliding_hourly": sliding_hourly,
     "ev3_sessionize": sessionize,
     "ev4_json_props_stats": json_props_stats,

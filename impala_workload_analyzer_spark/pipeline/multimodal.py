@@ -337,6 +337,110 @@ def _mm4_oracle() -> str:
         FROM packed GROUP BY 1, 2"""
 
 
+_MM6_TAU = 0.75     # min shared-chunk containment to report a pair
+_MM6_MIN_SHARED = 3  # coincidence floor: short docs share tiny chunk sets
+_MM6_BOUNDARY = 4   # a token opens a new chunk when md5(token) % 4 == 0
+
+
+def frame_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm6 — MEDIA NEAR-DUP via CONTENT-DEFINED CHUNKING (CDC): the
+    payload stream is split at content-determined boundaries (a token
+    whose hash ≡ 0 mod _MM6_BOUNDARY opens a chunk — the rsync/dedup-
+    appliance trick), each chunk is fingerprinted, and two media items
+    are near-duplicates when the smaller one's chunk set is mostly
+    contained in the other's. Unlike fixed-offset framing, CDC is
+    SHIFT-ROBUST: an insertion only rewrites the chunk it lands in, so
+    trims/edits of one source still share every untouched chunk.
+
+    Scale: chunking is a stateless projection + one windowed running sum
+    per media (partition-local); the candidate join is ONE self-equi-join
+    on the chunk fingerprint (bucketed, never all-pairs) — md5 keys are
+    uniform, hot keys arise only from genuinely duplicated content. The
+    same plan shape as dd14's text containment, on the media axis."""
+    media = media_table(spark, sf_dir)
+    toks = media.select(
+        "media_id",
+        F.posexplode(
+            F.split(F.trim(F.decode("payload", "utf-8")), r"\s+")
+        ).alias("pos", "word"),
+    )
+    bounded = toks.withColumn(
+        "b",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"
+            )
+            % _MM6_BOUNDARY
+            == 0
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("media_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = bounded.withColumn("chunk", F.sum("b").over(w))
+    fps = (
+        chunked.groupBy("media_id", "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, word))),"
+                    " x -> x.word)"
+                ),
+            ).alias("content")
+        )
+        .select(
+            "media_id",
+            F.expr(
+                "CAST(conv(substring(md5(content), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    counts = fps.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    )
+    shared = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_chunks"))
+    )
+    ca = counts.select(
+        F.col("media_id").alias("media_a"), F.col("n_chunks").alias("n_chunks_a")
+    )
+    cb = counts.select(
+        F.col("media_id").alias("media_b"), F.col("n_chunks").alias("n_chunks_b")
+    )
+    return (
+        shared.join(ca, "media_a")
+        .join(cb, "media_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared_chunks")
+                / F.least("n_chunks_a", "n_chunks_b").cast("double"),
+                9,
+            ),
+        )
+        .filter(
+            (F.col("containment") >= _MM6_TAU)
+            & (F.col("shared_chunks") >= _MM6_MIN_SHARED)
+        )
+        .select(
+            "media_a", "media_b", "shared_chunks", "n_chunks_a",
+            "n_chunks_b", "containment",
+        )
+    )
+
+
 ORACLES = {
     "mm4_multimodal_packing": _mm4_oracle(),
     "mm5_modality_mixture": _mm5_oracle(),
@@ -365,6 +469,52 @@ ORACLES = {
         FROM documents
         CROSS JOIN (SELECT unnest(range(0, 30, 5)) AS frame_idx)
         WHERE frame_idx < 1 + n_chars % 30""",
+    # mm6: the same content-defined chunking over the payload text —
+    # per-position boundary hash, running-sum chunk ids, chunk md5 fps,
+    # then the containment self-join
+    "mm6_frame_fp_neardup": f"""
+        WITH d AS (
+          SELECT doc_id AS media_id,
+                 string_split_regex(trim(text), '\\s+') AS words
+          FROM documents),
+        toks AS (
+          SELECT media_id, i AS pos, words[i] AS word
+          FROM d, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i)),
+        bounded AS (
+          SELECT *, CASE WHEN CAST(('0x' || substr(md5(word), 1, 15))
+                                   AS BIGINT) % {_MM6_BOUNDARY} = 0
+                         THEN 1 ELSE 0 END AS b
+          FROM toks),
+        chunked AS (
+          SELECT *, SUM(b) OVER (PARTITION BY media_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS chunk
+          FROM bounded),
+        fps AS (
+          SELECT DISTINCT media_id,
+                 CAST(('0x' || substr(md5(string_agg(word, ' ' ORDER BY pos)),
+                       1, 15)) AS BIGINT) AS fp
+          FROM chunked GROUP BY media_id, chunk),
+        counts AS (
+          SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+          FROM fps GROUP BY media_id),
+        shared AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_chunks
+          FROM fps a JOIN fps b
+            ON a.fp = b.fp AND a.media_id < b.media_id
+          GROUP BY 1, 2)
+        SELECT s.media_a, s.media_b, s.shared_chunks,
+               ca.n_chunks AS n_chunks_a, cb.n_chunks AS n_chunks_b,
+               ROUND(s.shared_chunks
+                     / CAST(LEAST(ca.n_chunks, cb.n_chunks) AS DOUBLE), 9)
+                 AS containment
+        FROM shared s
+        JOIN counts ca ON ca.media_id = s.media_a
+        JOIN counts cb ON cb.media_id = s.media_b
+        WHERE s.shared_chunks
+              / CAST(LEAST(ca.n_chunks, cb.n_chunks) AS DOUBLE)
+              >= {_MM6_TAU}
+          AND s.shared_chunks >= {_MM6_MIN_SHARED}""",
 }
 
 SPARK_QUERIES = {
@@ -373,4 +523,5 @@ SPARK_QUERIES = {
     "mm3_audio_stats": audio_stats,
     "mm4_multimodal_packing": multimodal_packing,
     "mm5_modality_mixture": modality_mixture,
+    "mm6_frame_fp_neardup": frame_fp_neardup,
 }

@@ -131,6 +131,47 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim17 — ATTRIBUTE-FILTERED exact top-k: each query's neighbors are
+    restricted to corpus vectors sharing its ``label`` (the "similar items
+    in the same category" shape every production vector store exposes as
+    metadata filtering). The predicate is applied PRE-scoring as an
+    equi-join key — at selectivity 1/n_labels this cuts the scored set
+    proportionally, and Catalyst broadcasts the fixed _QUERY_K query
+    batch so the corpus never shuffles for scoring (one shuffle for the
+    per-query top-k, like sim1). At 100 TB the same plan rides an
+    IVF/label-partitioned layout: the filter prunes partitions before a
+    byte of the embedding column is read."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        emb.filter(F.col("vec_id") < _QUERY_K)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    pairs = emb.join(
+        F.broadcast(q), (F.col("label") == F.col("qlabel"))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    sim = pairs.withColumn(
+        "sim",
+        F.round(
+            F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "label", "rank",
+            "sim",
+        )
+    )
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim2 — banded-LSH ANN: each probe's candidates are the vectors
     sharing ANY of its _N_BANDS x _PLANES_PER_BAND-bit signatures; deduped
@@ -1313,6 +1354,25 @@ ORACLES = {
                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM sim)
         SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {_TOP_K}""",
+    # sim17 = sim1 restricted to label-equal neighbors (pre-filtered search)
+    "sim17_filtered_topk": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+                     nrm AS qn FROM e
+              WHERE vec_id < {_QUERY_K}),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e JOIN q ON e.label = q.qlabel WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, label, rank, sim
+        FROM ranked WHERE rank <= {_TOP_K}""",
     # sim5's oracle is sim1's at 6-decimal rounding (ranking on the
     # ROUNDED value in both engines — see vectorized_topk's docstring)
     "sim5_vectorized_topk": f"""
@@ -1556,4 +1616,5 @@ SPARK_QUERIES = {
     "sim14_cell_balanced_sample": cell_balanced_sample,
     "sim15_ivfpq_rerank": ivfpq_rerank,
     "sim16_ann_comparison": ann_comparison,
+    "sim17_filtered_topk": filtered_topk,
 }

@@ -1017,6 +1017,43 @@ def quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_BUCKETS = 10
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx22 — PERPLEXITY-STRATIFIED corpus profile: decile-bucket every
+    document by tx6's unigram-LM mean log-probability (the CCNet recipe —
+    head/middle/tail quality strata from an in-domain LM) and profile
+    each stratum: volume, token mass, score range, source diversity.
+    The table a mixture designer reads to decide how much of each
+    quality stratum enters the training blend.
+
+    Determinism: bucket = NTILE over (avg_logprob, doc_id) — the score is
+    already rounded to 6 decimals by tx6 (cross-engine identical, driver
+    green), and the doc_id tie-break makes the decile edges exact in both
+    engines.
+
+    Scale: the global NTILE is a rank over ONE row per document (the
+    aggregate scores, not tokens) — at 100 TB this swaps for approximate
+    decile boundaries (percentile_approx, mergeable) broadcast back, the
+    same two-pass shape as a19; the per-stratum rollup is an ordinary
+    groupBy."""
+    scored = unigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.orderBy("avg_logprob", "doc_id")
+    bucketed = (
+        scored.join(docs, "doc_id")
+        .withColumn("bucket", F.ntile(_PPL_BUCKETS).over(w).cast("bigint"))
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("avg_logprob").alias("min_logprob"),
+        F.max("avg_logprob").alias("max_logprob"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
 _TX21_SQL = f"""
         WITH per AS (
           SELECT ({_SWEEP_STEPS} * len(list_distinct(w))) // len(w) AS bucket,
@@ -1442,7 +1479,33 @@ SPARK_QUERIES = {
     "tx13_boilerplate_stats": boilerplate_stats,
     "tx14_vocab_coverage": vocab_coverage,
     "tx15_pipeline_funnel": pipeline_funnel,
+    "tx22_perplexity_buckets": perplexity_buckets,
 }
+
+# tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with
+# a doc_id tie-break is exact in both engines.
+ORACLES["tx22_perplexity_buckets"] = f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT doc_id, unnest(words) AS word FROM d),
+        vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 ROUND(AVG(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))), 6)
+                   AS avg_logprob
+          FROM toks JOIN vocab USING (word), tot
+          GROUP BY doc_id),
+        bucketed AS (
+          SELECT s.*, doc.source,
+                 CAST(NTILE(10) OVER (ORDER BY s.avg_logprob, s.doc_id)
+                      AS BIGINT) AS bucket
+          FROM scored s JOIN documents doc USING (doc_id))
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(avg_logprob) AS min_logprob,
+               MAX(avg_logprob) AS max_logprob,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM bucketed GROUP BY bucket"""
 
 # Registered AFTER the dicts exist: _snk2_oracle() imports .dedup, whose
 # own oracle build reads THIS module's ORACLES — appending post-definition

@@ -54,13 +54,17 @@ _PRIORITY = (
     "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
-    # --- 45-50: oldest r04 entries (swapped for round-7 additions as
-    # they land) ---
+    # --- 45-50: NEW in round 7 (filtered ANN, soft dedup, perplexity
+    # strata, CUSUM changepoints, CDC media near-dup, tail attribution;
+    # all local-gate green at sf0.01 AND sf0.1) ---
+    "sim17_filtered_topk", "dd19_soft_dedup_weights",
+    "tx22_perplexity_buckets", "ev23_rate_cusum",
+    "mm6_frame_fp_neardup", "w6_tail_latency_attribution",
+    # --- position 51+: rotates into round 8's window, oldest witness
+    # first (the r04 block, then the r05/r06-witnessed greens) ---
     "a18_operator_time_quantiles", "dd5_embedding_neardup",
     "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly",
     "ev2_sliding_hourly", "ev4_json_props_stats",
-    # --- position 51+: rotates into round 8's window, oldest witness
-    # first (remaining r04 block, then the r05/r06-witnessed greens) ---
     "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
     "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
     "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",

@@ -1862,3 +1862,196 @@ def test_ann_comparison_reproduces_tier_audits(spark, sf_dir):
         assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
         assert 0.0 <= r["frac_perfect"] <= 1.0
     assert got["rerank"]["mean_recall"] >= got["adc"]["mean_recall"]
+
+
+def test_filtered_topk_matches_label_restricted_brute_force(spark, sf_dir):
+    """sim17: every returned neighbor carries the query's own label, and
+    the per-query result equals a python brute-force restricted to that
+    label (rounded cosine, vec_id tie-break)."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return round(dot / (na * nb), 9)
+
+    got: dict[int, list] = {}
+    for r in similarity.filtered_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert got, "expected query rows at this SF"
+    for qid, rows in got.items():
+        qv, qlabel = emb[qid]
+        assert all(r["label"] == qlabel for r in rows)
+        cand = sorted(
+            (
+                (-cos(qv, v), vid)
+                for vid, (v, lbl) in emb.items()
+                if lbl == qlabel and vid != qid
+            ),
+        )[: similarity._TOP_K]
+        want = [(vid, rank + 1, -negsim) for rank, (negsim, vid) in enumerate(cand)]
+        rows.sort(key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["rank"], r["sim"]) for r in rows] == want
+
+
+def test_soft_dedup_weights_conserve_component_mass(spark, sf_dir):
+    """dd19: one row per document, weight = 1/|component| exactly, and the
+    weights of each component sum to one document-equivalent."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import soft_dedup_weights
+
+    rows = soft_dedup_weights(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == total
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["component_id"]] = sizes.get(r["component_id"], 0) + 1
+    for r in rows:
+        assert r["comp_size"] == sizes[r["component_id"]]
+        assert r["weight"] == round(1.0 / r["comp_size"], 9)
+    for cid, n in sizes.items():
+        mass = sum(r["weight"] for r in rows if r["component_id"] == cid)
+        assert abs(mass - 1.0) < 1e-6, (cid, n, mass)
+
+
+def test_perplexity_buckets_partition_the_corpus(spark, sf_dir):
+    """tx22: buckets 1..10 partition every scored document, and the score
+    ranges are non-overlapping in bucket order."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import perplexity_buckets
+
+    rows = sorted(
+        perplexity_buckets(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_logprob"] <= b["min_logprob"]
+        assert a["min_logprob"] <= a["max_logprob"]
+
+
+def test_rate_cusum_matches_python_scan(spark, sf_dir):
+    """ev23: the reset-at-zero CUSUM prefix trick must equal the literal
+    python recurrence S_k = max(0, S_{k-1} + z_k) per event type."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import rate_cusum
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "unix_timestamp(date_trunc('hour', ts)) AS h"
+    ).collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in ev:
+        counts.setdefault(r["event_type"], {})
+        counts[r["event_type"]][r["h"]] = counts[r["event_type"]].get(r["h"], 0) + 1
+    want = {}
+    for et, by_h in counts.items():
+        hours = sorted(by_h)
+        n, tot = len(hours), sum(by_h.values())
+        s, best = 0, None
+        for h in hours:
+            s = max(0, s + by_h[h] * n - tot)
+            if best is None or s > best[1]:
+                best = (h, s)
+        want[et] = (best[0], best[1], n)
+    got = {
+        r["event_type"]: (r["peak_hour"], r["peak_cusum"], r["n_hours"])
+        for r in rate_cusum(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_frame_fp_neardup_scores_are_exact_chunk_containment(spark, sf_dir):
+    """mm6: every reported pair's containment must equal an exact python
+    CDC recomputation (same boundary rule, chunk hashing, distinct sets),
+    and clear both thresholds."""
+    import hashlib
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.multimodal import (
+        _MM6_BOUNDARY,
+        _MM6_MIN_SHARED,
+        _MM6_TAU,
+        frame_fp_neardup,
+    )
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def chunks(text: str) -> set[int]:
+        words = text.strip().split()
+        out, cur = [], []
+        for w in words:
+            if h(w) % _MM6_BOUNDARY == 0 and cur:
+                out.append(" ".join(cur))
+                cur = []
+            cur.append(w)
+        if cur:
+            out.append(" ".join(cur))
+        return {h(c) for c in out}
+
+    docs = {
+        r["doc_id"]: chunks(r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in frame_fp_neardup(spark, sf_dir).collect():
+        a, b = docs[r["media_a"]], docs[r["media_b"]]
+        shared = len(a & b)
+        assert r["shared_chunks"] == shared
+        assert (r["n_chunks_a"], r["n_chunks_b"]) == (len(a), len(b))
+        assert r["containment"] == round(shared / min(len(a), len(b)), 9)
+        assert r["containment"] >= _MM6_TAU and shared >= _MM6_MIN_SHARED
+
+
+def test_tail_latency_attribution_threshold_and_tail(spark, sf_dir):
+    """w6: per cluster, the cutoff is the exact integer-rank p90 runtime,
+    n_tail counts the at-or-above set, and the top operator is the argmax
+    of summed avg_time over that set."""
+    from impala_workload_analyzer_spark.corpus import (
+        corpus_operators,
+        corpus_queries,
+    )
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        STMT_TYPES,
+        _TAIL_P,
+        tail_latency_attribution,
+    )
+
+    q = [
+        r
+        for r in corpus_queries(spark, sf_dir).collect()
+        if r["tag"] == "tpch" and r["sql_type"] in STMT_TYPES
+        and r["runtime"] is not None
+    ]
+    by_cluster: dict[str, list] = {}
+    for r in q:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    op_time: dict[str, dict[str, int]] = {}
+    for o in corpus_operators(spark, sf_dir).collect():
+        op_time.setdefault(o["query_id"], {})
+        d = op_time[o["query_id"]]
+        d[o["name"]] = d.get(o["name"], 0) + o["avg_time"]
+    rows = {r["cluster"]: r for r in tail_latency_attribution(spark, sf_dir).collect()}
+    assert set(rows) == set(by_cluster)
+    for cluster, qs in by_cluster.items():
+        runtimes = sorted(x["runtime"] for x in qs)
+        thr = runtimes[int(_TAIL_P * (len(runtimes) - 1))]
+        tail = [x for x in qs if x["runtime"] >= thr]
+        r = rows[cluster]
+        assert r["tail_threshold"] == thr
+        assert r["n_queries"] == len(qs)
+        assert r["n_tail"] == len(tail)
+        agg: dict[str, int] = {}
+        for x in tail:
+            for name, t in op_time.get(x["query_id"], {}).items():
+                agg[name] = agg.get(name, 0) + t
+        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["top_operator"], r["top_operator_time"]) == top
