@@ -323,3 +323,33 @@ def test_st11_bounded_groupby_state(spark, sf_dir):
     assert "Deduplicate" not in txt, txt
     agg_lines = [ln for ln in txt.splitlines() if "Aggregate" in ln]
     assert agg_lines and all("digest" not in ln for ln in agg_lines), txt
+
+
+def test_sim17_prefilters_and_broadcasts_the_query_batch(spark, sf_dir):
+    # the label predicate must be an equi-join key with the fixed query
+    # batch broadcast — pre-filtered ANN, no cartesian scoring
+    plan = _plan(spark, sf_dir, "sim17_filtered_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mm6_joins_on_chunk_fingerprints_only(spark, sf_dir):
+    # the candidate join must be the fp-keyed equi-join (shuffle or
+    # broadcast hash), never a cartesian all-pairs comparison
+    plan = _plan(spark, sf_dir, "mm6_frame_fp_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_w6_broadcasts_the_cluster_cutoffs(spark, sf_dir):
+    # the cluster-cardinality threshold table joins back by broadcast;
+    # the operator stream must not sort-merge against it
+    plan = _plan(spark, sf_dir, "w6_tail_latency_attribution")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ev23_is_two_windows_no_join(spark, sf_dir):
+    # the CUSUM prefix form is windows over pre-aggregated hourly rows:
+    # no join anywhere in the plan
+    plan = _plan(spark, sf_dir, "ev23_rate_cusum")
+    assert "Join" not in plan, plan
