@@ -484,6 +484,50 @@ def operator_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "quantile", "value")
 
 
+def cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a26 — PLANNER CARDINALITY AUDIT: per operator class, the Q-error
+    of the optimizer's row estimates (|ln(est/actual)|, the standard
+    misestimation metric) plus how often the planner underestimates —
+    the feedback loop a cost-based optimizer team reads to find which
+    operator's stats are lying. Uses the profile's est_num_rows vs
+    num_rows, both > 0 (−1 sentinels mean "estimate unavailable").
+
+    Exactness: the per-row error is rounded to 6 decimals and summed as
+    DECIMAL(18,6) — exact, partial-agg-order-proof — then one double
+    division at the end; both engines feed identical decimals.
+
+    Scale: one filter + one grouped agg over the bucketed operator scan."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "name", "num_rows", "est_num_rows"
+    ).filter((F.col("num_rows") > 0) & (F.col("est_num_rows") > 0))
+    scored = ops.withColumn(
+        "qerr",
+        F.expr(
+            "CAST(round(abs(ln(CAST(est_num_rows AS DOUBLE)"
+            " / CAST(num_rows AS DOUBLE))), 6) AS DECIMAL(18,6))"
+        ),
+    )
+    agg = scored.groupBy("name").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum("qerr").alias("sum_qerr"),
+        F.max("qerr").cast("double").alias("max_qerr"),
+        F.sum(
+            F.when(F.col("est_num_rows") < F.col("num_rows"), 1).otherwise(0)
+        ).cast("bigint").alias("n_underest"),
+    )
+    return agg.select(
+        "name",
+        "n_ops",
+        F.round(F.col("sum_qerr").cast("double") / F.col("n_ops"), 9).alias(
+            "mean_qerr"
+        ),
+        "max_qerr",
+        F.round(F.col("n_underest") / F.col("n_ops").cast("double"), 9).alias(
+            "underest_frac"
+        ),
+    )
+
+
 _TAIL_P = 0.9  # tail = queries at or above the per-cluster p90 runtime
 
 
@@ -615,6 +659,22 @@ ORACLES: dict[str, str] = {
         JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
           ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
         GROUP BY name, q.quantile"""),
+    # a26: per-row rounded-6 q-error summed as exact DECIMAL(18,6)
+    "a26_cardinality_qerror": with_corpus("""
+        , scored AS (
+          SELECT name, est_num_rows, num_rows,
+                 CAST(round(abs(ln(CAST(est_num_rows AS DOUBLE)
+                        / CAST(num_rows AS DOUBLE))), 6)
+                      AS DECIMAL(18,6)) AS qerr
+          FROM iwa_operators
+          WHERE num_rows > 0 AND est_num_rows > 0)
+        SELECT name,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               ROUND(CAST(SUM(qerr) AS DOUBLE) / COUNT(*), 9) AS mean_qerr,
+               CAST(MAX(qerr) AS DOUBLE) AS max_qerr,
+               ROUND(SUM(CASE WHEN est_num_rows < num_rows THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS underest_frac
+        FROM scored GROUP BY name"""),
     # w6: exact integer-rank p90 cutoff per cluster, then the operator
     # rollup over the tail set — top operator per cluster
     "w6_tail_latency_attribution": with_corpus(f"""
@@ -842,4 +902,5 @@ SPARK_QUERIES = {
     "a18_operator_time_quantiles": operator_time_quantiles,
     "a19_operator_time_quantiles_sketch": operator_time_quantiles_sketch,
     "w6_tail_latency_attribution": tail_latency_attribution,
+    "a26_cardinality_qerror": cardinality_qerror,
 }

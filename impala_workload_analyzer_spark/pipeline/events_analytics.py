@@ -1105,7 +1105,106 @@ def rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_LAG = 24  # diurnal lag: autocorrelation at 24 hours
+
+
+def periodicity_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev24 — DIURNAL PERIODICITY: per event_type, the lag-24h Pearson
+    autocorrelation of the zero-filled hourly count series — the
+    seasonality detector that says whether a stream's rate has a daily
+    rhythm (ev16 shows the heatmap; ev24 reduces it to one test
+    statistic per type).
+
+    Exactness: the series is densified onto an explicit hourly grid
+    (min..max hour per type, missing hours = 0 — gaps are real zeros,
+    not absent samples), and the correlation is assembled from FIVE
+    integer sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines feed
+    identical integers into one double formula, rounded once.
+
+    Scale: grid cardinality is hours-per-type (thousands per year), far
+    below the event count; the lag is a window shift over that tiny
+    series — the heavy lifting is the single map-side-combined hourly
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = (
+        dense.withColumn("x", F.lag("c", _ACF_LAG).over(w))
+        .filter(F.col("x").isNotNull())
+        .select("event_type", F.col("c").alias("y"), "x")
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.filter(den > 0).select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num.cast("double") / den, 9).alias("autocorr_24h"),
+    )
+
+
 ORACLES = {
+    "ev24_periodicity_acf": f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+          FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT b.event_type, g.h
+          FROM bounds b,
+               LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+                        INTERVAL 1 HOUR)) AS h) g),
+        dense AS (
+          SELECT g.event_type, g.h,
+                 CAST(COALESCE(hr.c, 0) AS BIGINT) AS c
+          FROM grid g LEFT JOIN hourly hr
+            ON hr.event_type = g.event_type AND hr.h = g.h),
+        pairs AS (
+          SELECT event_type, c AS y,
+                 LAG(c, {_ACF_LAG}) OVER (PARTITION BY event_type
+                                          ORDER BY h) AS x
+          FROM dense),
+        sums AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM pairs WHERE x IS NOT NULL GROUP BY 1)
+        SELECT event_type, n AS n_pairs,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+                 AS autocorr_24h
+        FROM sums
+        WHERE sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) > 0""",
     # ev23: CUSUM via prefix-sum-minus-running-min, all-integer increments
     "ev23_rate_cusum": """
         WITH hourly AS (
@@ -1525,6 +1624,7 @@ ORACLES["ev11_sessionize_salted"] = ORACLES["ev3_sessionize"]  # same semantics
 SPARK_QUERIES = {
     "ev1_tumbling_hourly": tumbling_hourly,
     "ev23_rate_cusum": rate_cusum,
+    "ev24_periodicity_acf": periodicity_acf,
     "ev2_sliding_hourly": sliding_hourly,
     "ev3_sessionize": sessionize,
     "ev4_json_props_stats": json_props_stats,

@@ -172,6 +172,54 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIV_QUOTA = 2  # diversified top-k: at most this many neighbors per label
+
+
+def diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim18 — DIVERSIFIED top-k: exact cosine ranking with a per-label
+    quota (at most _DIV_QUOTA neighbors from any one label) — attribute-
+    quota result diversification, the cheap deterministic cousin of MMR
+    that production retrieval uses to stop one category from filling the
+    whole result page. Two window ranks over sim1's scored set: a
+    within-(query,label) rank applies the quota, then the global
+    per-query rank cuts the survivors to k.
+
+    Scale: identical plan to sim1 (fixed broadcast batch, map-side
+    scoring) plus one extra window over the same shuffle key — the
+    (query_id) partitioning serves both ranks, no second exchange."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    ).filter(F.col("query_id") < _QUERY_K)
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = pairs.withColumn(
+        "sim",
+        F.round(
+            F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9
+        ),
+    )
+    w_label = Window.partitionBy("query_id", "label").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    w_query = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        sim.withColumn("label_rank", F.row_number().over(w_label))
+        .filter(F.col("label_rank") <= _DIV_QUOTA)
+        .withColumn("rank", F.row_number().over(w_query).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "label",
+            "rank", "sim",
+        )
+    )
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim2 — banded-LSH ANN: each probe's candidates are the vectors
     sharing ANY of its _N_BANDS x _PLANES_PER_BAND-bit signatures; deduped
@@ -1354,6 +1402,29 @@ ORACLES = {
                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
           FROM sim)
         SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {_TOP_K}""",
+    # sim18 = sim1's scored set + per-label quota rank + global top-k
+    "sim18_diverse_topk": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id < {_QUERY_K}),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        quota AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, label
+                                       ORDER BY sim DESC, neighbor_id ASC)
+                      AS label_rank
+          FROM sim),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM quota WHERE label_rank <= {_DIV_QUOTA})
+        SELECT query_id, neighbor_id, label, rank, sim
+        FROM ranked WHERE rank <= {_TOP_K}""",
     # sim17 = sim1 restricted to label-equal neighbors (pre-filtered search)
     "sim17_filtered_topk": f"""
         WITH e AS (
@@ -1617,4 +1688,5 @@ SPARK_QUERIES = {
     "sim15_ivfpq_rerank": ivfpq_rerank,
     "sim16_ann_comparison": ann_comparison,
     "sim17_filtered_topk": filtered_topk,
+    "sim18_diverse_topk": diverse_topk,
 }

@@ -266,6 +266,68 @@ def plan_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shape_runtime_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt6 — SAME PLAN, DIFFERENT SPEED: for every plan shape (pt4's
+    fingerprint) run on two or more clusters, the spread between the
+    slowest and fastest cluster's mean runtime. A shape whose drift
+    ratio is high is the workload's canary for a mis-provisioned or
+    regressed cluster — the cross-fleet question pt4's shape census and
+    a23's per-cluster drift each answer only half of.
+
+    Exactness: per-(shape, cluster) means use the corpus floor-division
+    convention (BIGINT), so the ratio divides two integers — engine-
+    exact before the single rounded output column.
+
+    Scale: one groupBy(query_id) builds fingerprints (plan-sized
+    groups), one join to the bucketed queries table on its bucket key,
+    then two grouped aggs over shape-cardinality rows."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "parent_id"
+    )
+    per_q = ops.groupBy("query_id").agg(
+        F.md5(
+            F.expr(
+                "concat_ws('|', transform("
+                " array_sort(collect_list(struct(id, name,"
+                "   coalesce(parent_id, -1) AS p))),"
+                " x -> concat_ws(':', CAST(x.id AS STRING), x.name,"
+                "   CAST(x.p AS STRING))))"
+            )
+        ).alias("fingerprint")
+    )
+    from ..corpus import corpus_queries  # noqa: PLC0415
+
+    q = (
+        corpus_queries(spark, sf_dir)
+        .filter(F.col("runtime").isNotNull())
+        .select("query_id", "cluster", "runtime")
+    )
+    per_fc = (
+        per_q.join(q, "query_id")
+        .groupBy("fingerprint", "cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(FLOOR(SUM(runtime) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("mean_runtime"),
+        )
+    )
+    return (
+        per_fc.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n").cast("bigint").alias("n_queries"),
+            F.min("mean_runtime").alias("min_mean"),
+            F.max("mean_runtime").alias("max_mean"),
+        )
+        .filter((F.col("n_clusters") >= 2) & (F.col("min_mean") > 0))
+        .withColumn(
+            "drift_ratio",
+            F.round(F.col("max_mean") / F.col("min_mean").cast("double"), 9),
+        )
+    )
+
+
 def critical_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pt5 — CRITICAL-PATH HOTSPOTS: explode pt3's winning root-to-leaf
     chains into their member operators and roll up by operator name —
@@ -349,6 +411,34 @@ ORACLES = {
         FROM nodes n
         JOIN iwa_operators o ON o.query_id = n.query_id AND o.id = n.id
         GROUP BY o.name"""),
+    "pt6_shape_runtime_drift": with_corpus("""
+        , per_op AS (
+          SELECT query_id, id,
+                 CAST(id AS VARCHAR) || ':' || name || ':'
+                   || CAST(COALESCE(parent_id, -1) AS VARCHAR) AS tok
+          FROM iwa_operators),
+        per_q AS (
+          SELECT query_id,
+                 md5(string_agg(tok, '|' ORDER BY id)) AS fingerprint
+          FROM per_op GROUP BY query_id),
+        per_fc AS (
+          SELECT p.fingerprint, q.cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(FLOOR(SUM(q.runtime) / CAST(COUNT(*) AS DOUBLE))
+                      AS BIGINT) AS mean_runtime
+          FROM per_q p JOIN iwa_queries q ON q.query_id = p.query_id
+          WHERE q.runtime IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(n) AS BIGINT) AS n_queries,
+               MIN(mean_runtime) AS min_mean,
+               MAX(mean_runtime) AS max_mean,
+               ROUND(MAX(mean_runtime) / CAST(MIN(mean_runtime) AS DOUBLE), 9)
+                 AS drift_ratio
+        FROM per_fc
+        GROUP BY fingerprint
+        HAVING COUNT(*) >= 2 AND MIN(mean_runtime) > 0"""),
     "pt4_plan_fingerprints": with_corpus("""
         , per_op AS (
           SELECT query_id, id,
@@ -422,4 +512,5 @@ SPARK_QUERIES = {
     "pt3_critical_path": critical_path,
     "pt4_plan_fingerprints": plan_fingerprints,
     "pt5_critical_hotspots": critical_hotspots,
+    "pt6_shape_runtime_drift": shape_runtime_drift,
 }

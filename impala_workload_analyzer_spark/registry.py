@@ -12,13 +12,12 @@ snk1 snk2 — every one local-gate green at sf0.01 AND sf0.1 since round
 6), then the queries whose code changed this round (a19 grew the
 in-engine sketch-certificate + oracle, sim5 graduated to a 6-decimal
 oracle, pt2/pt3/pt5 now share one persisted co-located node frame),
-then the 28-entry block whose newest green rows date to r03 (the
-oldest-witness tail: a5/a6/a9/a10/a11/a13/a14/a15/a16/a17, dd1-dd4/dd6,
-f1-f4, j2, p5, pt1, sim3, tx1-tx4, w2 — all re-validated by the local
-gate on unchanged code every round since), then round-7 additions /
-the oldest r04 entries up to the budget. The remaining r04-era block
-(the tpch suite, ev1-ev8, mm1-mm3, tx5-tx7, dd5/dd7, a18) rotates to
-round 8's window. Unlisted names keep module order after the
+then 24 entries of the r03-era block (the oldest-witness tail:
+a5/a6/a9/a10/a11/a13/a14/a15/a16/a17, dd1-dd4/dd6, f1-f4, j2, p5, pt1,
+sim3, tx1 — all re-validated by the local gate on unchanged code every
+round since), then the TEN round-7 additions. The displaced r03 tail
+(tx2/tx3/tx4/w2) and the r04-era block (the tpch suite, ev1-ev8,
+mm1-mm3, tx5-tx7, dd5/dd7, a18) lead round 8's window. Unlisted names keep module order after the
 prioritized block, so a new query is never silently dropped.
 """
 
@@ -52,16 +51,21 @@ _PRIORITY = (
     "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
     "f3_pp_time_roundtrip", "f4_bit_reinterpret", "j2_join_children",
     "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
-    "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
-    "tx4_winnow_fingerprints", "w2_time_share_per_query",
-    # --- 45-50: NEW in round 7 (filtered ANN, soft dedup, perplexity
-    # strata, CUSUM changepoints, CDC media near-dup, tail attribution;
-    # all local-gate green at sf0.01 AND sf0.1) ---
+    "tx1_token_stats",
+    # --- 41-50: NEW in round 7 (filtered + diversified ANN, soft dedup,
+    # perplexity strata, CUSUM changepoints, periodicity ACF, CDC media
+    # near-dup, tail attribution, shape drift, cardinality q-error; all
+    # local-gate green at sf0.01 AND sf0.1) ---
     "sim17_filtered_topk", "dd19_soft_dedup_weights",
     "tx22_perplexity_buckets", "ev23_rate_cusum",
     "mm6_frame_fp_neardup", "w6_tail_latency_attribution",
+    "pt6_shape_runtime_drift", "ev24_periodicity_acf",
+    "sim18_diverse_topk", "a26_cardinality_qerror",
     # --- position 51+: rotates into round 8's window, oldest witness
-    # first (the r04 block, then the r05/r06-witnessed greens) ---
+    # first (the displaced r03 tail, the r04 block, then the
+    # r05/r06-witnessed greens) ---
+    "tx2_quality_score", "tx3_language_id",
+    "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",
     "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly",
     "ev2_sliding_hourly", "ev4_json_props_stats",

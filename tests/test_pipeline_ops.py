@@ -2055,3 +2055,175 @@ def test_tail_latency_attribution_threshold_and_tail(spark, sf_dir):
                 agg[name] = agg.get(name, 0) + t
         top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (r["top_operator"], r["top_operator_time"]) == top
+
+
+def test_shape_runtime_drift_matches_python(spark, sf_dir):
+    """pt6: per plan-shape cluster means (floor division) and the
+    max/min drift ratio must match a python recomputation."""
+    import hashlib
+    import math
+
+    from impala_workload_analyzer_spark.corpus import (
+        corpus_operators,
+        corpus_queries,
+    )
+    from impala_workload_analyzer_spark.plans.draw_plan import shape_runtime_drift
+
+    per_q_ops: dict[str, list] = {}
+    for o in corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "parent_id"
+    ).collect():
+        per_q_ops.setdefault(o["query_id"], []).append(o)
+    fp = {}
+    for qid, ops in per_q_ops.items():
+        toks = [
+            f"{o['id']}:{o['name']}:{o['parent_id'] if o['parent_id'] is not None else -1}"
+            for o in sorted(ops, key=lambda o: o["id"])
+        ]
+        fp[qid] = hashlib.md5("|".join(toks).encode()).hexdigest()
+    per_fc: dict[tuple, list] = {}
+    for r in corpus_queries(spark, sf_dir).collect():
+        # queries with no plan operators (DDL) have no fingerprint and are
+        # dropped by the engine's inner join
+        if r["runtime"] is None or r["query_id"] not in fp:
+            continue
+        per_fc.setdefault((fp[r["query_id"]], r["cluster"]), []).append(r["runtime"])
+    means: dict[str, list] = {}
+    for (f, _), rts in per_fc.items():
+        means.setdefault(f, []).append(
+            (int(math.floor(sum(rts) / float(len(rts)))), len(rts))
+        )
+    want = {}
+    for f, ms in means.items():
+        if len(ms) < 2:
+            continue
+        lo = min(m for m, _ in ms)
+        hi = max(m for m, _ in ms)
+        if lo <= 0:
+            continue
+        want[f] = (len(ms), sum(n for _, n in ms), lo, hi, round(hi / float(lo), 9))
+    got = {
+        r["fingerprint"]: (
+            r["n_clusters"], r["n_queries"], r["min_mean"], r["max_mean"],
+            r["drift_ratio"],
+        )
+        for r in shape_runtime_drift(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_periodicity_acf_matches_python(spark, sf_dir):
+    """ev24: lag-24 Pearson autocorrelation over the zero-filled hourly
+    grid must match a python recomputation from the raw events."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _ACF_LAG,
+        periodicity_acf,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS h"
+    ).collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in ev:
+        counts.setdefault(r["event_type"], {})
+        counts[r["event_type"]][r["h"]] = counts[r["event_type"]].get(r["h"], 0) + 1
+    want = {}
+    for et, by_h in counts.items():
+        h0, h1 = min(by_h), max(by_h)
+        series = [by_h.get(h, 0) for h in range(h0, h1 + 3600, 3600)]
+        xs = series[:-_ACF_LAG] if len(series) > _ACF_LAG else []
+        ys = series[_ACF_LAG:]
+        if not xs:
+            continue
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        if den <= 0:
+            continue
+        want[et] = (n, round(float(n * sxy - sx * sy) / den, 9))
+    got = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_24h"])
+        for r in periodicity_acf(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_diverse_topk_respects_quota_and_order(spark, sf_dir):
+    """sim18: per query the result is the greedy quota-filtered prefix of
+    sim1's full ranking — no label appears more than _DIV_QUOTA times,
+    and the selection matches a python replay over all candidates."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return round(dot / (na * nb), 9)
+
+    got: dict[int, list] = {}
+    for r in similarity.diverse_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert got
+    for qid, rows in got.items():
+        qv, _ = emb[qid]
+        ranked = sorted(
+            ((-cos(qv, v), vid, lbl) for vid, (v, lbl) in emb.items() if vid != qid)
+        )
+        seen: dict[int, int] = {}
+        want = []
+        for negsim, vid, lbl in ranked:
+            if seen.get(lbl, 0) >= similarity._DIV_QUOTA:
+                continue
+            seen[lbl] = seen.get(lbl, 0) + 1
+            want.append((vid, lbl, len(want) + 1, -negsim))
+            if len(want) == similarity._TOP_K:
+                break
+        rows.sort(key=lambda r: r["rank"])
+        assert [
+            (r["neighbor_id"], r["label"], r["rank"], r["sim"]) for r in rows
+        ] == want
+
+
+def test_cardinality_qerror_matches_python(spark, sf_dir):
+    """a26: the per-class mean/max q-error and underestimate fraction
+    must match an exact python recomputation (rounded-6 per-row errors,
+    exact rational mean)."""
+    import math
+
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        cardinality_qerror,
+    )
+
+    by_name: dict[str, list] = {}
+    for o in corpus_operators(spark, sf_dir).select(
+        "name", "num_rows", "est_num_rows"
+    ).collect():
+        if o["num_rows"] > 0 and o["est_num_rows"] > 0:
+            by_name.setdefault(o["name"], []).append(o)
+    got = {r["name"]: r for r in cardinality_qerror(spark, sf_dir).collect()}
+    assert set(got) == set(by_name)
+    for name, ops in by_name.items():
+        errs = [
+            round(abs(math.log(o["est_num_rows"] / float(o["num_rows"]))), 6)
+            for o in ops
+        ]
+        r = got[name]
+        assert r["n_ops"] == len(ops)
+        assert abs(r["mean_qerr"] - round(sum(errs) / len(errs), 9)) < 1e-9
+        assert r["max_qerr"] == max(errs)
+        under = sum(1 for o in ops if o["est_num_rows"] < o["num_rows"])
+        assert r["underest_frac"] == round(under / float(len(ops)), 9)
