@@ -61,9 +61,10 @@ _PRIORITY = (
     "mm6_frame_fp_neardup", "w6_tail_latency_attribution",
     "pt6_shape_runtime_drift", "ev24_periodicity_acf",
     "sim18_diverse_topk", "a26_cardinality_qerror",
-    # --- position 51+: rotates into round 8's window, oldest witness
-    # first (the displaced r03 tail, the r04 block, then the
-    # r05/r06-witnessed greens) ---
+    # --- position 51+: rotates into round 8's window — the round-7
+    # addition past the budget first, then oldest witness (the displaced
+    # r03 tail, the r04 block, then the r05/r06-witnessed greens) ---
+    "st13_streaming_cusum",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

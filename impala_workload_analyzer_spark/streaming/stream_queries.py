@@ -695,6 +695,132 @@ def streaming_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st12_out")
 
 
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st13 — ev23's CUSUM changepoint scan LIVE, on st12's closed-bucket
+    state discipline: per event_type the keyed state holds the trailing
+    ``_RATE_LOOKBACK`` closed hourly counts, the open bucket, and ONE
+    long of CUSUM level. When a bucket closes with a full trailing
+    window, the increment is the integer surprise vs the trailing
+    baseline (``z = count * L - trailing_sum``) and the level updates by
+    the literal recurrence ``S = max(0, S + z)`` — the streaming form of
+    the batch prefix trick (ev23), against the only baseline an online
+    detector can know (the trailing window; ev23's whole-series mean
+    needs the future). Rows are emitted for every closed bucket whose
+    level is positive — the live "sustained upshift in progress" signal.
+
+    Exactness: state is all-integer; the still-open final bucket is
+    never evaluated, so the DuckDB oracle is the batch twin over closed
+    hours (window prefix-sum minus running-min). Stream==batch on the
+    in-order finite source, like st5/st9/st10/st12."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..pipeline.events_analytics import _RATE_LOOKBACK  # noqa: PLC0415
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("hour_start", LongType()),
+            StructField("n_events", LongType()),
+            StructField("cusum", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hist", ArrayType(LongType())),
+            StructField("cur_hour", LongType()),
+            StructField("cur_n", LongType()),
+            StructField("level", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        hist, cur_hour, cur_n, level = (
+            state.get if state.exists else ([], -1, 0, 0)
+        )
+        hist = list(hist)
+        rows = []
+
+        def close_bucket():
+            nonlocal hist, level
+            if len(hist) >= _RATE_LOOKBACK:
+                z = cur_n * _RATE_LOOKBACK - sum(hist[-_RATE_LOOKBACK:])
+                level = max(0, level + z)
+                if level > 0:
+                    rows.append((key[0], int(cur_hour), int(cur_n), int(level)))
+            hist = (hist + [cur_n])[-_RATE_LOOKBACK:]
+
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        if len(chunk):
+            chunk = chunk.sort_values(["epoch", "event_id"])
+            for ep in chunk["epoch"].tolist():
+                h = (ep // 3600) * 3600
+                if cur_hour == -1:
+                    cur_hour, cur_n = h, 0
+                elif h != cur_hour:
+                    close_bucket()
+                    cur_hour, cur_n = h, 0
+                cur_n += 1
+        state.update((hist, int(cur_hour), int(cur_n), int(level)))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "hour_start", "n_events", "cusum"]
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(out, "st13_out", "append")
+    return spark.table("st13_out")
+
+
+def _st13_oracle() -> str:
+    from ..pipeline.events_analytics import _RATE_LOOKBACK  # noqa: PLC0415
+
+    return f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT *,
+                 SUM(n_events) OVER w24 AS prev_sum,
+                 COUNT(*) OVER w24 AS n_prev,
+                 MAX(hour_start) OVER (PARTITION BY event_type) AS last_hour
+          FROM hourly
+          WINDOW w24 AS (PARTITION BY event_type ORDER BY hour_start
+                 ROWS BETWEEN {_RATE_LOOKBACK} PRECEDING AND 1 PRECEDING)),
+        qual AS (
+          SELECT event_type, hour_start, n_events,
+                 n_events * {_RATE_LOOKBACK} - prev_sum AS z
+          FROM scored
+          WHERE n_prev >= {_RATE_LOOKBACK} AND hour_start < last_hour),
+        prefixed AS (
+          SELECT *,
+                 SUM(z) OVER w AS p
+          FROM qual
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                       ROWS UNBOUNDED PRECEDING)),
+        levelled AS (
+          SELECT event_type, hour_start, n_events,
+                 p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                                           ORDER BY hour_start
+                                           ROWS UNBOUNDED PRECEDING)) AS cusum
+          FROM prefixed)
+        SELECT event_type, hour_start, n_events, CAST(cusum AS BIGINT) AS cusum
+        FROM levelled WHERE cusum > 0"""
+
+
 def _st12_oracle() -> str:
     from ..pipeline.events_analytics import _RATE_LOOKBACK, _RATE_TAU  # noqa: PLC0415
 
@@ -804,6 +930,7 @@ def _st8_oracle() -> str:
 
 ORACLES = {
     "st12_streaming_rate_alerts": _st12_oracle(),
+    "st13_streaming_cusum": _st13_oracle(),
     "st11_streaming_bloom": _st11_oracle(),
     "st9_streaming_kmv": _st9_oracle(),
     "st8_streaming_cms": _st8_oracle(),
@@ -858,4 +985,5 @@ SPARK_QUERIES = {
     "st10_streaming_transitions": streaming_transitions,
     "st11_streaming_bloom": streaming_bloom,
     "st12_streaming_rate_alerts": streaming_rate_alerts,
+    "st13_streaming_cusum": streaming_cusum,
 }

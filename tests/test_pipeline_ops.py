@@ -2227,3 +2227,42 @@ def test_cardinality_qerror_matches_python(spark, sf_dir):
         assert r["max_qerr"] == max(errs)
         under = sum(1 for o in ops if o["est_num_rows"] < o["num_rows"])
         assert r["underest_frac"] == round(under / float(len(ops)), 9)
+
+
+def test_streaming_cusum_matches_python_replay(spark, sf_dir):
+    """st13: the streaming closed-bucket CUSUM must equal a literal python
+    replay of the recurrence S = max(0, S + c*L - trailing_sum) over the
+    in-order hourly buckets (open final bucket never evaluated)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _RATE_LOOKBACK,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_cusum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS h"
+    ).collect()
+    counts: dict[str, dict[int, int]] = {}
+    for r in ev:
+        counts.setdefault(r["event_type"], {})
+        counts[r["event_type"]][r["h"]] = counts[r["event_type"]].get(r["h"], 0) + 1
+    want = set()
+    for et, by_h in counts.items():
+        hours = sorted(by_h)
+        hist: list[int] = []
+        level = 0
+        for h in hours[:-1]:  # the final (open) bucket is never evaluated
+            c = by_h[h]
+            if len(hist) >= _RATE_LOOKBACK:
+                z = c * _RATE_LOOKBACK - sum(hist[-_RATE_LOOKBACK:])
+                level = max(0, level + z)
+                if level > 0:
+                    want.add((et, h, c, level))
+            hist = (hist + [c])[-_RATE_LOOKBACK:]
+    got = {
+        (r["event_type"], r["hour_start"], r["n_events"], r["cusum"])
+        for r in streaming_cusum(spark, sf_dir).collect()
+    }
+    assert got == want
