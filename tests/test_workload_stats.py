@@ -107,3 +107,62 @@ def test_cost_model_outliers_consistent_with_fit(spark, sf_dir):
         > floor
     )
     assert bigger <= _RESID_TOP
+
+
+def test_plan_overhead_quantiles_match_python(spark, sf_dir):
+    """w7: the per-cluster p50/p95 of plan-time ppm and scheduling lag
+    must equal python integer-rank picks over the same BIGINT metrics."""
+    import math
+
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _W7_QUANTILES,
+        plan_overhead_quantiles,
+    )
+
+    rows = corpus_queries(spark, sf_dir).collect()
+    metrics: dict[tuple, list] = {}
+    for r in rows:
+        if r["runtime"] is None or r["runtime"] <= 0:
+            continue
+        ppm = int(math.floor(r["plan_time"] * 1000000 / float(r["runtime"])))
+        metrics.setdefault((r["cluster"], "plan_ppm"), []).append(ppm)
+        metrics.setdefault((r["cluster"], "sched_lag_ns"), []).append(
+            r["fragment_start_time"]
+        )
+    want = {}
+    for (cluster, metric), vals in metrics.items():
+        vals.sort()
+        for label, p in _W7_QUANTILES:
+            want[(cluster, metric, label)] = vals[int(p * (len(vals) - 1))]
+    got = {
+        (r["cluster"], r["metric"], r["quantile"]): r["value"]
+        for r in plan_overhead_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_host_load_balance_matches_python(spark, sf_dir):
+    """a27: per-cluster host loads recomputed from the raw hosts arrays."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        host_load_balance,
+    )
+
+    loads: dict[str, dict[str, int]] = {}
+    for r in corpus_queries(spark, sf_dir).collect():
+        for h in r["hosts"]:
+            loads.setdefault(r["cluster"], {})
+            loads[r["cluster"]][h] = loads[r["cluster"]].get(h, 0) + 1
+    got = {r["cluster"]: r for r in host_load_balance(spark, sf_dir).collect()}
+    assert set(got) == set(loads)
+    for cluster, by_host in loads.items():
+        r = got[cluster]
+        total = sum(by_host.values())
+        assert r["n_hosts"] == len(by_host)
+        assert r["n_assignments"] == total
+        assert r["max_load"] == max(by_host.values())
+        assert r["min_load"] == min(by_host.values())
+        assert r["imbalance"] == round(
+            max(by_host.values()) * len(by_host) / float(total), 9
+        )
