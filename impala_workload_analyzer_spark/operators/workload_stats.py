@@ -312,6 +312,108 @@ pq AS (
 )
 """
 
+# metrics the reference renders as dense BAR charts (stats.py:182-331 —
+# every hist'd metric except the wide-ranged scan size and runtime)
+_PLT_BAR_METRICS = tuple(
+    m for m in _A6_METRICS if m not in ("scan_mb", "runtime_s")
+)
+
+
+def _stacked_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _per_query_metrics(spark, sf_dir)
+    return m.select(
+        F.expr(
+            "stack({n}, {args}) AS (metric, value)".format(
+                n=len(_A6_METRICS),
+                args=", ".join(f"'{c}', {c}" for c in _A6_METRICS),
+            )
+        )
+    )
+
+
+def metric_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plt1 — S11's plot DATA layer: the exact histogram series behind
+    every ``plots.hist`` call in the reference (stats.py:177-344 renders
+    the A6 per-query metrics). Bin arithmetic is the reference's
+    python-2 recipe verbatim (plots.py:23-41): ``step = max(1,
+    (max-min)/10)`` integer floor, edges ``range(min, max(min+11*step,
+    max+step), step)``, and pyplot's last-bin-right-inclusive counting.
+    One row per (metric, bin) with empty bins zero-filled — pixels are a
+    presentation concern (SURVEY §1.4), the series IS the plot.
+
+    Exactness: every edge and bin index is BIGINT arithmetic, identical
+    in both engines.
+
+    Scale: the per-metric stats table is metric-cardinality (broadcast
+    back); binning is one map-side expression + one grouped count over
+    (metric, bin) — never a sort."""
+    stacked = _stacked_metrics(spark, sf_dir)
+    stats = (
+        stacked.groupBy("metric")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .withColumn("step", F.expr("greatest(1, (mx - mn) div 10)"))
+        .withColumn("stop", F.expr("greatest(mn + step * 11, mx + step)"))
+        .withColumn("nbins", F.expr("(stop - mn - 1) div step"))
+    )
+    grid = stats.select(
+        "metric", "mn", "step",
+        F.posexplode(F.expr("sequence(0, nbins - 1)")).alias("_i", "bin_idx"),
+    ).select(
+        "metric",
+        F.col("bin_idx").cast("bigint").alias("bin_idx"),
+        (F.col("mn") + F.col("bin_idx") * F.col("step")).alias("bin_start"),
+        (F.col("mn") + (F.col("bin_idx") + 1) * F.col("step")).alias("bin_end"),
+    )
+    counts = (
+        stacked.join(F.broadcast(stats), "metric")
+        .select(
+            "metric",
+            F.expr("least((value - mn) div step, nbins - 1)").alias("bin_idx"),
+        )
+        .groupBy("metric", "bin_idx")
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+    )
+    return (
+        grid.join(counts, ["metric", "bin_idx"], "left")
+        .select(
+            "metric", "bin_idx", "bin_start", "bin_end",
+            F.coalesce("n_queries", F.lit(0)).cast("bigint").alias("n_queries"),
+        )
+    )
+
+
+def metric_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plt2 — the dense integer BAR series behind every ``plots.bar``
+    call (plots.py:44-59: ``height[v - min] += 1`` over the value range).
+    One row per (metric, value) from min..max, zero-filled. Covers the
+    count-valued metrics the reference bars (the wide-ranged scan size /
+    runtime get histograms only — same exclusion as stats.py).
+
+    Scale: bar metrics are small-count columns (joins, tables, clauses),
+    so the dense min..max grid is tens of rows per metric by the
+    REFERENCE's own chart contract; one grouped count + one grid join."""
+    stacked = _stacked_metrics(spark, sf_dir).filter(
+        F.col("metric").isin(*_PLT_BAR_METRICS)
+    )
+    stats = stacked.groupBy("metric").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    grid = stats.select(
+        "metric", F.explode(F.expr("sequence(mn, mx)")).alias("value")
+    )
+    counts = stacked.groupBy("metric", "value").agg(
+        F.count("*").cast("bigint").alias("n_queries")
+    )
+    return (
+        grid.join(counts, ["metric", "value"], "left")
+        .select(
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+            F.coalesce("n_queries", F.lit(0)).cast("bigint").alias("n_queries"),
+        )
+    )
+
+
 def runtime_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a23 — runtime DRIFT detection per (cluster, sql_type): the workload
     time axis splits at its global midpoint (integer arithmetic, so both
@@ -746,6 +848,56 @@ ORACLES: dict[str, str] = {
         JOIN (VALUES ('q50', 0.5), ('q95', 0.95), ('q99', 0.99)) q(quantile, p)
           ON rk = CAST(FLOOR(q.p * (n - 1)) AS BIGINT)
         GROUP BY name, q.quantile"""),
+    # plt1/plt2: S11's plot data series — py2 bin arithmetic in SQL
+    "plt1_metric_histograms": with_corpus(
+        ",\n" + _A6_PER_QUERY.strip() + f"""
+        , stacked AS (
+          SELECT metric, value FROM pq
+          UNPIVOT (value FOR metric IN ({", ".join(_A6_METRICS)}))),
+        stats AS (
+          SELECT metric, MIN(value) AS mn, MAX(value) AS mx,
+                 GREATEST(1, (MAX(value) - MIN(value)) // 10) AS step
+          FROM stacked GROUP BY metric),
+        stats2 AS (
+          SELECT *, GREATEST(mn + step * 11, mx + step) AS stop FROM stats),
+        stats3 AS (
+          SELECT *, (stop - mn - 1) // step AS nbins FROM stats2),
+        grid AS (
+          SELECT metric, CAST(i AS BIGINT) AS bin_idx,
+                 mn + i * step AS bin_start,
+                 mn + (i + 1) * step AS bin_end
+          FROM stats3,
+               LATERAL (SELECT unnest(range(0, nbins)) AS i)),
+        counts AS (
+          SELECT s.metric,
+                 LEAST((s.value - t.mn) // t.step, t.nbins - 1) AS bin_idx,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries
+          FROM stacked s JOIN stats3 t USING (metric)
+          GROUP BY 1, 2)
+        SELECT g.metric, g.bin_idx, g.bin_start, g.bin_end,
+               CAST(COALESCE(c.n_queries, 0) AS BIGINT) AS n_queries
+        FROM grid g LEFT JOIN counts c
+          ON c.metric = g.metric AND c.bin_idx = g.bin_idx"""
+    ),
+    "plt2_metric_bars": with_corpus(
+        ",\n" + _A6_PER_QUERY.strip() + f"""
+        , stacked AS (
+          SELECT metric, value FROM pq
+          UNPIVOT (value FOR metric IN ({", ".join(_PLT_BAR_METRICS)}))),
+        stats AS (
+          SELECT metric, MIN(value) AS mn, MAX(value) AS mx
+          FROM stacked GROUP BY metric),
+        grid AS (
+          SELECT metric, CAST(v AS BIGINT) AS value
+          FROM stats, LATERAL (SELECT unnest(range(mn, mx + 1)) AS v)),
+        counts AS (
+          SELECT metric, value, CAST(COUNT(*) AS BIGINT) AS n_queries
+          FROM stacked GROUP BY 1, 2)
+        SELECT g.metric, g.value,
+               CAST(COALESCE(c.n_queries, 0) AS BIGINT) AS n_queries
+        FROM grid g LEFT JOIN counts c
+          ON c.metric = g.metric AND c.value = g.value"""
+    ),
     # w7: BIGINT overhead metrics + a18's integer-rank quantile picks
     "w7_plan_overhead_quantiles": with_corpus("""
         , base AS (
@@ -1036,4 +1188,6 @@ SPARK_QUERIES = {
     "a26_cardinality_qerror": cardinality_qerror,
     "w7_plan_overhead_quantiles": plan_overhead_quantiles,
     "a27_host_load_balance": host_load_balance,
+    "plt1_metric_histograms": metric_histograms,
+    "plt2_metric_bars": metric_bars,
 }

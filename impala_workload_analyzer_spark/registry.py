@@ -65,7 +65,7 @@ _PRIORITY = (
     # additions past the budget first, then oldest witness (the displaced
     # r03 tail, the r04 block, then the r05/r06-witnessed greens) ---
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
-    "a27_host_load_balance",
+    "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

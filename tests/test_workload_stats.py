@@ -166,3 +166,63 @@ def test_host_load_balance_matches_python(spark, sf_dir):
         assert r["imbalance"] == round(
             max(by_host.values()) * len(by_host) / float(total), 9
         )
+
+
+def test_metric_histograms_match_reference_binning(spark, sf_dir):
+    """plt1: bins and counts must equal the reference's python-2 hist
+    recipe (plots.py:23-41) replayed literally over the per-query
+    metric lists, including the last-bin-inclusive rule."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _A6_METRICS,
+        _per_query_metrics,
+        metric_histograms,
+    )
+
+    rows = _per_query_metrics(spark, sf_dir).collect()
+    got: dict[str, list] = {}
+    for r in metric_histograms(spark, sf_dir).collect():
+        got.setdefault(r["metric"], []).append(r)
+    assert set(got) == set(_A6_METRICS)
+    for metric in _A6_METRICS:
+        data = [r[metric] for r in rows]
+        mn, mx = min(data), max(data)
+        step = max(1, (mx - mn) // 10)
+        stop = max(mn + step * 11, mx + step)
+        edges = list(range(mn, stop, step))
+        heights = [0] * (len(edges) - 1)
+        for v in data:
+            heights[min((v - mn) // step, len(heights) - 1)] += 1
+        want = [
+            (i, edges[i], edges[i] + step, heights[i])
+            for i in range(len(heights))
+        ]
+        bins = sorted(got[metric], key=lambda r: r["bin_idx"])
+        assert [
+            (r["bin_idx"], r["bin_start"], r["bin_end"], r["n_queries"])
+            for r in bins
+        ] == want, metric
+
+
+def test_metric_bars_are_dense_and_exact(spark, sf_dir):
+    """plt2: per metric a dense min..max value grid whose counts sum to
+    the query population, matching a python tally."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _PLT_BAR_METRICS,
+        _per_query_metrics,
+        metric_bars,
+    )
+
+    rows = _per_query_metrics(spark, sf_dir).collect()
+    got: dict[str, list] = {}
+    for r in metric_bars(spark, sf_dir).collect():
+        got.setdefault(r["metric"], []).append(r)
+    assert set(got) == set(_PLT_BAR_METRICS)
+    for metric in _PLT_BAR_METRICS:
+        data = [r[metric] for r in rows]
+        mn, mx = min(data), max(data)
+        tally = {v: 0 for v in range(mn, mx + 1)}
+        for v in data:
+            tally[v] += 1
+        bars = sorted(got[metric], key=lambda r: r["value"])
+        assert [(r["value"], r["n_queries"]) for r in bars] == sorted(tally.items())
+        assert sum(r["n_queries"] for r in bars) == len(data)
