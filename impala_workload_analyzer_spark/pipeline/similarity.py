@@ -109,20 +109,36 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("nrm", F.expr(f"sqrt({_spark_dot('embedding', 'embedding')})"))
 
 
+def _exact_scored(spark: SparkSession, sf_dir: str,
+                  same_label_only: bool = False) -> DataFrame:
+    """The shared exact-cosine scoring scaffold (sim1/sim17/sim18): the
+    fixed _QUERY_K query batch broadcast against the corpus, rounded
+    similarity per (query, candidate) pair. ``same_label_only`` turns
+    the broadcast into a label equi-join (sim17's pre-filter)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _QUERY_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    if same_label_only:
+        pairs = emb.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+    else:
+        pairs = emb.crossJoin(F.broadcast(q))
+    return pairs.filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "sim",
+        F.round(
+            F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9
+        ),
+    )
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim1 — exact cosine top-k: the fixed deterministic query batch
     (vec_id < _QUERY_K — bounded at any corpus size) broadcast against
     the corpus; rank by rounded similarity with vec_id tie-break."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") < _QUERY_K)
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    sim = pairs.withColumn(
-        "sim", F.round(F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9)
-    )
+    sim = _exact_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -142,25 +158,7 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k, like sim1). At 100 TB the same plan rides an
     IVF/label-partitioned layout: the filter prunes partitions before a
     byte of the embedding column is read."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = (
-        emb.filter(F.col("vec_id") < _QUERY_K)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("qlabel"),
-            F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
-        )
-    )
-    pairs = emb.join(
-        F.broadcast(q), (F.col("label") == F.col("qlabel"))
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    sim = pairs.withColumn(
-        "sim",
-        F.round(
-            F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9
-        ),
-    )
+    sim = _exact_scored(spark, sf_dir, same_label_only=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -187,21 +185,7 @@ def diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical plan to sim1 (fixed broadcast batch, map-side
     scoring) plus one extra window over the same shuffle key — the
     (query_id) partitioning serves both ranks, no second exchange."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"),
-    ).filter(F.col("query_id") < _QUERY_K)
-    pairs = emb.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sim = pairs.withColumn(
-        "sim",
-        F.round(
-            F.expr(_spark_dot("qv", "embedding")) / (F.col("qn") * F.col("nrm")), 9
-        ),
-    )
+    sim = _exact_scored(spark, sf_dir)
     w_label = Window.partitionBy("query_id", "label").orderBy(
         F.desc("sim"), F.asc("vec_id")
     )

@@ -233,6 +233,33 @@ def critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_md5():
+    """Canonical plan-shape token string, hashed: operators in id order
+    as id:name:parent (built lazily — Column construction needs an
+    active SparkContext)."""
+    return F.md5(
+        F.expr(
+            "concat_ws('|', transform("
+            " array_sort(collect_list(struct(id, name,"
+            "   coalesce(parent_id, -1) AS p))),"
+            " x -> concat_ws(':', CAST(x.id AS STRING), x.name,"
+            "   CAST(x.p AS STRING))))"
+        )
+    )
+
+
+def _fingerprints_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per query: the md5 plan-shape fingerprint (pt4/pt6 share
+    this groupBy; plan-sized groups)."""
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "parent_id"
+    )
+    return ops.groupBy("query_id").agg(
+        _fingerprint_md5().alias("fingerprint"),
+        F.count("*").alias("n_ops"),
+    )
+
+
 def plan_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pt4 — canonical PLAN-SHAPE FINGERPRINTING: each query's plan tree
     renders to a canonical token string (operators in id order as
@@ -245,21 +272,7 @@ def plan_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(query_id) builds the canonical strings (operator
     lists are plan-sized, tiny per group), one groupBy(fingerprint)
     rolls up — two shuffles, the second over shape-cardinality rows."""
-    ops = corpus_operators(spark, sf_dir).select(
-        "query_id", "id", "name", "parent_id"
-    )
-    per_q = ops.groupBy("query_id").agg(
-        F.md5(
-            F.expr(
-                "concat_ws('|', transform("
-                " array_sort(collect_list(struct(id, name,"
-                "   coalesce(parent_id, -1) AS p))),"
-                " x -> concat_ws(':', CAST(x.id AS STRING), x.name,"
-                "   CAST(x.p AS STRING))))"
-            )
-        ).alias("fingerprint"),
-        F.count("*").alias("n_ops"),
-    )
+    per_q = _fingerprints_per_query(spark, sf_dir)
     return per_q.groupBy("fingerprint", "n_ops").agg(
         F.count("*").alias("n_queries"),
         F.min("query_id").alias("example_query_id"),
@@ -281,19 +294,8 @@ def shape_runtime_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(query_id) builds fingerprints (plan-sized
     groups), one join to the bucketed queries table on its bucket key,
     then two grouped aggs over shape-cardinality rows."""
-    ops = corpus_operators(spark, sf_dir).select(
-        "query_id", "id", "name", "parent_id"
-    )
-    per_q = ops.groupBy("query_id").agg(
-        F.md5(
-            F.expr(
-                "concat_ws('|', transform("
-                " array_sort(collect_list(struct(id, name,"
-                "   coalesce(parent_id, -1) AS p))),"
-                " x -> concat_ws(':', CAST(x.id AS STRING), x.name,"
-                "   CAST(x.p AS STRING))))"
-            )
-        ).alias("fingerprint")
+    per_q = _fingerprints_per_query(spark, sf_dir).select(
+        "query_id", "fingerprint"
     )
     from ..corpus import corpus_queries  # noqa: PLC0415
 
