@@ -135,3 +135,58 @@ def test_pp_scanners_match_regex_spec():
                 parts.append(num() + unit)
         s = "".join(parts)
         assert spec_time(s) == P._pp_time(s), s
+
+
+# --- property-based round-7 integer kernels (hypothesis, no Spark) ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+                max_size=200))
+def test_cusum_prefix_form_equals_recurrence(zs):
+    """ev23/st13's closed form S_k = P_k - min(0, min_{j<=k} P_j) must equal
+    the literal reset-at-zero recurrence S_k = max(0, S_{k-1} + z_k) for
+    ANY integer increment sequence."""
+    s = 0
+    recurrence = []
+    for z in zs:
+        s = max(0, s + z)
+        recurrence.append(s)
+    p = 0
+    runmin = 0
+    closed = []
+    for z in zs:
+        p += z
+        runmin = min(runmin, p)
+        closed.append(p - min(0, runmin))
+    assert closed == recurrence
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1,
+                max_size=100))
+def test_plt1_bin_recipe_covers_and_partitions(data):
+    """plt1's integer bin arithmetic (the reference's py2 hist recipe) must
+    produce >= 10 uniform bins whose clamped index assignment places every
+    value, with totals conserved and every value inside its bin (last bin
+    right-inclusive)."""
+    mn, mx = min(data), max(data)
+    step = max(1, (mx - mn) // 10)
+    stop = max(mn + step * 11, mx + step)
+    edges = list(range(mn, stop, step))
+    nbins = len(edges) - 1
+    assert nbins >= 10
+    assert all(b - a == step for a, b in zip(edges, edges[1:]))
+    heights = [0] * nbins
+    for v in data:
+        i = min((v - mn) // step, nbins - 1)
+        assert 0 <= i < nbins
+        # bin containment: [edge_i, edge_i+1), last bin right-inclusive
+        assert edges[i] <= v
+        assert v < edges[i] + step or (i == nbins - 1 and v <= edges[i] + step)
+        heights[i] += 1
+    assert sum(heights) == len(data)
+    assert mx <= edges[-1] + step  # the grid always covers the data
