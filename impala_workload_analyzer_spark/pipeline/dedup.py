@@ -823,6 +823,51 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx23 — the DEDUP-AWARE TRAINING MANIFEST: the table a training run
+    actually consumes, combining tx5's deterministic split, the source
+    column, and dd19's soft-dedup weights into per-(split, source) raw
+    vs EFFECTIVE token budgets (each doc contributes
+    n_tokens / |near-dup component| — duplicated content counts once,
+    spread over its copies). The composed end-product of the split,
+    dedup, and token-accounting stages.
+
+    Exactness: per-doc effective tokens are one IEEE division rounded to
+    9 decimals, accumulated as DECIMAL(28,9) (order-proof), and rounded
+    once at the end.
+
+    Scale: dd8's components reused as-is (the expensive part); the rest
+    is one doc-keyed broadcast-sized join and a (split, source) agg."""
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("comp_size")
+    )
+    weights = comp.join(sizes, "component_id").select("doc_id", "comp_size")
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_words(True))).cast("bigint").alias("n_tokens"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"),
+    )
+    joined = docs.join(weights, "doc_id").withColumn(
+        "eff",
+        F.expr(
+            "CAST(round(n_tokens / CAST(comp_size AS DOUBLE), 9)"
+            " AS DECIMAL(28,9))"
+        ),
+    )
+    return (
+        joined.groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("eff").cast("double"), 6).alias("effective_tokens"),
+        )
+    )
+
+
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd15 — DUPLICATED-SPAN coverage, the positional twin of tx20's
     novelty and the per-document metric behind exact-substring dedup
@@ -1404,6 +1449,32 @@ ORACLES["dd18_effective_dataset"] = f"""
         FROM tok t JOIN comp c ON c.doc_id = t.doc_id
         GROUP BY t.source"""
 
+# tx23's oracle nests dd8's closure + tx5's split + the token accounting.
+ORACLES["tx23_training_manifest"] = f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        sizes AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+          FROM comp GROUP BY component_id),
+        d AS (
+          SELECT doc_id, source,
+                 CAST(len({_words(False)}) AS BIGINT) AS n_tokens,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+          FROM documents),
+        joined AS (
+          SELECT CASE WHEN d.bucket < 80 THEN 'train'
+                      WHEN d.bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                 d.source, d.n_tokens,
+                 CAST(round(d.n_tokens / CAST(s.comp_size AS DOUBLE), 9)
+                      AS DECIMAL(28,9)) AS eff
+          FROM d
+          JOIN comp c ON c.doc_id = d.doc_id
+          JOIN sizes s ON s.component_id = c.component_id)
+        SELECT split, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(eff) AS DOUBLE), 6) AS effective_tokens
+        FROM joined GROUP BY 1, 2"""
+
 # dd19's oracle nests dd8's recursive-closure component oracle verbatim.
 ORACLES["dd19_soft_dedup_weights"] = f"""
         WITH comp AS ({ORACLES["dd8_neardup_components"]}),
@@ -1433,4 +1504,5 @@ SPARK_QUERIES = {
     "dd18_effective_dataset": effective_dataset,
     "dd19_soft_dedup_weights": soft_dedup_weights,
     "tx20_ngram_novelty": ngram_novelty,
+    "tx23_training_manifest": training_manifest,
 }

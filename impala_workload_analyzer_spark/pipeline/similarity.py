@@ -170,6 +170,31 @@ def filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim19 — HARD-NEGATIVE MINING: per query, the top-k most similar
+    corpus vectors with a DIFFERENT label — the batch-mining step of
+    contrastive embedding training (high-similarity wrong-class examples
+    are the gradient-rich negatives). The exact inverse of sim17's
+    predicate on the same shared scoring scaffold; same plan shape as
+    sim1 (broadcast batch, map-side scoring, one top-k shuffle), the
+    label inequality evaluated before ranking."""
+    sim = _exact_scored(spark, sf_dir).filter(
+        F.col("label") != F.col("qlabel")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "rank",
+            "sim",
+        )
+    )
+
+
 _DIV_QUOTA = 2  # diversified top-k: at most this many neighbors per label
 
 
@@ -1409,6 +1434,26 @@ ORACLES = {
           FROM quota WHERE label_rank <= {_DIV_QUOTA})
         SELECT query_id, neighbor_id, label, rank, sim
         FROM ranked WHERE rank <= {_TOP_K}""",
+    # sim19 = sim1 restricted to label-UNequal neighbors (hard negatives)
+    "sim19_hard_negatives": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+                     nrm AS qn FROM e
+              WHERE vec_id < {_QUERY_K}),
+        sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sim)
+        SELECT query_id, neighbor_id, label, rank, sim
+        FROM ranked WHERE rank <= {_TOP_K}""",
     # sim17 = sim1 restricted to label-equal neighbors (pre-filtered search)
     "sim17_filtered_topk": f"""
         WITH e AS (
@@ -1673,4 +1718,5 @@ SPARK_QUERIES = {
     "sim16_ann_comparison": ann_comparison,
     "sim17_filtered_topk": filtered_topk,
     "sim18_diverse_topk": diverse_topk,
+    "sim19_hard_negatives": hard_negatives,
 }

@@ -2266,3 +2266,71 @@ def test_streaming_cusum_matches_python_replay(spark, sf_dir):
         for r in streaming_cusum(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hard_negatives_are_wrong_label_and_exact(spark, sf_dir):
+    """sim19: every mined negative carries a label different from the
+    query's, and per query the set equals a python brute force restricted
+    to wrong-label candidates."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+
+    emb = {
+        r["vec_id"]: (list(r["embedding"]), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return round(dot / (na * nb), 9)
+
+    got: dict[int, list] = {}
+    for r in similarity.hard_negatives(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert got
+    for qid, rows in got.items():
+        qv, qlabel = emb[qid]
+        assert all(r["label"] != qlabel for r in rows)
+        cand = sorted(
+            (-cos(qv, v), vid)
+            for vid, (v, lbl) in emb.items()
+            if lbl != qlabel and vid != qid
+        )[: similarity._TOP_K]
+        want = [(vid, rank + 1, -neg) for rank, (neg, vid) in enumerate(cand)]
+        rows.sort(key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["rank"], r["sim"]) for r in rows] == want
+
+
+def test_training_manifest_conserves_docs_and_weights(spark, sf_dir):
+    """tx23: the manifest partitions every document once, raw tokens match
+    the corpus, and summed effective tokens equal the per-component
+    token-mass average (each component contributes its tokens/size once
+    per member)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        neardup_components,
+        training_manifest,
+    )
+    from pyspark.sql import functions as F
+    from impala_workload_analyzer_spark.pipeline.dedup import _words
+
+    rows = training_manifest(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.expr(_words(True))).cast("bigint").alias("n_tokens")
+    ).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert sum(r["n_tokens"] for r in rows) == sum(d["n_tokens"] for d in docs)
+    comp = {r["doc_id"]: r["component_id"]
+            for r in neardup_components(spark, sf_dir).collect()}
+    sizes: dict[int, int] = {}
+    for cid in comp.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    tok = {d["doc_id"]: d["n_tokens"] for d in docs}
+    want_eff = sum(
+        round(tok[d] / float(sizes[comp[d]]), 9) for d in comp
+    )
+    got_eff = sum(r["effective_tokens"] for r in rows)
+    assert abs(got_eff - want_eff) < 1e-3
