@@ -832,6 +832,88 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk3 — the ANN INDEX LIFECYCLE sink: build the IVF-PQ index
+    artifacts (inverted-list assignment, PQ codes, codebook), PERSIST
+    them as parquet, read them back, and serve sim13's ADC search
+    entirely from the read-back files plus the live query batch — the
+    build-offline / serve-online split every production vector
+    deployment runs. The returned rows are the SERVED top-k, and the
+    oracle is sim13's: the driver row can only go green if the
+    round-tripped artifacts reconstruct the exact search results.
+
+    Scale: the persisted index is the 100 TB serving contract — codes
+    are ~2 orders smaller than floats, the codebook broadcasts, and the
+    assignment table shards by list id; a serving job reads ONLY these
+    files, never the embedding corpus."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    scored = _ivf_scored(emb)
+    # --- offline build: the three index artifacts ---
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"), F.struct(F.col("score"), (-F.col("c_label")).alias("nl"))
+        ).alias("list_id")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    sub = _pq_sub(vecs)
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(vecs).select("vec_id", "s", "code")
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "ann_index",
+    )
+    assign.write.mode("overwrite").parquet(os.path.join(out, "lists"))
+    codes.write.mode("overwrite").parquet(os.path.join(out, "codes"))
+    cb.write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    # --- online serve: read-back artifacts + live queries only ---
+    assign_r = spark.read.parquet(os.path.join(out, "lists"))
+    codes_r = spark.read.parquet(os.path.join(out, "codes"))
+    cb_r = spark.read.parquet(os.path.join(out, "codebook"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
+    probes = (
+        scored.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "c_label", "score")
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= _N_PROBE)
+        .select("query_id", F.col("c_label").alias("probe_list"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "s", "sub")
+        .join(F.broadcast(cb_r), F.col("s") == F.col("cs"))
+        .select(
+            "query_id", "s", F.col("cid").alias("code"),
+            F.round(F.expr(_PQ_SQD), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    cands = (
+        assign_r.join(F.broadcast(probes), F.col("list_id") == F.col("probe_list"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    dist = (
+        cands.join(codes_r, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
 _RERANK_POOL = 20  # ADC nominees re-scored with exact floats per query
 
 
@@ -1640,6 +1722,10 @@ def ann_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim16's oracle nests the per-tier audit oracles (sim9/sim10/sim12)
 # verbatim and derives ADC/rerank recalls from the sim13/sim15 outputs
 # against a restated exact top-k — one rollup, five tiers.
+# snk3 serves sim13's search from the persisted index artifacts —
+# identical output rows, identical oracle
+ORACLES["snk3_ann_index_export"] = ORACLES["sim13_ivfpq_topk"]
+
 ORACLES["sim16_ann_comparison"] = f"""
         WITH base AS (
           SELECT vec_id, embedding,
@@ -1719,4 +1805,5 @@ SPARK_QUERIES = {
     "sim17_filtered_topk": filtered_topk,
     "sim18_diverse_topk": diverse_topk,
     "sim19_hard_negatives": hard_negatives,
+    "snk3_ann_index_export": ann_index_export,
 }

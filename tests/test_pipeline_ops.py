@@ -2334,3 +2334,35 @@ def test_training_manifest_conserves_docs_and_weights(spark, sf_dir):
     )
     got_eff = sum(r["effective_tokens"] for r in rows)
     assert abs(got_eff - want_eff) < 1e-3
+
+
+def test_ann_index_export_roundtrip_serves_sim13(spark, sf_dir):
+    """snk3: the search served from the persisted index artifacts must be
+    row-identical to sim13's live build, and the artifacts must exist on
+    disk with the expected schemas."""
+    import os
+
+    from impala_workload_analyzer_spark.io import _REPO_ROOT
+
+    served = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in similarity.ann_index_export(spark, sf_dir).collect()
+    )
+    live = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in similarity.ivfpq_topk(spark, sf_dir).collect()
+    )
+    assert served == live
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "ann_index",
+    )
+    assert set(spark.read.parquet(os.path.join(out, "lists")).columns) == {
+        "vec_id", "list_id"
+    }
+    assert set(spark.read.parquet(os.path.join(out, "codes")).columns) == {
+        "vec_id", "s", "code"
+    }
+    assert set(spark.read.parquet(os.path.join(out, "codebook")).columns) == {
+        "cs", "cid", "cvec"
+    }
