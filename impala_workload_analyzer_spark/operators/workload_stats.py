@@ -717,6 +717,72 @@ def cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# admission-control gate for a28: queries whose per-host peak footprint
+# exceeds this would queue under a mem_limit=256MB pool
+_MEM_LIMIT = 256 * 1024 * 1024
+
+
+def memory_reservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a28 — MEMORY RESERVATION / ADMISSION-CONTROL REPORT: per query,
+    the aggregate peak memory its operators actually used vs what the
+    planner estimated (the profile's PeakMemoryUsage vs
+    EstimatedPeakMemoryUsage, ``profile_analyzer.py:219`` parse), the
+    per-host footprint (py2 floor division, consistent with the
+    reference's unit rescaling), the single hungriest operator class,
+    and whether the query would queue under a 256 MB-per-host admission
+    pool — the capacity-planning read an Impala admin does before
+    setting mem_limit.
+
+    Exactness: every column is integer arithmetic (sums, floor-div,
+    comparisons) — hash-stable across engines with no float rounding.
+    The top operator is picked by a deterministic
+    (peak_mem DESC, name ASC, id ASC) window rank, never ``max_by``
+    (tie order undefined in both engines).
+
+    Scale: one keyed aggregation plus one window rank, both partitioned
+    by query_id over the bucketed operator scan — no driver work, no
+    broadcast of anything data-sized; the queries side joins on the
+    same key."""
+    q = _filtered_queries(spark, sf_dir).select("query_id", "num_hosts")
+    ops = corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "peak_mem", "est_peak_mem"
+    )
+    agg = ops.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum("peak_mem").cast("bigint").alias("total_peak_mem"),
+        F.sum("est_peak_mem").cast("bigint").alias("total_est_peak_mem"),
+        F.sum(
+            F.greatest(F.col("peak_mem") - F.col("est_peak_mem"), F.lit(0))
+        ).cast("bigint").alias("underest_bytes"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("peak_mem"), F.asc("name"), F.asc("id")
+    )
+    top = (
+        ops.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("name").alias("top_mem_op"),
+            F.col("peak_mem").alias("top_mem_bytes"),
+        )
+    )
+    return (
+        agg.join(top, "query_id")
+        .join(q, "query_id")
+        .withColumn(
+            "mem_per_host",
+            F.expr(IDIV("total_peak_mem", "num_hosts")).cast("bigint"),
+        )
+        .withColumn("over_limit", F.col("mem_per_host") > F.lit(_MEM_LIMIT))
+        .select(
+            "query_id", "n_ops", "total_peak_mem", "total_est_peak_mem",
+            "underest_bytes", "top_mem_op", "top_mem_bytes",
+            "mem_per_host", "over_limit",
+        )
+    )
+
+
 _TAIL_P = 0.9  # tail = queries at or above the per-cluster p90 runtime
 
 
@@ -958,6 +1024,33 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(CASE WHEN est_num_rows < num_rows THEN 1 ELSE 0 END)
                      / CAST(COUNT(*) AS DOUBLE), 9) AS underest_frac
         FROM scored GROUP BY name"""),
+    # a28: all-integer admission report; the top operator rank mirrors the
+    # engine's deterministic (peak_mem DESC, name ASC, id ASC) window
+    "a28_memory_reservation": with_corpus(f"""
+        , agg AS (
+          SELECT query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_ops,
+                 CAST(SUM(peak_mem) AS BIGINT) AS total_peak_mem,
+                 CAST(SUM(est_peak_mem) AS BIGINT) AS total_est_peak_mem,
+                 CAST(SUM(GREATEST(peak_mem - est_peak_mem, 0)) AS BIGINT)
+                   AS underest_bytes
+          FROM iwa_operators GROUP BY query_id),
+        top AS (
+          SELECT query_id, name AS top_mem_op, peak_mem AS top_mem_bytes
+          FROM (SELECT query_id, name, peak_mem, id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY peak_mem DESC, name ASC, id ASC) AS rn
+                FROM iwa_operators)
+          WHERE rn = 1)
+        SELECT a.query_id, a.n_ops, a.total_peak_mem, a.total_est_peak_mem,
+               a.underest_bytes, t.top_mem_op, t.top_mem_bytes,
+               CAST({IDIV('a.total_peak_mem', 'q.num_hosts')} AS BIGINT)
+                 AS mem_per_host,
+               CAST({IDIV('a.total_peak_mem', 'q.num_hosts')} AS BIGINT)
+                 > {_MEM_LIMIT} AS over_limit
+        FROM agg a
+        JOIN top t ON a.query_id = t.query_id
+        JOIN ({_FQ}) q ON a.query_id = q.query_id"""),
     # w6: exact integer-rank p90 cutoff per cluster, then the operator
     # rollup over the tail set — top operator per cluster
     "w6_tail_latency_attribution": with_corpus(f"""
@@ -1186,6 +1279,7 @@ SPARK_QUERIES = {
     "a19_operator_time_quantiles_sketch": operator_time_quantiles_sketch,
     "w6_tail_latency_attribution": tail_latency_attribution,
     "a26_cardinality_qerror": cardinality_qerror,
+    "a28_memory_reservation": memory_reservation,
     "w7_plan_overhead_quantiles": plan_overhead_quantiles,
     "a27_host_load_balance": host_load_balance,
     "plt1_metric_histograms": metric_histograms,

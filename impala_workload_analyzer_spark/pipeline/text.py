@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..corpus import IDIV
 from ..io import load_table
 
 # normalized text: lowercase, whitespace collapsed to single spaces
@@ -1456,6 +1457,165 @@ ORACLES = {
         GROUP BY doc_id""",
 }
 
+
+_VG_B = 10  # vocabulary-growth checkpoints (corpus-prefix buckets)
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx24 — HEAPS'-LAW VOCABULARY GROWTH: distinct-type count as a
+    function of corpus size, sampled at ``_VG_B`` corpus-prefix
+    checkpoints — the curve a corpus builder reads to decide whether
+    more data still buys vocabulary (and to size the tokenizer's merge
+    table). The naive computation (distinct over every prefix) rescans
+    the corpus B times; this one is a single pass: each word's FIRST
+    checkpoint bucket (one min per distinct word) converts cumulative
+    distinct counting into a B-row prefix sum.
+
+    Exactness: bucket assignment is portable integer floor-division over
+    the (min, max) doc_id span; all counts integer; the Heaps exponent
+    ln(cum_types)/ln(cum_tokens) is the only float, rounded to 6.
+
+    Scale: one explode + one vocabulary-keyed groupBy(word) — the same
+    shuffle shape as tx6/tx17 — then ``_VG_B``-row rollups; the final
+    window runs over B rows, never data-sized. The doc_id bounds are a
+    one-row broadcast."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    b = docs.crossJoin(F.broadcast(bounds)).select(
+        "words",
+        F.expr(IDIV(f"(doc_id - lo) * {_VG_B}", "hi - lo + 1")).alias("bucket"),
+    )
+    toks = b.select("bucket", F.explode("words").alias("word"))
+    tokens = toks.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    docs_per = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    first_seen = toks.groupBy("word").agg(F.min("bucket").alias("bucket"))
+    news = first_seen.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(tokens, "bucket")
+        .join(news, "bucket", "left")
+        .fillna(0, ["new_types"])
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wcum).cast("bigint"))
+        .withColumn("cum_types", F.sum("new_types").over(wcum).cast("bigint"))
+        .withColumn(
+            "heaps_beta",
+            F.round(F.log("cum_types") / F.log("cum_tokens"), 6),
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens", "new_types",
+            "cum_tokens", "cum_types", "heaps_beta",
+        )
+    )
+
+
+_N_SHARDS = 64  # manifest shards; a 100 TB run would use ~100k
+_CKSUM_MOD = 1_000_000_007  # keeps the order-proof checksum sum << 2^63
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx25 — DETERMINISTIC TRAINING-SHARD MANIFEST: the global-shuffle
+    step of a training-data serve. Each doc lands in shard
+    md5_60(doc_id) % ``_N_SHARDS`` — a deterministic pseudo-random
+    permutation, so (a) re-runs produce byte-identical shards and (b)
+    every shard is an unbiased corpus sample (no source/time locality).
+    Per shard the manifest carries the counts a trainer schedules by
+    (docs, tokens, bytes, sources, doc_id span) plus an order-proof
+    checksum (sum of per-doc hashes mod ``_CKSUM_MOD``) the reader
+    re-computes after loading to verify shard integrity.
+
+    Exactness: every column is integer arithmetic on the shared 60-bit
+    md5 hash — hash-stable across engines, insensitive to partial-agg
+    order.
+
+    Scale: exactly one groupBy(shard) shuffle; the hash key is uniform
+    so shards are balanced by construction (no skew, no salting
+    needed). At 100 TB raise ``_N_SHARDS`` so a shard fits an executor
+    write task; nothing else changes."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    h = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size("words").cast("bigint").alias("n_tokens"),
+        F.length("norm").cast("bigint").alias("n_bytes"),
+        h.alias("h"),
+    ).withColumn("shard", (F.col("h") % _N_SHARDS).cast("bigint"))
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum(F.col("h") % _CKSUM_MOD).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+ORACLES["tx24_vocab_growth"] = f"""
+        WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+        bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                   FROM documents),
+        b AS (SELECT {IDIV(f'(doc_id - lo) * {_VG_B}', 'hi - lo + 1')}
+                       AS bucket,
+                     words
+              FROM d, bounds),
+        toks AS (SELECT bucket, unnest(words) AS word FROM b),
+        tokens AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                   FROM toks GROUP BY bucket),
+        docs_per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+                     FROM b GROUP BY bucket),
+        fw AS (SELECT word, MIN(bucket) AS bucket FROM toks GROUP BY word),
+        news AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+                 FROM fw GROUP BY bucket),
+        joined AS (
+          SELECT dp.bucket, dp.n_docs, t.n_tokens,
+                 COALESCE(n.new_types, 0) AS new_types
+          FROM docs_per dp
+          JOIN tokens t ON dp.bucket = t.bucket
+          LEFT JOIN news n ON dp.bucket = n.bucket),
+        cum AS (
+          SELECT bucket, n_docs, n_tokens,
+                 CAST(new_types AS BIGINT) AS new_types,
+                 CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_tokens,
+                 CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_types
+          FROM joined)
+        SELECT bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types,
+               ROUND(ln(CAST(cum_types AS DOUBLE))
+                     / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta
+        FROM cum"""
+
+ORACLES["tx25_shard_manifest"] = f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+                 CAST(length({_DUCK_NORM}) AS BIGINT) AS n_bytes,
+                 {_DUCK_H.format(x='CAST(doc_id AS VARCHAR)')} AS h
+          FROM documents),
+        s AS (SELECT *, CAST(h % {_N_SHARDS} AS BIGINT) AS shard FROM d)
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(SUM(h % {_CKSUM_MOD}) AS BIGINT) AS checksum
+        FROM s GROUP BY shard"""
+
+
 SPARK_QUERIES = {
     "snk1_curated_export": curated_export,
     "snk2_incremental_export": incremental_export,
@@ -1480,6 +1640,8 @@ SPARK_QUERIES = {
     "tx14_vocab_coverage": vocab_coverage,
     "tx15_pipeline_funnel": pipeline_funnel,
     "tx22_perplexity_buckets": perplexity_buckets,
+    "tx24_vocab_growth": vocab_growth,
+    "tx25_shard_manifest": shard_manifest,
 }
 
 # tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with

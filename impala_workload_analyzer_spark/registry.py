@@ -67,7 +67,8 @@ _PRIORITY = (
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",
-    "snk3_ann_index_export",
+    "snk3_ann_index_export", "a28_memory_reservation",
+    "tx24_vocab_growth", "tx25_shard_manifest",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

@@ -2366,3 +2366,132 @@ def test_ann_index_export_roundtrip_serves_sim13(spark, sf_dir):
     assert set(spark.read.parquet(os.path.join(out, "codebook")).columns) == {
         "cs", "cid", "cvec"
     }
+
+
+def test_memory_reservation_matches_python(spark, sf_dir):
+    """a28: per-query totals, per-host floor-div footprint, the admission
+    flag, and the deterministic top-operator pick must match an exact
+    python recomputation over the corpus."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        _MEM_LIMIT,
+        _filtered_queries,
+        memory_reservation,
+    )
+
+    hosts = {
+        r["query_id"]: r["num_hosts"]
+        for r in _filtered_queries(spark, sf_dir).collect()
+    }
+    by_q: dict[str, list] = {}
+    for o in corpus_operators(spark, sf_dir).select(
+        "query_id", "id", "name", "peak_mem", "est_peak_mem"
+    ).collect():
+        by_q.setdefault(o["query_id"], []).append(o)
+    got = {r["query_id"]: r for r in memory_reservation(spark, sf_dir).collect()}
+    assert set(got) == set(by_q) & set(hosts)
+    for qid, r in got.items():
+        ops = by_q[qid]
+        total = sum(o["peak_mem"] for o in ops)
+        assert r["n_ops"] == len(ops)
+        assert r["total_peak_mem"] == total
+        assert r["total_est_peak_mem"] == sum(o["est_peak_mem"] for o in ops)
+        assert r["underest_bytes"] == sum(
+            max(o["peak_mem"] - o["est_peak_mem"], 0) for o in ops
+        )
+        top = min(ops, key=lambda o: (-o["peak_mem"], o["name"], o["id"]))
+        assert (r["top_mem_op"], r["top_mem_bytes"]) == (
+            top["name"], top["peak_mem"],
+        )
+        assert r["mem_per_host"] == total // hosts[qid]
+        assert r["over_limit"] == (total // hosts[qid] > _MEM_LIMIT)
+
+
+def test_vocab_growth_matches_python(spark, sf_dir):
+    """tx24: the one-pass first-bucket trick must equal the naive
+    per-prefix distinct recomputation in python."""
+    import math
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _VG_B,
+        _with_norm,
+        vocab_growth,
+    )
+
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "words"
+    ).collect()
+    lo = min(r["doc_id"] for r in docs)
+    hi = max(r["doc_id"] for r in docs)
+    buckets: dict[int, list] = {}
+    for r in docs:
+        b = (r["doc_id"] - lo) * _VG_B // (hi - lo + 1)
+        buckets.setdefault(b, []).append(r["words"])
+    rows = sorted(vocab_growth(spark, sf_dir).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == sorted(buckets)
+    seen: set = set()
+    cum_toks = 0
+    for r in rows:
+        ws = buckets[r["bucket"]]
+        n_toks = sum(len(w) for w in ws)
+        new = {t for w in ws for t in w} - seen
+        assert r["n_docs"] == len(ws)
+        assert r["n_tokens"] == n_toks
+        assert r["new_types"] == len(new)
+        seen |= new
+        cum_toks += n_toks
+        assert r["cum_tokens"] == cum_toks
+        assert r["cum_types"] == len(seen)
+        assert r["heaps_beta"] == round(
+            math.log(len(seen)) / math.log(cum_toks), 6
+        )
+    # the curve must flatten: every checkpoint adds fewer new types than
+    # its token mass would at bucket 0's type/token rate
+    assert rows[-1]["cum_types"] == len(seen)
+
+
+def test_shard_manifest_matches_python(spark, sf_dir):
+    """tx25: shard assignment, all counts, the doc_id span, and the
+    order-proof checksum must match a python md5 recomputation; shards
+    must partition the corpus exactly."""
+    import hashlib
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _CKSUM_MOD,
+        _N_SHARDS,
+        _with_norm,
+        shard_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.size("words").alias("nt"),
+        F.length("norm").alias("nb"),
+    ).collect()
+    exp: dict[int, dict] = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        s = exp.setdefault(h % _N_SHARDS, {
+            "n_docs": 0, "n_tokens": 0, "n_bytes": 0, "sources": set(),
+            "ids": [], "checksum": 0,
+        })
+        s["n_docs"] += 1
+        s["n_tokens"] += r["nt"]
+        s["n_bytes"] += r["nb"]
+        s["sources"].add(r["source"])
+        s["ids"].append(r["doc_id"])
+        s["checksum"] += h % _CKSUM_MOD
+    got = {r["shard"]: r for r in shard_manifest(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    assert sum(r["n_docs"] for r in got.values()) == len(docs)
+    for shard, e in exp.items():
+        g = got[shard]
+        assert g["n_docs"] == e["n_docs"]
+        assert g["n_tokens"] == e["n_tokens"]
+        assert g["n_bytes"] == e["n_bytes"]
+        assert g["n_sources"] == len(e["sources"])
+        assert g["min_doc_id"] == min(e["ids"])
+        assert g["max_doc_id"] == max(e["ids"])
+        assert g["checksum"] == e["checksum"]
