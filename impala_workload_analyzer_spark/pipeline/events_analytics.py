@@ -1621,8 +1621,121 @@ ORACLES = {
 
 ORACLES["ev11_sessionize_salted"] = ORACLES["ev3_sessionize"]  # same semantics
 
+def gap_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev25 — TIME-SERIES GAP AUDIT (the hypertable ``gap-fill``
+    companion to ev7's rollup): per event type, how complete its hourly
+    bucket series is over its own [first, last] span — missing-hour
+    count, number of distinct outage windows, and the LONGEST outage —
+    the data-freshness report a pipeline owner reads before trusting
+    any windowed aggregate downstream. Outage windows come from the
+    classic islands trick: consecutive missing hours share
+    ``h/3600 - row_number()``, so one window pass turns the missing set
+    into runs.
+
+    Exactness: everything is integer bucket arithmetic except the final
+    coverage ratio (one division, rounded to 9).
+
+    Scale: the only events-sized operation is the distinct
+    (type, hour) projection — a single shuffle that collapses 100 TB of
+    events to type x hour cardinality; the generated grid, anti-join,
+    and islands window all run on that collapsed frame (bounded by
+    span-hours per type, not by event count)."""
+    ev = load_table(spark, sf_dir, "events")
+    present = ev.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).distinct()
+    span = present.groupBy("event_type").agg(
+        F.min("h").alias("lo"),
+        F.max("h").alias("hi"),
+        F.count("*").cast("bigint").alias("n_present"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    missing = grid.join(present, ["event_type", "h"], "left_anti")
+    wr = Window.partitionBy("event_type").orderBy("h")
+    runs = (
+        missing.withColumn(
+            "grp",
+            (F.col("h") / 3600).cast("bigint") - F.row_number().over(wr),
+        )
+        .groupBy("event_type", "grp")
+        .agg(F.count("*").cast("bigint").alias("run"))
+    )
+    gaps = runs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.max("run").alias("longest_gap_hours"),
+        F.sum("run").cast("bigint").alias("n_missing"),
+    )
+    return (
+        span.join(gaps, "event_type", "left")
+        .fillna(0, ["n_gaps", "longest_gap_hours", "n_missing"])
+        .withColumn(
+            "n_hours_span",
+            ((F.col("hi") - F.col("lo")) / 3600 + 1).cast("bigint"),
+        )
+        .select(
+            "event_type",
+            "n_hours_span",
+            F.col("n_present").alias("n_hours_present"),
+            "n_missing",
+            "n_gaps",
+            "longest_gap_hours",
+            F.round(
+                F.col("n_present") / F.col("n_hours_span").cast("double"), 9
+            ).alias("coverage_frac"),
+        )
+    )
+
+
+ORACLES_EV25 = """
+        WITH present AS (
+          SELECT DISTINCT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+          FROM events),
+        span AS (
+          SELECT event_type, MIN(h) AS lo, MAX(h) AS hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_present
+          FROM present GROUP BY event_type),
+        grid AS (
+          SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS h
+          FROM span),
+        missing AS (
+          SELECT g.event_type, g.h
+          FROM grid g LEFT JOIN present p
+            ON p.event_type = g.event_type AND p.h = g.h
+          WHERE p.h IS NULL),
+        runs AS (
+          SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS run
+          FROM (SELECT event_type, h,
+                       CAST(h / 3600 AS BIGINT)
+                         - ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY h) AS grp
+                FROM missing)
+          GROUP BY event_type, grp),
+        gaps AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 MAX(run) AS longest_gap_hours,
+                 CAST(SUM(run) AS BIGINT) AS n_missing
+          FROM runs GROUP BY event_type)
+        SELECT s.event_type,
+               CAST((s.hi - s.lo) / 3600 + 1 AS BIGINT) AS n_hours_span,
+               s.n_present AS n_hours_present,
+               COALESCE(g.n_missing, 0) AS n_missing,
+               COALESCE(g.n_gaps, 0) AS n_gaps,
+               COALESCE(g.longest_gap_hours, 0) AS longest_gap_hours,
+               ROUND(s.n_present
+                     / CAST((s.hi - s.lo) / 3600 + 1 AS DOUBLE), 9)
+                 AS coverage_frac
+        FROM span s LEFT JOIN gaps g ON g.event_type = s.event_type"""
+
+
 SPARK_QUERIES = {
     "ev1_tumbling_hourly": tumbling_hourly,
+    "ev25_gap_fill_audit": gap_fill_audit,
     "ev23_rate_cusum": rate_cusum,
     "ev24_periodicity_acf": periodicity_acf,
     "ev2_sliding_hourly": sliding_hourly,
@@ -1647,3 +1760,5 @@ SPARK_QUERIES = {
     "ev15_disorder_profile": disorder_profile,
     "ev16_seasonality_heatmap": seasonality_heatmap,
 }
+
+ORACLES["ev25_gap_fill_audit"] = ORACLES_EV25

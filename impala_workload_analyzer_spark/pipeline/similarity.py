@@ -1783,6 +1783,102 @@ ORACLES["sim16_ann_comparison"] = f"""
                      / CAST(COUNT(*) AS DOUBLE), 9) AS frac_perfect
         FROM r GROUP BY method"""
 
+def nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim20 — THE IVF TUNING CURVE: recall@k and expected scan cost as
+    a function of nprobe, over the WHOLE nprobe axis in one pass. sim10
+    measures the single point the index currently runs at
+    (``_N_PROBE``); this op gives the operator the full dial: for every
+    possible probe depth, what fraction of the exact top-k would be
+    found and what fraction of the corpus would be scanned — the
+    recall/cost frontier an ANN rollout picks its operating point from.
+
+    The trick that makes it one pass instead of nlists searches: a true
+    neighbor is recalled at probe depth p iff the CELL it lives in ranks
+    <= p in the query's centroid ordering — so one rank per (query,
+    true-neighbor) pair materializes every sweep point at once (the
+    same first-occurrence idea as tx24's vocabulary curve).
+
+    Exactness: counts are integers; recall and scan fractions are one
+    final integer-ratio division rounded to 9 (partial-agg-order-proof).
+    At the full probe depth recall is 1.0 by construction — a built-in
+    self-check the oracle verifies.
+
+    Scale: reuses sim4's broadcast-centroid scoring (one map-side cross
+    product, one vec_id-keyed argmax shuffle); the sweep itself runs on
+    (queries x cells) and (queries x k) frames — batch-sized, never
+    corpus-sized. The only non-equi join is tiny-grid x (nq*k) under
+    broadcast."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    scored = _ivf_scored(emb)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"),
+            F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+        ).alias("list_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
+    ranks = (
+        scored.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "c_label", "score")
+        .withColumn("probe_rank", F.row_number().over(wq).cast("bigint"))
+    )
+    truth = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    tr = truth.join(
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(
+        ranks.select(
+            "query_id", F.col("c_label").alias("list_id"), "probe_rank"
+        ),
+        ["query_id", "list_id"],
+    )
+    sizes = assign.groupBy("list_id").agg(
+        F.count("*").cast("bigint").alias("lsz")
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("probe_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranks.join(
+        F.broadcast(sizes), ranks["c_label"] == sizes["list_id"]
+    ).withColumn("cum_sz", F.sum("lsz").over(wcum).cast("bigint"))
+    scan = cum.groupBy("probe_rank").agg(
+        F.sum("cum_sz").cast("bigint").alias("sum_scan"),
+        F.count("*").cast("bigint").alias("n_queries"),
+    )
+    tot = emb.agg(F.count("*").cast("bigint").alias("n_total"))
+    grid = ranks.select(F.col("probe_rank").alias("nprobe")).distinct()
+    hits = (
+        F.broadcast(grid)
+        .join(tr, tr["probe_rank"] <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        grid.join(hits, "nprobe", "left")
+        .fillna(0, ["n_hits"])
+        .join(
+            scan.withColumnRenamed("probe_rank", "nprobe"), "nprobe"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            "n_hits",
+            "n_queries",
+            F.round(
+                F.col("n_hits")
+                / (F.col("n_queries") * _TOP_K).cast("double"),
+                9,
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("sum_scan")
+                / (F.col("n_queries") * F.col("n_total")).cast("double"),
+                9,
+            ).alias("avg_scan_frac"),
+        )
+    )
+
+
 SPARK_QUERIES = {
     "dd5_embedding_neardup": embedding_neardup_pairs,
     "dd9_semantic_components": semantic_components,
@@ -1805,5 +1901,87 @@ SPARK_QUERIES = {
     "sim17_filtered_topk": filtered_topk,
     "sim18_diverse_topk": diverse_topk,
     "sim19_hard_negatives": hard_negatives,
+    "sim20_nprobe_sweep": nprobe_sweep,
     "snk3_ann_index_export": ann_index_export,
 }
+
+ORACLES["sim20_nprobe_sweep"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        ranks AS (
+          SELECT vec_id AS query_id, c_label,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, c_label ASC) AS BIGINT)
+                   AS probe_rank
+          FROM scored WHERE vec_id < {_QUERY_K}),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id < {_QUERY_K}),
+        exact_sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        truth AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM exact_sim) WHERE rank <= {_TOP_K}),
+        tr AS (
+          SELECT t.query_id, r.probe_rank
+          FROM truth t
+          JOIN assign a ON a.vec_id = t.neighbor_id
+          JOIN ranks r ON r.query_id = t.query_id
+                      AND r.c_label = a.list_id),
+        sizes AS (
+          SELECT list_id, CAST(COUNT(*) AS BIGINT) AS lsz
+          FROM assign GROUP BY list_id),
+        cum AS (
+          SELECT r.query_id, r.probe_rank,
+                 CAST(SUM(s.lsz) OVER (PARTITION BY r.query_id
+                        ORDER BY r.probe_rank) AS BIGINT) AS cum_sz
+          FROM ranks r JOIN sizes s ON r.c_label = s.list_id),
+        scan AS (
+          SELECT probe_rank,
+                 CAST(SUM(cum_sz) AS BIGINT) AS sum_scan,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries
+          FROM cum GROUP BY probe_rank),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+        grid AS (SELECT DISTINCT probe_rank AS nprobe FROM ranks),
+        hits AS (
+          SELECT g.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM grid g JOIN tr ON tr.probe_rank <= g.nprobe
+          GROUP BY g.nprobe)
+        SELECT g.nprobe,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               s.n_queries,
+               ROUND(COALESCE(h.n_hits, 0)
+                     / CAST(s.n_queries * {_TOP_K} AS DOUBLE), 9)
+                 AS recall_at_k,
+               ROUND(s.sum_scan
+                     / CAST(s.n_queries * t.n_total AS DOUBLE), 9)
+                 AS avg_scan_frac
+        FROM grid g
+        LEFT JOIN hits h ON h.nprobe = g.nprobe
+        JOIN scan s ON s.probe_rank = g.nprobe
+        CROSS JOIN tot t"""

@@ -1562,6 +1562,94 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx26 — SOURCE-PAIR VOCABULARY OVERLAP MATRIX: exact token-set
+    Jaccard between every pair of sources — the corpus-composition read
+    (which sources are redundant, which bring novel vocabulary) that
+    sits one level above tx20's per-doc novelty and complements dd17's
+    doc-level tier comparison with a source-level view.
+
+    Exactness: set sizes and intersections are integers; Jaccard is one
+    final division rounded to 9.
+
+    Scale: the corpus-sized work is a single distinct (source, token)
+    projection; the intersection self-join is keyed on token and each
+    token contributes at most n_sources^2 rows — the join output is
+    bounded by vocabulary x sources^2, independent of document count.
+    The full pair grid (sources^2 rows) is broadcast-built so
+    zero-overlap pairs still appear."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    sv = docs.select("source", F.explode("words").alias("word")).distinct()
+    sizes = sv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vsz")
+    )
+    inter = (
+        sv.select(F.col("source").alias("source_a"), "word")
+        .join(sv.select(F.col("source").alias("source_b"), "word"), "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    pairs = (
+        F.broadcast(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("vsz").alias("va")
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("vsz").alias("vb"),
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .fillna(0, ["n_common"])
+        .select(
+            "source_a",
+            "source_b",
+            "va",
+            "vb",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["tx26_source_overlap"] = f"""
+        WITH d AS (SELECT source, {_DUCK_WORDS} AS words FROM documents),
+        sv AS (SELECT DISTINCT source, unnest(words) AS word FROM d),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz
+                  FROM sv GROUP BY source),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+          GROUP BY a.source, b.source),
+        pairs AS (
+          SELECT a.source AS source_a, a.vsz AS va,
+                 b.source AS source_b, b.vsz AS vb
+          FROM sizes a CROSS JOIN sizes b
+          WHERE a.source < b.source)
+        SELECT p.source_a, p.source_b, p.va, p.vb,
+               COALESCE(i.n_common, 0) AS n_common,
+               ROUND(COALESCE(i.n_common, 0)
+                     / CAST(p.va + p.vb - COALESCE(i.n_common, 0)
+                            AS DOUBLE), 9) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i
+          ON i.source_a = p.source_a AND i.source_b = p.source_b"""
+
 ORACLES["tx24_vocab_growth"] = f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
@@ -1642,6 +1730,7 @@ SPARK_QUERIES = {
     "tx22_perplexity_buckets": perplexity_buckets,
     "tx24_vocab_growth": vocab_growth,
     "tx25_shard_manifest": shard_manifest,
+    "tx26_source_overlap": source_overlap,
 }
 
 # tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with

@@ -68,7 +68,9 @@ _PRIORITY = (
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",
     "snk3_ann_index_export", "a28_memory_reservation",
-    "tx24_vocab_growth", "tx25_shard_manifest",
+    "tx24_vocab_growth", "tx25_shard_manifest", "sim20_nprobe_sweep",
+    "ev25_gap_fill_audit", "tx26_source_overlap",
+    "st14_streaming_gap_detect",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

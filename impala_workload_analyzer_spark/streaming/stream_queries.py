@@ -928,7 +928,87 @@ def _st8_oracle() -> str:
         GROUP BY 1, 2"""
 
 
+def streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st14 — ev25's outage windows detected LIVE: per event_type the
+    keyed state is ONE long (the last hour bucket seen); when an event
+    arrives in a later hour with at least one full empty hour between,
+    the outage that just ended is emitted — (gap_start, resume hour,
+    missing-hour count). Event-time-driven resume detection is the
+    deterministic half of a production gap alerter (the wall-clock
+    timeout half that flags a STILL-ONGOING outage is inherently
+    non-reproducible, so it stays out of the oracle-checked surface).
+
+    Exactness: pure integer bucket arithmetic — no floats anywhere.
+    The oracle is the batch LAG over distinct (type, hour): interior
+    gaps only, which is exactly what resume-driven detection sees.
+
+    Scale: state is one long per event type; each micro-batch collapses
+    to its distinct hour set before the python loop, so per-batch work
+    is bounded by hours-touched, not event count."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("gap_start", LongType()),
+            StructField("gap_end", LongType()),
+            StructField("gap_hours", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_hour", LongType())])
+
+    def fn(key, pdfs, state: "GroupState"):
+        last = state.get[0] if state.exists else -1
+        rows = []
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        if len(chunk):
+            for h in sorted({int(e) // 3600 * 3600 for e in chunk["epoch"]}):
+                if last >= 0 and h > last + 3600:
+                    rows.append(
+                        (key[0], last + 3600, h, (h - last) // 3600 - 1)
+                    )
+                if h > last:
+                    last = h
+            state.update((int(last),))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "gap_start", "gap_end", "gap_hours"]
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(out, "st14_out", "append")
+    return spark.table("st14_out")
+
+
+_ST14_ORACLE = """
+        WITH p AS (
+          SELECT DISTINCT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+          FROM events),
+        l AS (
+          SELECT event_type, h,
+                 LAG(h) OVER (PARTITION BY event_type ORDER BY h) AS ph
+          FROM p)
+        SELECT event_type,
+               CAST(ph + 3600 AS BIGINT) AS gap_start,
+               h AS gap_end,
+               CAST((h - ph) / 3600 - 1 AS BIGINT) AS gap_hours
+        FROM l WHERE ph IS NOT NULL AND h - ph > 3600"""
+
+
 ORACLES = {
+    "st14_streaming_gap_detect": _ST14_ORACLE,
     "st12_streaming_rate_alerts": _st12_oracle(),
     "st13_streaming_cusum": _st13_oracle(),
     "st11_streaming_bloom": _st11_oracle(),
@@ -986,4 +1066,5 @@ SPARK_QUERIES = {
     "st11_streaming_bloom": streaming_bloom,
     "st12_streaming_rate_alerts": streaming_rate_alerts,
     "st13_streaming_cusum": streaming_cusum,
+    "st14_streaming_gap_detect": streaming_gap_detect,
 }

@@ -2495,3 +2495,125 @@ def test_shard_manifest_matches_python(spark, sf_dir):
         assert g["min_doc_id"] == min(e["ids"])
         assert g["max_doc_id"] == max(e["ids"])
         assert g["checksum"] == e["checksum"]
+
+
+def test_nprobe_sweep_envelope_and_sim10_point(spark, sf_dir):
+    """sim20: recall and scan cost are monotone non-decreasing in nprobe,
+    the full-depth point is exactly (recall 1.0, scan frac 1.0), and the
+    sweep's point at the live ``_N_PROBE`` equals sim10's measured
+    aggregate recall (a probed true neighbor always survives the
+    candidate top-k: anything outscoring it is itself a global
+    top-k member, and there are fewer than k of those)."""
+    rows = sorted(
+        similarity.nprobe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_hits"] >= a["n_hits"]
+        assert b["avg_scan_frac"] >= a["avg_scan_frac"]
+    assert rows[-1]["recall_at_k"] == 1.0
+    assert rows[-1]["avg_scan_frac"] == 1.0
+    sim10_hits = sum(
+        r["n_hits"] for r in similarity.ivf_recall(spark, sf_dir).collect()
+    )
+    at_live = rows[similarity._N_PROBE - 1]
+    assert at_live["n_hits"] == sim10_hits
+
+
+def test_gap_fill_audit_matches_python(spark, sf_dir):
+    """ev25: span, coverage, and the islands-derived outage stats must
+    match a python recomputation over the distinct (type, hour) set."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        gap_fill_audit,
+    )
+
+    present: dict[str, set] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        )
+        .distinct()
+        .collect()
+    ):
+        present.setdefault(r["event_type"], set()).add(r["h"])
+    got = {r["event_type"]: r for r in gap_fill_audit(spark, sf_dir).collect()}
+    assert set(got) == set(present)
+    for et, hours in present.items():
+        lo, hi = min(hours), max(hours)
+        span = (hi - lo) // 3600 + 1
+        missing = sorted(
+            h for h in range(lo, hi + 3600, 3600) if h not in hours
+        )
+        runs = []
+        for h in missing:
+            if runs and h - runs[-1][-1] == 3600:
+                runs[-1].append(h)
+            else:
+                runs.append([h])
+        g = got[et]
+        assert g["n_hours_span"] == span
+        assert g["n_hours_present"] == len(hours)
+        assert g["n_missing"] == len(missing)
+        assert g["n_gaps"] == len(runs)
+        assert g["longest_gap_hours"] == max(
+            (len(r) for r in runs), default=0
+        )
+        assert g["coverage_frac"] == round(len(hours) / span, 9)
+
+
+def test_source_overlap_matches_python(spark, sf_dir):
+    """tx26: every source pair's vocabulary sizes, intersection, and
+    Jaccard must match exact python set arithmetic; the matrix must
+    cover all C(n,2) pairs."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _with_norm,
+        source_overlap,
+    )
+
+    vocab: dict[str, set] = {}
+    for r in _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "source", "words"
+    ).collect():
+        vocab.setdefault(r["source"], set()).update(r["words"])
+    rows = source_overlap(spark, sf_dir).collect()
+    n = len(vocab)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        a, b = vocab[r["source_a"]], vocab[r["source_b"]]
+        assert r["source_a"] < r["source_b"]
+        assert r["va"] == len(a)
+        assert r["vb"] == len(b)
+        assert r["n_common"] == len(a & b)
+        assert r["jaccard"] == round(len(a & b) / len(a | b), 9)
+
+
+def test_streaming_gap_detect_equals_batch_islands(spark, sf_dir):
+    """st14: the live resume-driven outage records must aggregate to
+    exactly ev25's batch gap audit (same missing-hour totals, same
+    outage count, same longest outage — every ev25 gap is interior, so
+    the two views see the same windows), and each record's arithmetic
+    must be internally consistent."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        gap_fill_audit,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_gap_detect,
+    )
+
+    gaps: dict[str, list] = {}
+    for r in streaming_gap_detect(spark, sf_dir).collect():
+        assert r["gap_end"] - r["gap_start"] == 3600 * r["gap_hours"]
+        assert r["gap_hours"] >= 1
+        gaps.setdefault(r["event_type"], []).append(r["gap_hours"])
+    for b in gap_fill_audit(spark, sf_dir).collect():
+        g = gaps.get(b["event_type"], [])
+        assert sum(g) == b["n_missing"]
+        assert len(g) == b["n_gaps"]
+        assert max(g, default=0) == b["longest_gap_hours"]
