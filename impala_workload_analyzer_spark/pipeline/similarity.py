@@ -1839,9 +1839,15 @@ def nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("probe_rank")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = ranks.join(
-        F.broadcast(sizes), ranks["c_label"] == sizes["list_id"]
-    ).withColumn("cum_sz", F.sum("lsz").over(wcum).cast("bigint"))
+    # left join + 0-fill: a cell no vector argmaxes to still occupies a
+    # probe rank in every query's ordering and must not drop scan rows
+    cum = (
+        ranks.join(
+            F.broadcast(sizes), ranks["c_label"] == sizes["list_id"], "left"
+        )
+        .fillna(0, ["lsz"])
+        .withColumn("cum_sz", F.sum("lsz").over(wcum).cast("bigint"))
+    )
     scan = cum.groupBy("probe_rank").agg(
         F.sum("cum_sz").cast("bigint").alias("sum_scan"),
         F.count("*").cast("bigint").alias("n_queries"),
@@ -1958,9 +1964,9 @@ ORACLES["sim20_nprobe_sweep"] = f"""
           FROM assign GROUP BY list_id),
         cum AS (
           SELECT r.query_id, r.probe_rank,
-                 CAST(SUM(s.lsz) OVER (PARTITION BY r.query_id
+                 CAST(SUM(COALESCE(s.lsz, 0)) OVER (PARTITION BY r.query_id
                         ORDER BY r.probe_rank) AS BIGINT) AS cum_sz
-          FROM ranks r JOIN sizes s ON r.c_label = s.list_id),
+          FROM ranks r LEFT JOIN sizes s ON r.c_label = s.list_id),
         scan AS (
           SELECT probe_rank,
                  CAST(SUM(cum_sz) AS BIGINT) AS sum_scan,

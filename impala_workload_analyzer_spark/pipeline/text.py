@@ -1506,8 +1506,13 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_tokens").over(wcum).cast("bigint"))
         .withColumn("cum_types", F.sum("new_types").over(wcum).cast("bigint"))
         .withColumn(
+            # guarded: at cum_tokens=1 Spark's non-ANSI 0/0 is NULL but
+            # DuckDB's IEEE 0/0 is NaN — pin the degenerate point to NULL
             "heaps_beta",
-            F.round(F.log("cum_types") / F.log("cum_tokens"), 6),
+            F.when(
+                F.col("cum_tokens") > 1,
+                F.round(F.log("cum_types") / F.log("cum_tokens"), 6),
+            ),
         )
         .select(
             "bucket", "n_docs", "n_tokens", "new_types",
@@ -1681,8 +1686,10 @@ ORACLES["tx24_vocab_growth"] = f"""
                    AS cum_types
           FROM joined)
         SELECT bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types,
-               ROUND(ln(CAST(cum_types AS DOUBLE))
-                     / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta
+               CASE WHEN cum_tokens > 1
+                    THEN ROUND(ln(CAST(cum_types AS DOUBLE))
+                               / ln(CAST(cum_tokens AS DOUBLE)), 6)
+               END AS heaps_beta
         FROM cum"""
 
 ORACLES["tx25_shard_manifest"] = f"""

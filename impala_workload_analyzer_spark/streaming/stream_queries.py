@@ -940,7 +940,12 @@ def streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure integer bucket arithmetic — no floats anywhere.
     The oracle is the batch LAG over distinct (type, hour): interior
-    gaps only, which is exactly what resume-driven detection sees.
+    gaps only, which is exactly what resume-driven detection sees. As
+    with st5/st9/st10/st12, stream == batch is witnessed on the
+    IN-ORDER finite source: an hour arriving after ``last_hour`` has
+    advanced past it (cross-batch event-time disorder) is ignored, the
+    standard monotone-state discipline — a deployment facing disorder
+    bounds it with a watermark upstream, as st1/st2 do.
 
     Scale: state is one long per event type; each micro-batch collapses
     to its distinct hour set before the python loop, so per-batch work

@@ -2446,9 +2446,6 @@ def test_vocab_growth_matches_python(spark, sf_dir):
         assert r["heaps_beta"] == round(
             math.log(len(seen)) / math.log(cum_toks), 6
         )
-    # the curve must flatten: every checkpoint adds fewer new types than
-    # its token mass would at bucket 0's type/token rate
-    assert rows[-1]["cum_types"] == len(seen)
 
 
 def test_shard_manifest_matches_python(spark, sf_dir):
