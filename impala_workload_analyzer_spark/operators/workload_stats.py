@@ -783,6 +783,46 @@ def memory_reservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shuffle_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a29 — SHUFFLE-AMPLIFICATION AUDIT: per query, the rows its plan
+    moved through EXCHANGE operators relative to the rows its scans
+    produced — the network-pressure metric that separates "this query
+    is slow because it reads a lot" from "this query is slow because
+    its plan re-shuffles what it read" (high amplification points at a
+    missing pre-aggregation or a join order that shuffles the fact side
+    repeatedly). Uses the profile's per-operator RowsReturned
+    (``num_rows``), −1 sentinels excluded.
+
+    Exactness: integer sums and counts; the amplification ratio is one
+    final division rounded to 9, NULL when no scan rows exist (DDL-less
+    plan or all-sentinel scans) — same guard in both engines.
+
+    Scale: a single conditional grouped aggregation over the bucketed
+    operator scan, partitioned by query_id — no second shuffle."""
+    ops = corpus_operators(spark, sf_dir).select("query_id", "name", "num_rows")
+    agg = ops.filter(F.col("num_rows") >= 0).groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("name") == "EXCHANGE", F.col("num_rows")).otherwise(0)
+        ).cast("bigint").alias("exchange_rows"),
+        F.sum(
+            F.when(F.col("name").startswith("SCAN"), F.col("num_rows")).otherwise(0)
+        ).cast("bigint").alias("scan_rows"),
+        F.sum(
+            F.when(F.col("name") == "EXCHANGE", 1).otherwise(0)
+        ).cast("bigint").alias("n_exchanges"),
+        F.sum(
+            F.when(F.col("name").startswith("SCAN"), 1).otherwise(0)
+        ).cast("bigint").alias("n_scans"),
+    )
+    return agg.select(
+        "query_id", "exchange_rows", "scan_rows", "n_exchanges", "n_scans",
+        F.when(
+            F.col("scan_rows") > 0,
+            F.round(F.col("exchange_rows") / F.col("scan_rows").cast("double"), 9),
+        ).alias("amplification"),
+    )
+
+
 _TAIL_P = 0.9  # tail = queries at or above the per-cluster p90 runtime
 
 
@@ -1051,6 +1091,29 @@ ORACLES: dict[str, str] = {
         FROM agg a
         JOIN top t ON a.query_id = t.query_id
         JOIN ({_FQ}) q ON a.query_id = q.query_id"""),
+    # a29: conditional integer sums over the operator scan; ratio NULL
+    # when no scan rows, mirrored by CASE in both engines
+    "a29_shuffle_amplification": with_corpus("""
+        SELECT query_id,
+               CAST(SUM(CASE WHEN name = 'EXCHANGE' THEN num_rows ELSE 0 END)
+                 AS BIGINT) AS exchange_rows,
+               CAST(SUM(CASE WHEN name LIKE 'SCAN%' THEN num_rows ELSE 0 END)
+                 AS BIGINT) AS scan_rows,
+               CAST(SUM(CASE WHEN name = 'EXCHANGE' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_exchanges,
+               CAST(SUM(CASE WHEN name LIKE 'SCAN%' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_scans,
+               CASE WHEN SUM(CASE WHEN name LIKE 'SCAN%' THEN num_rows
+                                  ELSE 0 END) > 0
+                    THEN ROUND(SUM(CASE WHEN name = 'EXCHANGE' THEN num_rows
+                                        ELSE 0 END)
+                               / CAST(SUM(CASE WHEN name LIKE 'SCAN%'
+                                               THEN num_rows ELSE 0 END)
+                                      AS DOUBLE), 9)
+               END AS amplification
+        FROM iwa_operators
+        WHERE num_rows >= 0
+        GROUP BY query_id"""),
     # w6: exact integer-rank p90 cutoff per cluster, then the operator
     # rollup over the tail set — top operator per cluster
     "w6_tail_latency_attribution": with_corpus(f"""
@@ -1280,6 +1343,7 @@ SPARK_QUERIES = {
     "w6_tail_latency_attribution": tail_latency_attribution,
     "a26_cardinality_qerror": cardinality_qerror,
     "a28_memory_reservation": memory_reservation,
+    "a29_shuffle_amplification": shuffle_amplification,
     "w7_plan_overhead_quantiles": plan_overhead_quantiles,
     "a27_host_load_balance": host_load_balance,
     "plt1_metric_histograms": metric_histograms,

@@ -226,3 +226,49 @@ def test_metric_bars_are_dense_and_exact(spark, sf_dir):
         bars = sorted(got[metric], key=lambda r: r["value"])
         assert [(r["value"], r["n_queries"]) for r in bars] == sorted(tally.items())
         assert sum(r["n_queries"] for r in bars) == len(data)
+
+
+def test_shuffle_amplification_matches_python(spark, sf_dir):
+    """a29: per-query exchange/scan row sums and the guarded ratio must
+    match an exact python recomputation (sentinel rows excluded).
+    Ratios round HALF_UP — Spark/DuckDB ROUND semantics, not python's
+    banker's rounding (the fixture hits an exact .xxx5 dyadic case)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        shuffle_amplification,
+    )
+
+    by_q: dict[str, list] = {}
+    for o in corpus_operators(spark, sf_dir).select(
+        "query_id", "name", "num_rows"
+    ).collect():
+        if o["num_rows"] >= 0:
+            by_q.setdefault(o["query_id"], []).append(o)
+    got = {
+        r["query_id"]: r
+        for r in shuffle_amplification(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_q)
+    for qid, ops in by_q.items():
+        ex = sum(o["num_rows"] for o in ops if o["name"] == "EXCHANGE")
+        sc = sum(o["num_rows"] for o in ops if o["name"].startswith("SCAN"))
+        r = got[qid]
+        assert r["exchange_rows"] == ex
+        assert r["scan_rows"] == sc
+        assert r["n_exchanges"] == sum(
+            1 for o in ops if o["name"] == "EXCHANGE"
+        )
+        assert r["n_scans"] == sum(
+            1 for o in ops if o["name"].startswith("SCAN")
+        )
+        if sc > 0:
+            want = float(
+                Decimal(ex / sc).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert r["amplification"] == want
+        else:
+            assert r["amplification"] is None
