@@ -169,6 +169,76 @@ def template_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5_sql_antipatterns — the WORKLOAD LINT report: per statement
+    template, which rewrite-advisor rules fire and how much runtime the
+    flagged shape costs — the triage list a SQL-review rotation works
+    from. Rules over q1's parsed feature counters:
+
+    - ``analytic_no_limit``: window functions with no LIMIT — the
+      full-partition sort/materialization shape;
+    - ``subquery_filter``: WHERE-clause subqueries — the semi-join
+      candidates a planner may de-correlate badly;
+    - ``like_filter``: LIKE/RLIKE/REGEXP predicates — non-sargable
+      filters that defeat scan pruning.
+
+    Only templates with at least one flag appear (a lint report is its
+    violations). Flags aggregate per template with MAX (any flagged
+    instantiation flags the template) — integer 0/1 max cast to boolean
+    identically in both engines; runtime sums are exact BIGINT.
+
+    Scale: identical shape to q4 — the per-row parse already ran; this
+    adds one template-keyed shuffle over template-cardinality rows."""
+    feats = sql_features(spark, sf_dir).select(
+        "query_id",
+        "parameterized_stmt",
+        "num_select_analytic_exprs",
+        "num_limits",
+        "num_where_subqueries",
+        "num_where_like_like",
+        "num_where_like_rlike",
+        "num_where_like_regexp",
+    )
+    q = materialized_table(spark, sf_dir, "queries").select(
+        "query_id", "runtime"
+    )
+    flagged = (
+        feats.filter(F.col("parameterized_stmt").isNotNull())
+        .join(q, "query_id")
+        .withColumn(
+            "f_analytic",
+            (
+                (F.col("num_select_analytic_exprs") > 0)
+                & (F.col("num_limits") == 0)
+            ).cast("int"),
+        )
+        .withColumn(
+            "f_subquery", (F.col("num_where_subqueries") > 0).cast("int")
+        )
+        .withColumn(
+            "f_like",
+            (
+                F.col("num_where_like_like")
+                + F.col("num_where_like_rlike")
+                + F.col("num_where_like_regexp")
+                > 0
+            ).cast("int"),
+        )
+    )
+    agg = flagged.groupBy("parameterized_stmt").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("runtime").cast("bigint").alias("total_runtime"),
+        F.max("f_analytic").cast("boolean").alias("analytic_no_limit"),
+        F.max("f_subquery").cast("boolean").alias("subquery_filter"),
+        F.max("f_like").cast("boolean").alias("like_filter"),
+    )
+    return agg.filter(
+        F.col("analytic_no_limit")
+        | F.col("subquery_filter")
+        | F.col("like_filter")
+    )
+
+
 # Expected counters per corpus statement template (profile_render.
 # sql_stmt_for); SELECT statements rotate through 4 shape variants on
 # k % 4. Values below were pinned by running extract_sql_features on each
@@ -246,10 +316,33 @@ ORACLES = {
         FROM ({_FEATURE_CASE}) f JOIN iwa_queries q USING (query_id)
         WHERE f.parameterized_stmt IS NOT NULL
         GROUP BY f.parameterized_stmt"""),
+    "q5_sql_antipatterns": with_corpus(f"""
+        , flagged AS (
+          SELECT f.parameterized_stmt, q.runtime,
+                 CASE WHEN f.num_select_analytic_exprs > 0
+                           AND f.num_limits = 0 THEN 1 ELSE 0 END AS f_analytic,
+                 CASE WHEN f.num_where_subqueries > 0 THEN 1 ELSE 0 END
+                   AS f_subquery,
+                 CASE WHEN f.num_where_like_like + f.num_where_like_rlike
+                           + f.num_where_like_regexp > 0 THEN 1 ELSE 0 END
+                   AS f_like
+          FROM ({_FEATURE_CASE}) f JOIN iwa_queries q USING (query_id)
+          WHERE f.parameterized_stmt IS NOT NULL)
+        SELECT parameterized_stmt,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(runtime) AS BIGINT) AS total_runtime,
+               CAST(MAX(f_analytic) AS BOOLEAN) AS analytic_no_limit,
+               CAST(MAX(f_subquery) AS BOOLEAN) AS subquery_filter,
+               CAST(MAX(f_like) AS BOOLEAN) AS like_filter
+        FROM flagged
+        GROUP BY parameterized_stmt
+        HAVING MAX(f_analytic) = 1 OR MAX(f_subquery) = 1
+            OR MAX(f_like) = 1"""),
 }
 
 SPARK_QUERIES = {
     "q1_sql_features": sql_features,
     "q3_features_rollup": features_rollup,
     "q4_template_runtime": template_runtime,
+    "q5_sql_antipatterns": sql_antipatterns,
 }

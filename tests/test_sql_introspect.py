@@ -290,3 +290,58 @@ def test_parser_canonicalization_fixed_point(sql):
     rendered = to_sql(stmt)
     assert to_sql(parse_sql(rendered)) == rendered
     assert parameterize_sql(rendered) == parameterize_sql(sql)
+
+
+def test_sql_antipatterns_matches_python(spark, sf_dir):
+    """q5: the lint report must equal a python recomputation over q1's
+    parsed features joined to the corpus runtimes — same rules, same
+    any-instantiation-flags-the-template MAX semantics, only flagged
+    templates present."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.sql_introspect.queries import (
+        sql_antipatterns,
+        sql_features,
+    )
+
+    runtime = {
+        r["query_id"]: r["runtime"]
+        for r in corpus_queries(spark, sf_dir).collect()
+    }
+    exp: dict[str, dict] = {}
+    for f in sql_features(spark, sf_dir).select(
+        "query_id", "parameterized_stmt", "num_select_analytic_exprs",
+        "num_limits", "num_where_subqueries", "num_where_like_like",
+        "num_where_like_rlike", "num_where_like_regexp",
+    ).collect():
+        if f["parameterized_stmt"] is None:
+            continue
+        t = exp.setdefault(
+            f["parameterized_stmt"],
+            {"n": 0, "rt": 0, "an": False, "sq": False, "lk": False},
+        )
+        t["n"] += 1
+        t["rt"] += runtime[f["query_id"]]
+        t["an"] |= (
+            f["num_select_analytic_exprs"] > 0 and f["num_limits"] == 0
+        )
+        t["sq"] |= f["num_where_subqueries"] > 0
+        t["lk"] |= (
+            f["num_where_like_like"]
+            + f["num_where_like_rlike"]
+            + f["num_where_like_regexp"]
+            > 0
+        )
+    want = {k: v for k, v in exp.items() if v["an"] or v["sq"] or v["lk"]}
+    got = {
+        r["parameterized_stmt"]: r
+        for r in sql_antipatterns(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 0
+    for stmt, v in want.items():
+        g = got[stmt]
+        assert g["n_queries"] == v["n"]
+        assert g["total_runtime"] == v["rt"]
+        assert g["analytic_no_limit"] == v["an"]
+        assert g["subquery_filter"] == v["sq"]
+        assert g["like_filter"] == v["lk"]
