@@ -353,3 +353,38 @@ def test_ev23_is_two_windows_no_join(spark, sf_dir):
     # no join anywhere in the plan
     plan = _plan(spark, sf_dir, "ev23_rate_cusum")
     assert "Join" not in plan, plan
+
+
+def test_a28_runs_exchange_free_on_bucketed_scans(spark, sf_dir):
+    # the memory report's groupBy, window rank, and queries join are all
+    # keyed by query_id — the bucketed corpus layout must satisfy every
+    # one without a shuffle exchange
+    plan = _plan(spark, sf_dir, "a28_memory_reservation")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_a29_is_one_grouped_pass(spark, sf_dir):
+    # shuffle-amplification is a single conditional aggregation over the
+    # bucketed operator scan — no join, at most the bucketed-scan reuse
+    plan = _plan(spark, sf_dir, "a29_shuffle_amplification")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tx25_is_one_shuffle_no_join(spark, sf_dir):
+    # the shard manifest must stay a single hash-keyed aggregation:
+    # one exchange (the shard groupBy; distinct-count partials may split
+    # it into two stages of the SAME key), zero joins
+    plan = _plan(spark, sf_dir, "tx25_shard_manifest")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_sim20_broadcasts_the_sweep_frames(spark, sf_dir):
+    # the nprobe sweep's size/grid/total frames are batch-sized and must
+    # broadcast; the only sort-merge joins allowed are the ones the
+    # brute-force truth ranking already owns
+    plan = _plan(spark, sf_dir, "sim20_nprobe_sweep")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
