@@ -190,3 +190,69 @@ def test_plt1_bin_recipe_covers_and_partitions(data):
         heights[i] += 1
     assert sum(heights) == len(data)
     assert mx <= edges[-1] + step  # the grid always covers the data
+
+
+@given(st.sets(st.integers(min_value=0, max_value=500), max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_islands_grouping_equals_naive_runs(buckets):
+    """ev25/st14's islands formula: grouping missing hours by
+    ``h/3600 - rank`` must decompose any hour set into exactly the
+    naive consecutive runs (same count, same lengths, same max)."""
+    hours = sorted(3600 * b for b in buckets)
+    groups: dict[int, int] = {}
+    for rank, h in enumerate(hours, start=1):
+        groups[h // 3600 - rank] = groups.get(h // 3600 - rank, 0) + 1
+    naive = []
+    for h in hours:
+        if naive and h - naive[-1][-1] == 3600:
+            naive[-1].append(h)
+        else:
+            naive.append([h])
+    assert sorted(groups.values()) == sorted(len(r) for r in naive)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.sets(st.integers(min_value=0, max_value=50), max_size=8),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_first_bucket_trick_equals_cumulative_distinct(docs):
+    """tx24's one-pass formula: summing per-word first-occurrence
+    buckets must equal the naive cumulative-distinct recomputation for
+    any doc->bucket assignment and any word sets."""
+    first: dict[int, int] = {}
+    for b, words in docs:
+        for w in words:
+            first[w] = min(first.get(w, b), b)
+    seen: set = set()
+    for b in range(10):
+        for bb, words in docs:
+            if bb <= b:
+                seen.update(words)
+        cum_via_first = sum(1 for fb in first.values() if fb <= b)
+        assert cum_via_first == len(seen)
+        seen = set(seen)
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_cell_rank_recall_equals_search_simulation(ncells, neighbor_cells):
+    """sim20's sweep formula: counting true neighbors whose cell rank
+    <= p must equal simulating the probe search at every depth p, for
+    any query cell ordering and any neighbor cell assignment."""
+    order = list(range(ncells))  # the query's cell ranking (rank = idx+1)
+    cells = [c % ncells for c in neighbor_cells]
+    rank_of = {c: i + 1 for i, c in enumerate(order)}
+    for p in range(1, ncells + 1):
+        probed = set(order[:p])
+        simulated = sum(1 for c in cells if c in probed)
+        via_rank = sum(1 for c in cells if rank_of[c] <= p)
+        assert simulated == via_rank
