@@ -1655,6 +1655,79 @@ ORACLES["tx26_source_overlap"] = f"""
         LEFT JOIN inter i
           ON i.source_a = p.source_a AND i.source_b = p.source_b"""
 
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx27 — SOURCE-DIVERGENCE REPORT: per source, the KL divergence of
+    its unigram token distribution from the whole-corpus distribution —
+    the frequency-weighted complement to tx26's set-overlap matrix
+    (two sources can share every token yet weigh them very differently)
+    and the quantitative form of the "is this source statistically
+    representative" check a mixture designer (tx12/tx19) starts from.
+    No smoothing is needed: every source token is corpus-present
+    (p_corpus > 0), and absent tokens contribute exactly 0.
+
+    Exactness: both engines evaluate the identical per-word expression
+    tree (double ratios, one ln, rounded to 9) and sum the rounded
+    terms as DECIMAL(20,9) — exact under any partial-agg order; the
+    final value is one cast.
+
+    Scale: one explode + one (source, word) grouped count (the same
+    vocabulary-keyed shuffle as tx6/tx17/tx24), a word-keyed corpus
+    rollup joined back on word, then a source-cardinality agg."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode("words").alias("word"))
+    sw = toks.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("cs")
+    )
+    cw = sw.groupBy("word").agg(F.sum("cs").cast("bigint").alias("cc"))
+    st = sw.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ts"))
+    tot = cw.agg(F.sum("cc").cast("bigint").alias("tc"))
+    terms = (
+        sw.join(cw, "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.expr(
+                "CAST(round((CAST(cs AS DOUBLE) / ts)"
+                " * ln((CAST(cs AS DOUBLE) / ts)"
+                " / (CAST(cc AS DOUBLE) / tc)), 9) AS DECIMAL(20,9))"
+            ),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("ts").alias("n_tokens"),
+        F.sum("term").cast("double").alias("kl_divergence"),
+    )
+
+
+ORACLES["tx27_source_divergence"] = f"""
+        WITH d AS (SELECT source, {_DUCK_WORDS} AS words FROM documents),
+        toks AS (SELECT source, unnest(words) AS word FROM d),
+        sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cs
+               FROM toks GROUP BY source, word),
+        cw AS (SELECT word, CAST(SUM(cs) AS BIGINT) AS cc
+               FROM sw GROUP BY word),
+        st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts
+               FROM sw GROUP BY source),
+        tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS tc FROM cw),
+        terms AS (
+          SELECT sw.source, st.ts,
+                 CAST(round((CAST(cs AS DOUBLE) / ts)
+                      * ln((CAST(cs AS DOUBLE) / ts)
+                           / (CAST(cc AS DOUBLE) / tc)), 9)
+                   AS DECIMAL(20,9)) AS term
+          FROM sw
+          JOIN cw ON sw.word = cw.word
+          JOIN st ON sw.source = st.source
+          CROSS JOIN tot)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               MAX(ts) AS n_tokens,
+               CAST(SUM(term) AS DOUBLE) AS kl_divergence
+        FROM terms GROUP BY source"""
+
+
 ORACLES["tx24_vocab_growth"] = f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
         bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
@@ -1738,6 +1811,7 @@ SPARK_QUERIES = {
     "tx24_vocab_growth": vocab_growth,
     "tx25_shard_manifest": shard_manifest,
     "tx26_source_overlap": source_overlap,
+    "tx27_source_divergence": source_divergence,
 }
 
 # tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with

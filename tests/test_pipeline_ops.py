@@ -2614,3 +2614,43 @@ def test_streaming_gap_detect_equals_batch_islands(spark, sf_dir):
         assert sum(g) == b["n_missing"]
         assert len(g) == b["n_gaps"]
         assert max(g, default=0) == b["longest_gap_hours"]
+
+
+def test_source_divergence_matches_python(spark, sf_dir):
+    """tx27: per-source KL divergence must equal a python recomputation
+    (same rounded-term DECIMAL summation), must be >= 0 up to the
+    per-term rounding budget, and counts must be exact."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _with_norm,
+        source_divergence,
+    )
+
+    per_src: dict[str, Counter] = {}
+    for r in _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "source", "words"
+    ).collect():
+        per_src.setdefault(r["source"], Counter()).update(r["words"])
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    tc = sum(corpus.values())
+    got = {r["source"]: r for r in source_divergence(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        ts = sum(cnt.values())
+        total = Decimal(0)
+        for w, cs in cnt.items():
+            term = (cs / ts) * math.log((cs / ts) / (corpus[w] / tc))
+            total += Decimal(term).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        g = got[src]
+        assert g["n_distinct"] == len(cnt)
+        assert g["n_tokens"] == ts
+        assert g["kl_divergence"] == float(total)
+        assert g["kl_divergence"] >= -1e-9 * len(cnt)
