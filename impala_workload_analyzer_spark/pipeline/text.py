@@ -1701,6 +1701,65 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk4 — tx25's shard plan MATERIALIZED: the corpus physically
+    written as parquet partitioned by the deterministic shard id (one
+    file per shard via the snk1 repartition contract, doc_id-sorted for
+    reproducible bytes), then read BACK and re-checksummed — the output
+    row IS the integrity verification a trainer's loader performs
+    before trusting a shard. A checksum mismatch between this manifest
+    and tx25's plan-side manifest means the write path corrupted or
+    dropped rows; the oracle pins both to the same arithmetic.
+
+    Scale: identical write shape to snk1/snk2 — one repartition keyed
+    by the uniform shard hash (balanced by construction), one
+    partitioned write, one read-back aggregation. At 100 TB raise
+    ``_N_SHARDS`` and add ``maxRecordsPerFile``; the n_files column
+    then reports the per-shard file count instead of asserting 1."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+    d = docs.select("doc_id", "text", "source").withColumn(
+        "shard", (h % _N_SHARDS).cast("bigint")
+    )
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "shards",
+    )
+    (
+        d.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    return (
+        back.withColumn("h", F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("f").cast("bigint").alias("n_files"),
+            F.sum(F.col("h") % _CKSUM_MOD).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+ORACLES["snk4_shard_export"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 {_DUCK_H.format(x='CAST(doc_id AS VARCHAR)')} AS h
+          FROM documents)
+        SELECT CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(SUM(h % {_CKSUM_MOD}) AS BIGINT) AS checksum
+        FROM d GROUP BY CAST(h % {_N_SHARDS} AS BIGINT)"""
+
+
 ORACLES["tx27_source_divergence"] = f"""
         WITH d AS (SELECT source, {_DUCK_WORDS} AS words FROM documents),
         toks AS (SELECT source, unnest(words) AS word FROM d),
@@ -1812,6 +1871,7 @@ SPARK_QUERIES = {
     "tx25_shard_manifest": shard_manifest,
     "tx26_source_overlap": source_overlap,
     "tx27_source_divergence": source_divergence,
+    "snk4_shard_export": shard_export,
 }
 
 # tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with

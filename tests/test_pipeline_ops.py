@@ -2654,3 +2654,31 @@ def test_source_divergence_matches_python(spark, sf_dir):
         assert g["n_tokens"] == ts
         assert g["kl_divergence"] == float(total)
         assert g["kl_divergence"] >= -1e-9 * len(cnt)
+
+
+def test_shard_export_roundtrip_matches_plan_manifest(spark, sf_dir):
+    """snk4: the read-back manifest must agree with tx25's plan-side
+    manifest on every shard (docs + checksum — the write path preserved
+    every row), each shard must be exactly one file, and the files must
+    exist on disk under shard= partition dirs."""
+    import os
+
+    from impala_workload_analyzer_spark.io import _REPO_ROOT
+    from impala_workload_analyzer_spark.pipeline.text import (
+        shard_export,
+        shard_manifest,
+    )
+
+    back = {r["shard"]: r for r in shard_export(spark, sf_dir).collect()}
+    plan = {r["shard"]: r for r in shard_manifest(spark, sf_dir).collect()}
+    assert set(back) == set(plan)
+    for shard, b in back.items():
+        assert b["n_files"] == 1
+        assert b["n_docs"] == plan[shard]["n_docs"]
+        assert b["checksum"] == plan[shard]["checksum"]
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "shards",
+    )
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert len(dirs) == len(back)
