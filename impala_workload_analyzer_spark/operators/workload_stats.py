@@ -823,6 +823,67 @@ def shuffle_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capacity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a30 — CAPACITY TREND: per cluster, the least-squares slope of
+    query arrivals per minute over the workload's time span — the
+    "is this cluster's load growing, and how fast" number a capacity
+    review extrapolates from (a24's exact-moment fit pattern applied to
+    the arrival time series instead of the cost model). Empty minutes
+    inside the span count as zero via the ev25-style generated grid —
+    skipping them would bias the slope toward busy periods.
+
+    Exactness: bucket ids, counts, and all five fit moments
+    (B, Σx, Σy, Σxy, Σx²) are exact integers; slope and mean are each
+    ONE final integer-ratio division rounded to 9 — partial-agg order
+    can never move them. x is rebased to the cluster's first minute so
+    the moments stay far below 2^63.
+
+    Scale: one grouped count per (cluster, minute) — the only
+    query-cardinality shuffle — then a minute-cardinality grid join and
+    a cluster-cardinality moment rollup."""
+    q = corpus_queries(spark, sf_dir).select(
+        "cluster", F.expr(IDIV("start_time", 60_000_000)).alias("minute")
+    )
+    counts = q.groupBy("cluster", "minute").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    span = counts.groupBy("cluster").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    grid = span.select(
+        "cluster", "lo",
+        F.explode(F.sequence("lo", "hi")).alias("minute"),
+    )
+    filled = (
+        grid.join(counts, ["cluster", "minute"], "left")
+        .fillna(0, ["y"])
+        .withColumn("x", (F.col("minute") - F.col("lo")).cast("bigint"))
+    )
+    m = filled.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("b"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return m.select(
+        "cluster",
+        F.col("b").alias("n_buckets"),
+        F.col("sy").alias("n_queries"),
+        F.round(F.col("sy") / F.col("b").cast("double"), 9).alias("qpm_mean"),
+        F.when(
+            F.col("b") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            F.round(
+                (F.col("b") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("b") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                9,
+            ),
+        ).alias("slope_qpm"),
+    )
+
+
 _TAIL_P = 0.9  # tail = queries at or above the per-cluster p90 runtime
 
 
@@ -1114,6 +1175,38 @@ ORACLES: dict[str, str] = {
         FROM iwa_operators
         WHERE num_rows >= 0
         GROUP BY query_id"""),
+    # a30: exact integer fit moments over the zero-filled minute grid;
+    # slope/mean are single rounded divisions, degenerate-span guarded
+    "a30_capacity_trend": with_corpus(f"""
+        , counts AS (
+          SELECT cluster, {IDIV('start_time', 60000000)} AS minute,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM iwa_queries GROUP BY 1, 2),
+        span AS (
+          SELECT cluster, MIN(minute) AS lo, MAX(minute) AS hi
+          FROM counts GROUP BY cluster),
+        grid AS (
+          SELECT cluster, lo, unnest(range(lo, hi + 1)) AS minute
+          FROM span),
+        filled AS (
+          SELECT g.cluster, g.minute - g.lo AS x, COALESCE(c.y, 0) AS y
+          FROM grid g LEFT JOIN counts c
+            ON c.cluster = g.cluster AND c.minute = g.minute),
+        m AS (
+          SELECT cluster,
+                 CAST(COUNT(*) AS BIGINT) AS b,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM filled GROUP BY cluster)
+        SELECT cluster, b AS n_buckets, sy AS n_queries,
+               ROUND(sy / CAST(b AS DOUBLE), 9) AS qpm_mean,
+               CASE WHEN b * sxx - sx * sx > 0
+                    THEN ROUND((b * sxy - sx * sy)
+                               / CAST(b * sxx - sx * sx AS DOUBLE), 9)
+               END AS slope_qpm
+        FROM m"""),
     # w6: exact integer-rank p90 cutoff per cluster, then the operator
     # rollup over the tail set — top operator per cluster
     "w6_tail_latency_attribution": with_corpus(f"""
@@ -1344,6 +1437,7 @@ SPARK_QUERIES = {
     "a26_cardinality_qerror": cardinality_qerror,
     "a28_memory_reservation": memory_reservation,
     "a29_shuffle_amplification": shuffle_amplification,
+    "a30_capacity_trend": capacity_trend,
     "w7_plan_overhead_quantiles": plan_overhead_quantiles,
     "a27_host_load_balance": host_load_balance,
     "plt1_metric_histograms": metric_histograms,

@@ -272,3 +272,41 @@ def test_shuffle_amplification_matches_python(spark, sf_dir):
             assert r["amplification"] == want
         else:
             assert r["amplification"] is None
+
+
+def test_capacity_trend_matches_python(spark, sf_dir):
+    """a30: per-cluster arrival counts, the zero-filled minute grid, and
+    the exact-moment least-squares slope must match a python
+    recomputation; a cluster's slope must be NULL only when its span is
+    a single minute."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        capacity_trend,
+    )
+
+    per: dict[str, dict[int, int]] = {}
+    for r in corpus_queries(spark, sf_dir).select(
+        "cluster", "start_time"
+    ).collect():
+        mins = per.setdefault(r["cluster"], {})
+        m = r["start_time"] // 60_000_000
+        mins[m] = mins.get(m, 0) + 1
+    got = {r["cluster"]: r for r in capacity_trend(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for cl, mins in per.items():
+        lo, hi = min(mins), max(mins)
+        ys = [mins.get(m, 0) for m in range(lo, hi + 1)]
+        xs = list(range(len(ys)))
+        b = len(ys)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        g = got[cl]
+        assert g["n_buckets"] == b
+        assert g["n_queries"] == sy
+        assert g["qpm_mean"] == round(sy / b, 9)
+        den = b * sxx - sx * sx
+        if den > 0:
+            assert abs(g["slope_qpm"] - (b * sxy - sx * sy) / den) < 2e-9
+        else:
+            assert g["slope_qpm"] is None
