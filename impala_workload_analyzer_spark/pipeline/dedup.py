@@ -1506,3 +1506,63 @@ SPARK_QUERIES = {
     "tx20_ngram_novelty": ngram_novelty,
     "tx23_training_manifest": training_manifest,
 }
+
+
+def component_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd20 — DUPLICATE-CLUSTER SIZE SPECTRUM: the distribution of dd8's
+    near-dup component sizes — how much of the corpus sits in singletons
+    vs small clusters vs mega-clusters. This is the shape a dedup
+    operator reads BEFORE choosing policy: a heavy singleton mass means
+    exact-keep-one suffices; a fat tail of large clusters is where
+    soft-dedup weighting (dd19) or quality-keep-best (dd13) earn their
+    cost, and ``removable_docs`` prices each size class's removal win.
+
+    Exactness: pure integer counts off the component table; doc_share
+    is one final division rounded to 9.
+
+    Scale: two keyed aggregations over doc-cardinality rows (component
+    sizes, then the size histogram — bounded by max component size);
+    the corpus total is a one-row broadcast."""
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("comp_size")
+    )
+    tot = comp.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        sizes.groupBy("comp_size")
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "comp_size",
+            "n_components",
+            (F.col("comp_size") * F.col("n_components")).cast("bigint")
+            .alias("n_docs"),
+            ((F.col("comp_size") - 1) * F.col("n_components")).cast("bigint")
+            .alias("removable_docs"),
+            F.round(
+                (F.col("comp_size") * F.col("n_components"))
+                / F.col("n_total").cast("double"),
+                9,
+            ).alias("doc_share"),
+        )
+    )
+
+
+# dd20's oracle nests dd8's recursive-closure component oracle verbatim.
+ORACLES["dd20_component_size_spectrum"] = f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        sizes AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+          FROM comp GROUP BY component_id),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM comp)
+        SELECT s.comp_size,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(s.comp_size * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((s.comp_size - 1) * COUNT(*) AS BIGINT)
+                 AS removable_docs,
+               ROUND(s.comp_size * COUNT(*) / CAST(t.n_total AS DOUBLE), 9)
+                 AS doc_share
+        FROM sizes s CROSS JOIN tot t
+        GROUP BY s.comp_size, t.n_total"""
+
+SPARK_QUERIES["dd20_component_size_spectrum"] = component_size_spectrum

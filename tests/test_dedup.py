@@ -256,3 +256,29 @@ def test_effective_dataset_consistent_with_components(spark, sf_dir):
         assert [r["n_docs"], r["n_tokens"], r["kept_docs"], r["kept_tokens"]] == e
         assert 0 < r["doc_survival"] <= 1 and 0 < r["token_survival"] <= 1
     assert sum(r["kept_docs"] for r in rows) == len(set(comp.values()))
+
+
+def test_component_size_spectrum_partitions_corpus(spark, sf_dir):
+    """dd20: the spectrum must partition the corpus exactly (sum of
+    n_docs = corpus size, shares sum to 1, removable = docs - kept) and
+    match a python recomputation over dd8's components."""
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        component_size_spectrum,
+        neardup_components,
+    )
+
+    comp_sizes = Counter()
+    for r in neardup_components(spark, sf_dir).collect():
+        comp_sizes[r["component_id"]] += 1
+    hist = Counter(comp_sizes.values())
+    total = sum(comp_sizes.values())
+    rows = component_size_spectrum(spark, sf_dir).collect()
+    assert {r["comp_size"]: r["n_components"] for r in rows} == dict(hist)
+    assert sum(r["n_docs"] for r in rows) == total
+    assert sum(r["removable_docs"] for r in rows) == total - len(comp_sizes)
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["n_docs"] == r["comp_size"] * r["n_components"]
+        assert r["removable_docs"] == r["n_docs"] - r["n_components"]
