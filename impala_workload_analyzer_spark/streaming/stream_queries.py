@@ -1012,7 +1012,58 @@ _ST14_ORACLE = """
         FROM l WHERE ph IS NOT NULL AND h - ph > 3600"""
 
 
+def streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st15 — tx25's training-shard manifest maintained as a STREAMING
+    aggregation over the arriving document stream: each micro-batch
+    folds its docs into the per-shard (count, checksum, doc_id span)
+    state — at most ``_N_SHARDS`` rows regardless of stream length, the
+    same bounded-state argument as st8's CMS. This is how a live ingest
+    keeps the shard manifest current WITHOUT re-scanning the corpus:
+    counts and the order-proof modular checksum are associative and
+    commutative, so micro-batch boundaries can never change the final
+    state, and end-of-stream equals tx25's batch manifest exactly (the
+    oracle). A trainer can therefore trust a manifest read mid-ingest
+    as the manifest-so-far.
+
+    Scale: one streaming shuffle keyed by the uniform shard hash;
+    state is O(_N_SHARDS) longs."""
+    from ..pipeline.text import _CKSUM_MOD, _N_SHARDS, _SPARK_H  # noqa: PLC0415
+
+    docs = _stream_docs(spark, sf_dir)
+    h = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+    agg = (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % _N_SHARDS).cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("h") % _CKSUM_MOD).cast("bigint").alias("checksum"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+    _run_to_memory(agg, "st15_out", "complete")
+    return spark.table("st15_out")
+
+
+def _st15_oracle() -> str:
+    from ..pipeline.text import _CKSUM_MOD, _DUCK_H, _N_SHARDS  # noqa: PLC0415
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 {_DUCK_H.format(x='CAST(doc_id AS VARCHAR)')} AS h
+          FROM documents)
+        SELECT CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(h % {_CKSUM_MOD}) AS BIGINT) AS checksum,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM d GROUP BY CAST(h % {_N_SHARDS} AS BIGINT)"""
+
+
 ORACLES = {
+    "st15_streaming_shard_manifest": _st15_oracle(),
     "st14_streaming_gap_detect": _ST14_ORACLE,
     "st12_streaming_rate_alerts": _st12_oracle(),
     "st13_streaming_cusum": _st13_oracle(),
@@ -1072,4 +1123,5 @@ SPARK_QUERIES = {
     "st12_streaming_rate_alerts": streaming_rate_alerts,
     "st13_streaming_cusum": streaming_cusum,
     "st14_streaming_gap_detect": streaming_gap_detect,
+    "st15_streaming_shard_manifest": streaming_shard_manifest,
 }

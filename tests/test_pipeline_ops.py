@@ -2682,3 +2682,24 @@ def test_shard_export_roundtrip_matches_plan_manifest(spark, sf_dir):
     )
     dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert len(dirs) == len(back)
+
+
+def test_streaming_shard_manifest_equals_batch(spark, sf_dir):
+    """st15: end-of-stream shard state must equal tx25's batch manifest
+    on the shared columns (counts, checksum, doc_id span) — the
+    associativity witness that micro-batch boundaries cannot move the
+    manifest."""
+    from impala_workload_analyzer_spark.pipeline.text import shard_manifest
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_shard_manifest,
+    )
+
+    live = {
+        r["shard"]: (r["n_docs"], r["checksum"], r["min_doc_id"], r["max_doc_id"])
+        for r in streaming_shard_manifest(spark, sf_dir).collect()
+    }
+    batch = {
+        r["shard"]: (r["n_docs"], r["checksum"], r["min_doc_id"], r["max_doc_id"])
+        for r in shard_manifest(spark, sf_dir).collect()
+    }
+    assert live == batch
