@@ -1885,6 +1885,77 @@ def nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim21 — THE k AXIS of the ANN tuning surface (sim20 swept
+    nprobe): at the live ``_N_PROBE``, recall@j for every j = 1..k in
+    one pass. The same cell-rank argument as sim20 makes this exact
+    without running k searches: an exact rank-j neighbor appears in the
+    IVF result's top-j iff its cell is probed — any candidate
+    outscoring it is itself a better global neighbor, and there are
+    fewer than j of those, so a probed rank-j neighbor can never be
+    pushed out of the candidate top-j.
+
+    Exactness: integer hit counts; recall is one final integer-ratio
+    division rounded to 9. recall@j is the acceptance number a serving
+    SLA quotes per result-list depth.
+
+    Scale: reuses sim4's broadcast-centroid scoring and sim1's truth
+    ranks; the sweep join is a k-row grid against nq x k pairs —
+    batch-sized."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    scored = _ivf_scored(emb)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"),
+            F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+        ).alias("list_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("c_label"))
+    ranks = (
+        scored.filter(F.col("vec_id") < _QUERY_K)
+        .select(F.col("vec_id").alias("query_id"), "c_label", "score")
+        .withColumn("probe_rank", F.row_number().over(wq).cast("bigint"))
+    )
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    tr = truth.join(
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(
+        ranks.select(
+            "query_id", F.col("c_label").alias("list_id"), "probe_rank"
+        ),
+        ["query_id", "list_id"],
+    ).filter(F.col("probe_rank") <= _N_PROBE)
+    nq = (
+        emb.filter(F.col("vec_id") < _QUERY_K)
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+    )
+    grid = emb.sparkSession.range(1, _TOP_K + 1).select(
+        F.col("id").cast("bigint").alias("j")
+    )
+    hits = (
+        F.broadcast(grid)
+        .join(tr, tr["rank"] <= F.col("j"))
+        .groupBy("j")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        grid.join(hits, "j", "left")
+        .fillna(0, ["n_hits"])
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "j",
+            "n_hits",
+            "n_queries",
+            F.round(
+                F.col("n_hits") / (F.col("n_queries") * F.col("j")).cast("double"),
+                9,
+            ).alias("recall_at_j"),
+        )
+    )
+
+
 SPARK_QUERIES = {
     "dd5_embedding_neardup": embedding_neardup_pairs,
     "dd9_semantic_components": semantic_components,
@@ -1908,8 +1979,74 @@ SPARK_QUERIES = {
     "sim18_diverse_topk": diverse_topk,
     "sim19_hard_negatives": hard_negatives,
     "sim20_nprobe_sweep": nprobe_sweep,
+    "sim21_recall_at_k_curve": recall_at_k_curve,
     "snk3_ann_index_export": ann_index_export,
 }
+
+ORACLES["sim21_recall_at_k_curve"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, e.embedding, e.nrm, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        ranks AS (
+          SELECT vec_id AS query_id, c_label,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, c_label ASC) AS BIGINT)
+                   AS probe_rank
+          FROM scored WHERE vec_id < {_QUERY_K}),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e
+              WHERE vec_id < {_QUERY_K}),
+        exact_sim AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9) AS sim
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        truth AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM exact_sim) WHERE rank <= {_TOP_K}),
+        tr AS (
+          SELECT t.query_id, t.rank
+          FROM truth t
+          JOIN assign a ON a.vec_id = t.neighbor_id
+          JOIN ranks r ON r.query_id = t.query_id
+                      AND r.c_label = a.list_id
+          WHERE r.probe_rank <= {_N_PROBE}),
+        nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+               FROM embeddings WHERE vec_id < {_QUERY_K}),
+        grid AS (SELECT CAST(unnest(range(1, {_TOP_K} + 1)) AS BIGINT) AS j),
+        hits AS (
+          SELECT g.j, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM grid g JOIN tr ON tr.rank <= g.j
+          GROUP BY g.j)
+        SELECT g.j,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               nq.n_queries,
+               ROUND(COALESCE(h.n_hits, 0)
+                     / CAST(nq.n_queries * g.j AS DOUBLE), 9) AS recall_at_j
+        FROM grid g
+        LEFT JOIN hits h ON h.j = g.j
+        CROSS JOIN nq"""
 
 ORACLES["sim20_nprobe_sweep"] = f"""
         WITH e AS (

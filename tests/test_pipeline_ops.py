@@ -2703,3 +2703,23 @@ def test_streaming_shard_manifest_equals_batch(spark, sf_dir):
         for r in shard_manifest(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+def test_recall_at_k_curve_consistent_with_sim10(spark, sf_dir):
+    """sim21: n_hits is non-decreasing in j, and the j=k point must
+    equal sim10's aggregate recall (both count exactly the probed true
+    top-k neighbors at the live _N_PROBE)."""
+    rows = sorted(
+        similarity.recall_at_k_curve(spark, sf_dir).collect(),
+        key=lambda r: r["j"],
+    )
+    assert [r["j"] for r in rows] == list(range(1, similarity._TOP_K + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_hits"] >= a["n_hits"]
+    sim10_hits = sum(
+        r["n_hits"] for r in similarity.ivf_recall(spark, sf_dir).collect()
+    )
+    assert rows[-1]["n_hits"] == sim10_hits
+    assert rows[-1]["recall_at_j"] == round(
+        sim10_hits / (rows[-1]["n_queries"] * similarity._TOP_K), 9
+    )
