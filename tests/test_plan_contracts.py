@@ -388,3 +388,35 @@ def test_sim20_broadcasts_the_sweep_frames(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim20_nprobe_sweep")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ev25_collapses_events_before_the_grid(spark, sf_dir):
+    # the gap audit's only events-sized op is the distinct (type, hour)
+    # projection; everything downstream (grid, anti-join, islands) runs
+    # on collapsed rows — the events scan must read only the two columns
+    plan = _plan(spark, sf_dir, "ev25_gap_fill_audit")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "ts" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_tx26_overlap_joins_on_the_token_key(spark, sf_dir):
+    # the intersection self-join must be a token-keyed equi-join (output
+    # bounded by vocab x sources^2), never a cartesian product
+    plan = _plan(spark, sf_dir, "tx26_source_overlap")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a30_prunes_the_queries_projection(spark, sf_dir):
+    # the trend fit touches only (cluster, start_time); the corpus scan
+    # must not drag the full 20+-column queries row through the shuffle
+    plan = _plan(spark, sf_dir, "a30_capacity_trend")
+    assert "CartesianProduct" not in plan
+    assert "impala_version" not in plan
+
+
+def test_q5_reuses_q4_template_shuffle_shape(spark, sf_dir):
+    # the lint report adds exactly one template-keyed aggregation after
+    # the query_id join — same contract as q4
+    plan = _plan(spark, sf_dir, "q5_sql_antipatterns")
+    assert plan.count("Exchange hashpartitioning(parameterized_stmt") <= 1, plan

@@ -26,3 +26,23 @@ def test_queries_are_callables():
 def test_oracle_sql_is_nonempty_text():
     for name, sql in entrymod.oracle_sql().items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_priority_names_all_resolve():
+    """Every _PRIORITY entry must name a registered query — a typo in
+    the rotation schedule would silently drop a window slot."""
+    from impala_workload_analyzer_spark import registry
+
+    qs = set(entrymod.queries())
+    unknown = sorted(set(registry._PRIORITY) - qs)
+    assert not unknown, f"_PRIORITY names without queries: {unknown}"
+
+
+def test_priority_has_no_duplicates():
+    from impala_workload_analyzer_spark import registry
+
+    seen = set()
+    dups = sorted(
+        n for n in registry._PRIORITY if n in seen or seen.add(n)
+    )
+    assert not dups, f"duplicate _PRIORITY entries: {dups}"
