@@ -1760,6 +1760,85 @@ ORACLES["snk4_shard_export"] = f"""
         FROM d GROUP BY CAST(h % {_N_SHARDS} AS BIGINT)"""
 
 
+_BPE_TOP = 30  # merge candidates reported (rank by count desc, pair asc)
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx28 — BPE MERGE CANDIDATES: the corpus-wide adjacent
+    character-pair counts over the token stream — the statistic the
+    first round of byte-pair-encoding tokenizer induction maximizes
+    (Sennrich et al. 2016's merge step), reported as the top
+    ``_BPE_TOP`` candidates with deterministic (count DESC, pair ASC)
+    ranking. Re-running after applying a merge gives round two; this op
+    is the reusable kernel of that loop and the vocabulary-design
+    companion to tx24's growth curve.
+
+    Exactness: pure integer pair counts; share is one final division
+    rounded to 9; the rank tie-break is total (pair strings are
+    unique).
+
+    Scale: pair extraction is a per-word array transform fused into the
+    scan (no shuffle); the count is one pair-keyed aggregation —
+    pair-key cardinality is bounded by alphabet^2, so the final top-K
+    sort is tiny (TakeOrderedAndProject, never a global data sort)."""
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    # sequence(1, 0) would count DOWN in Spark, so short words guard to
+    # [1] and the length-2 filter drops their degenerate output
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(words, w ->"
+                " transform(sequence(1, greatest(length(w) - 1, 1)),"
+                " i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    tot = pairs.agg(F.count("*").cast("bigint").alias("n_total"))
+    counts = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BPE_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "pair",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") / F.col("n_total").cast("double"), 9
+            ).alias("pair_share"),
+        )
+    )
+
+
+ORACLES["tx28_bpe_merge_candidates"] = f"""
+        WITH d AS (SELECT {_DUCK_WORDS} AS words FROM documents),
+        pairs AS (
+          SELECT pair FROM (
+            SELECT unnest(flatten(list_transform(words, w ->
+                     list_transform(range(1, greatest(length(w), 1)),
+                                    i -> substr(w, i, 2))))) AS pair
+            FROM d)
+          WHERE length(pair) = 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pairs),
+        counts AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM pairs GROUP BY pair),
+        ranked AS (
+          SELECT pair, n_occurrences,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                                  pair ASC) AS BIGINT)
+                   AS rank
+          FROM counts)
+        SELECT rank, pair, n_occurrences,
+               ROUND(n_occurrences / CAST(t.n_total AS DOUBLE), 9)
+                 AS pair_share
+        FROM ranked CROSS JOIN tot t
+        WHERE rank <= {_BPE_TOP}"""
+
+
 ORACLES["tx27_source_divergence"] = f"""
         WITH d AS (SELECT source, {_DUCK_WORDS} AS words FROM documents),
         toks AS (SELECT source, unnest(words) AS word FROM d),
@@ -1872,6 +1951,7 @@ SPARK_QUERIES = {
     "tx26_source_overlap": source_overlap,
     "tx27_source_divergence": source_divergence,
     "snk4_shard_export": shard_export,
+    "tx28_bpe_merge_candidates": bpe_merge_candidates,
 }
 
 # tx22's oracle nests tx6's scoring CTE: NTILE on the rounded score with

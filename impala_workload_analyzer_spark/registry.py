@@ -17,7 +17,7 @@ a5/a6/a9/a10/a11/a13/a14/a15/a16/a17, dd1-dd4/dd6, f1-f4, j2, p5, pt1,
 sim3, tx1 — all re-validated by the local gate on unchanged code every
 round since), then the first TEN round-7 additions. The remaining
 round-7 additions past the budget (st13, w7, a27, plt1/plt2, sim19,
-tx23, snk3, then the late-round fifteen: a28-a30, q5, tx24-tx27, snk4,
+tx23, snk3, then the late-round sixteen: a28-a30, q5, tx24-tx28, snk4,
 sim20/sim21, dd20, ev25, st14/st15 — all local-gate green at sf0.01 AND sf0.1), the displaced
 r03 tail (tx2/tx3/tx4/w2) and the r04-era block (the tpch suite,
 ev1-ev8, mm1-mm3, tx5-tx7, dd5/dd7, a18) lead round 8's window.
@@ -78,7 +78,7 @@ _PRIORITY = (
     "q5_sql_antipatterns", "tx27_source_divergence",
     "snk4_shard_export", "a30_capacity_trend",
     "dd20_component_size_spectrum", "st15_streaming_shard_manifest",
-    "sim21_recall_at_k_curve",
+    "sim21_recall_at_k_curve", "tx28_bpe_merge_candidates",
     "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query",
     "a18_operator_time_quantiles", "dd5_embedding_neardup",

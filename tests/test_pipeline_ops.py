@@ -2723,3 +2723,35 @@ def test_recall_at_k_curve_consistent_with_sim10(spark, sf_dir):
     assert rows[-1]["recall_at_j"] == round(
         sim10_hits / (rows[-1]["n_queries"] * similarity._TOP_K), 9
     )
+
+
+def test_bpe_merge_candidates_match_python(spark, sf_dir):
+    """tx28: the top-K pair counts must equal a literal python BPE
+    pair-count over the normalized token stream (all occurrences, not
+    distinct words), with the deterministic (count desc, pair asc)
+    rank."""
+    from collections import Counter
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _BPE_TOP,
+        _with_norm,
+        bpe_merge_candidates,
+    )
+
+    cnt: Counter = Counter()
+    for r in _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "words"
+    ).collect():
+        for w in r["words"]:
+            for i in range(len(w) - 1):
+                cnt[w[i : i + 2]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP]
+    total = sum(cnt.values())
+    rows = sorted(
+        bpe_merge_candidates(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["pair"], r["n_occurrences"]) for r in rows] == want
+    assert [r["rank"] for r in rows] == list(range(1, len(want) + 1))
+    for r in rows:
+        assert r["pair_share"] == round(r["n_occurrences"] / total, 9)
