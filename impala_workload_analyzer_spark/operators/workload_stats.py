@@ -513,16 +513,28 @@ def cost_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed), reporting the ``_RESID_TOP`` instances with the largest
     absolute residual — "which executions the calibrated model cannot
     explain", the triage list a regression review reads after a24
-    calibrates. Predictions use a24's PUBLISHED 6-dp coefficients, so
-    the report is reproducible from its own numbers and engine-exact
-    (identical double expressions both sides; |residual| ordering
-    tie-broken by (query_id, op_id)).
+    calibrates. Predictions use a24's PUBLISHED coefficients quantized
+    to integer micro-units via FLOOR(coeff * 1e6) — the published
+    double is cross-engine bit-identical (a24 hash-matches), the *1e6
+    multiply is one IEEE op, and FLOOR is exactly determined by the
+    double's bits (no decimal-string rounding, the r07 trap: Spark
+    rounds a double's exact decimal expansion while DuckDB scales and
+    rounds in binary, so ROUND/CAST-to-DECIMAL of a raw double can
+    differ in the last unit). Everything downstream is exact DECIMAL
+    integer arithmetic in micro-ns; the published doubles are casts OF
+    the identical exact value (tpch_q1's numeric discipline).
+    |residual| ordering compares the exact micro integers, tie-broken
+    by (query_id, op_id).
 
     Scale: a24's single grouped agg builds the name-cardinality fit
     table, broadcast back over the bucketed operator scan (ev12's
     two-pass shape — the operator stream never shuffles); the top-N cut
     is a distributed TakeOrderedAndProject."""
-    fit = cost_model_fit(spark, sf_dir).select("name", "ns_per_row", "fixed_ns")
+    fit = cost_model_fit(spark, sf_dir).select(
+        "name",
+        F.floor(F.col("ns_per_row") * 1e6).cast("decimal(25,0)").alias("ns_u"),
+        F.floor(F.col("fixed_ns") * 1e6).cast("decimal(25,0)").alias("fx_u"),
+    )
     ops = corpus_operators(spark, sf_dir).select(
         "query_id",
         F.col("id").alias("op_id"),
@@ -530,22 +542,28 @@ def cost_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num_rows").cast("bigint").alias("num_rows"),
         F.col("avg_time").cast("bigint").alias("avg_time"),
     )
-    pred = F.round(
-        F.col("ns_per_row") * F.col("num_rows") + F.col("fixed_ns"), 6
+    pred_u = (F.col("ns_u") * F.col("num_rows") + F.col("fx_u")).cast(
+        "decimal(38,0)"
     )
     scored = (
         ops.join(F.broadcast(fit), "name")
-        .withColumn("predicted", pred)
-        .withColumn("residual", F.round(F.col("avg_time") - F.col("predicted"), 6))
+        .withColumn("pred_u", pred_u)
+        .withColumn(
+            "resid_u",
+            (
+                F.col("avg_time").cast("decimal(25,0)") * 1000000 - F.col("pred_u")
+            ).cast("decimal(38,0)"),
+        )
     )
     return (
         scored.orderBy(
-            F.abs(F.col("residual")).desc(), F.asc("query_id"), F.asc("op_id")
+            F.abs(F.col("resid_u")).desc(), F.asc("query_id"), F.asc("op_id")
         )
         .limit(_RESID_TOP)
         .select(
             "query_id", "op_id", "name", "num_rows", "avg_time",
-            "predicted", "residual",
+            (F.col("pred_u").cast("double") / 1e6).alias("predicted"),
+            (F.col("resid_u").cast("double") / 1e6).alias("residual"),
         )
     )
 
@@ -1351,16 +1369,27 @@ ORACLES: dict[str, str] = {
                        / n, 6) AS fixed_ns
           FROM moments
           WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+        fit_u AS (
+          SELECT name,
+                 CAST(FLOOR(ns_per_row * 1e6) AS DECIMAL(25,0)) AS ns_u,
+                 CAST(FLOOR(fixed_ns * 1e6) AS DECIMAL(25,0)) AS fx_u
+          FROM fit),
         scored AS (
           SELECT o.query_id, o.id AS op_id, o.name,
                  CAST(o.num_rows AS BIGINT) AS num_rows,
                  CAST(o.avg_time AS BIGINT) AS avg_time,
-                 ROUND(f.ns_per_row * o.num_rows + f.fixed_ns, 6) AS predicted
-          FROM iwa_operators o JOIN fit f USING (name))
-        SELECT query_id, op_id, name, num_rows, avg_time, predicted,
-               ROUND(avg_time - predicted, 6) AS residual
-        FROM scored
-        ORDER BY ABS(ROUND(avg_time - predicted, 6)) DESC, query_id, op_id
+                 CAST(f.ns_u * CAST(o.num_rows AS BIGINT) + f.fx_u
+                      AS DECIMAL(38,0)) AS pred_u
+          FROM iwa_operators o JOIN fit_u f USING (name)),
+        resid AS (
+          SELECT *, CAST(CAST(avg_time AS DECIMAL(25,0)) * 1000000 - pred_u
+                         AS DECIMAL(38,0)) AS resid_u
+          FROM scored)
+        SELECT query_id, op_id, name, num_rows, avg_time,
+               CAST(pred_u AS DOUBLE) / 1e6 AS predicted,
+               CAST(resid_u AS DOUBLE) / 1e6 AS residual
+        FROM resid
+        ORDER BY ABS(resid_u) DESC, query_id, op_id
         LIMIT {_RESID_TOP}"""),
     "a24_cost_model_fit": with_corpus("""
         SELECT name, n_ops,

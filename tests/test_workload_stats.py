@@ -71,9 +71,11 @@ def test_cooccurrence_bounded_by_individual_presence(spark, sf_dir):
 
 def test_cost_model_outliers_consistent_with_fit(spark, sf_dir):
     """a25: every reported prediction reproduces from a24's published
-    coefficients, residual = actual - predicted, and the report is the
-    true global top-|residual| cut."""
-    from pyspark.sql import functions as F
+    coefficients micro-quantized exactly as the engine does it
+    (floor(coeff * 1e6) integer micro-ns — IEEE-deterministic, no
+    decimal-string rounding), residual = actual - predicted, and the
+    report is the true global top-|residual| cut."""
+    import math
 
     from impala_workload_analyzer_spark.corpus.builder import corpus_operators
     from impala_workload_analyzer_spark.operators.workload_stats import (
@@ -83,16 +85,28 @@ def test_cost_model_outliers_consistent_with_fit(spark, sf_dir):
     )
 
     fit = {
-        r["name"]: (r["ns_per_row"], r["fixed_ns"])
+        r["name"]: (
+            math.floor(r["ns_per_row"] * 1e6),
+            math.floor(r["fixed_ns"] * 1e6),
+        )
         for r in cost_model_fit(spark, sf_dir).collect()
     }
+
+    def pred_u(name, num_rows):
+        ns_u, fx_u = fit[name]
+        return ns_u * num_rows + fx_u  # exact int micro-ns
+
     rows = cost_model_outliers(spark, sf_dir).collect()
     assert len(rows) == _RESID_TOP
     for r in rows:
-        slope, fixed = fit[r["name"]]
-        assert abs(r["predicted"] - round(slope * r["num_rows"] + fixed, 6)) < 1e-9
-        assert abs(r["residual"] - round(r["avg_time"] - r["predicted"], 6)) < 1e-9
-    floor = min(abs(r["residual"]) for r in rows)
+        pu = pred_u(r["name"], r["num_rows"])
+        ru = r["avg_time"] * 1_000_000 - pu
+        assert r["predicted"] == float(pu) / 1e6
+        assert r["residual"] == float(ru) / 1e6
+    floor_u = min(
+        abs(r["avg_time"] * 1_000_000 - pred_u(r["name"], r["num_rows"]))
+        for r in rows
+    )
     ops = corpus_operators(spark, sf_dir).select(
         "name", "num_rows", "avg_time"
     ).collect()
@@ -100,11 +114,8 @@ def test_cost_model_outliers_consistent_with_fit(spark, sf_dir):
         1
         for o in ops
         if o["name"] in fit
-        and abs(
-            o["avg_time"]
-            - round(fit[o["name"]][0] * o["num_rows"] + fit[o["name"]][1], 6)
-        )
-        > floor
+        and abs(o["avg_time"] * 1_000_000 - pred_u(o["name"], o["num_rows"]))
+        > floor_u
     )
     assert bigger <= _RESID_TOP
 
