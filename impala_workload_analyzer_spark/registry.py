@@ -5,22 +5,20 @@ Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything no driver
 round has ever witnessed, (b) everything modified since the last driver
-run, (c) the block longest unwitnessed. Round-7 window: the eleven
-round-6 additions that landed past round 6's window and so have never
-been driver-witnessed (sim15 sim16 tx21 st12 a25 dd17 dd18 ev22 w5
-snk1 snk2 — every one local-gate green at sf0.01 AND sf0.1 since round
-6), then the queries whose code changed this round (a19 grew the
-in-engine sketch-certificate + oracle, sim5 graduated to a 6-decimal
-oracle, pt2/pt3/pt5 now share one persisted co-located node frame),
-then 24 entries of the r03-era block (the oldest-witness tail:
-a5/a6/a9/a10/a11/a13/a14/a15/a16/a17, dd1-dd4/dd6, f1-f4, j2, p5, pt1,
-sim3, tx1 — all re-validated by the local gate on unchanged code every
-round since), then the first TEN round-7 additions. The remaining
-round-7 additions past the budget (st13, w7, a27, plt1/plt2, sim19,
-tx23, snk3, then the late-round sixteen: a28-a30, q5, tx24-tx28, snk4,
-sim20/sim21, dd20, ev25, st14/st15 — all local-gate green at sf0.01 AND sf0.1), the displaced
-r03 tail (tx2/tx3/tx4/w2) and the r04-era block (the tpch suite,
-ev1-ev8, mm1-mm3, tx5-tx7, dd5/dd7, a18) lead round 8's window.
+run, (c) the block longest unwitnessed. Round-8 window: the 24 round-7
+additions that landed past round 7's window and so have never been
+driver-witnessed (st13 w7 a27 plt1 plt2 sim19 tx23 snk3 a28 tx24 tx25
+sim20 ev25 tx26 st14 a29 q5 tx27 snk4 a30 dd20 st15 sim21 tx28 — every
+one local-gate green at sf0.01 AND sf0.1 since round 7), then the
+queries whose code changed this round (a25 recast to integer-exact
+micro-ns residuals after its r07 hash mismatch; m2 upgraded from
+rows-only to a hash-matched elbow certificate, with the raw curve moved
+to the new rows-only twin m2b), then round-8 additions as they land,
+then the longest-unwitnessed tail: the displaced r03 remainder
+(tx2/tx3/tx4/w2), the r04-era block (a18, dd5/dd7, ev1-ev8, mm1-mm3,
+tx5-tx7, the tpch suite), then the r05/r06-witnessed greens. The 50
+queries of round 7's window (all green there except a25, which moved
+forward as changed) carry the freshest witness and close the list.
 Unlisted names keep module order after the prioritized block, so a new
 query is never silently dropped.
 """
@@ -34,56 +32,21 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
-    # --- window positions 1-11: round-6 additions never driver-witnessed ---
-    "sim15_ivfpq_rerank", "sim16_ann_comparison", "tx21_quality_sweep",
-    "st12_streaming_rate_alerts", "a25_cost_model_outliers",
-    "dd17_dedup_comparison", "dd18_effective_dataset",
-    "ev22_funnel_window_sweep", "w5_concurrency_percentiles",
-    "snk1_curated_export", "snk2_incremental_export",
-    # --- 12-16: code changed this round (a19 certificate+oracle, sim5
-    # 6-decimal oracle, shared persisted plan-node frame) ---
-    "a19_operator_time_quantiles_sketch", "sim5_vectorized_topk",
-    "pt2_plan_paths", "pt3_critical_path", "pt5_critical_hotspots",
-    # --- 17-44: the r03-era block, the oldest-witness tail ---
-    "a5_scan_size_per_query", "a6_workload_distributions",
-    "a9_join_audit_rollup", "a10_preagg_reduction",
-    "a11_preagg_reduction_hist", "a13_avg_time_pct_per_operator",
-    "a14_abs_time_pct_per_operator", "a15_rollup_by_sql_type",
-    "a16_counter_consistency", "a17_query_num_hosts", "dd1_exact_dedup",
-    "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
-    "dd4_simhash_signatures", "dd6_simhash_neardup",
-    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
-    "f3_pp_time_roundtrip", "f4_bit_reinterpret", "j2_join_children",
-    "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
-    "tx1_token_stats",
-    # --- 41-50: NEW in round 7 (filtered + diversified ANN, soft dedup,
-    # perplexity strata, CUSUM changepoints, periodicity ACF, CDC media
-    # near-dup, tail attribution, shape drift, cardinality q-error; all
-    # local-gate green at sf0.01 AND sf0.1) ---
-    "sim17_filtered_topk", "dd19_soft_dedup_weights",
-    "tx22_perplexity_buckets", "ev23_rate_cusum",
-    "mm6_frame_fp_neardup", "w6_tail_latency_attribution",
-    "pt6_shape_runtime_drift", "ev24_periodicity_acf",
-    "sim18_diverse_topk", "a26_cardinality_qerror",
-    # --- position 51+: rotates into round 8's window — the round-7
-    # additions past the budget first, then oldest witness (the displaced
-    # r03 tail, the r04 block, then the r05/r06-witnessed greens) ---
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",
-    "snk3_ann_index_export", "a28_memory_reservation",
-    "tx24_vocab_growth", "tx25_shard_manifest", "sim20_nprobe_sweep",
-    "ev25_gap_fill_audit", "tx26_source_overlap",
-    "st14_streaming_gap_detect", "a29_shuffle_amplification",
-    "q5_sql_antipatterns", "tx27_source_divergence",
-    "snk4_shard_export", "a30_capacity_trend",
+    "snk3_ann_index_export", "a28_memory_reservation", "tx24_vocab_growth",
+    "tx25_shard_manifest", "sim20_nprobe_sweep", "ev25_gap_fill_audit",
+    "tx26_source_overlap", "st14_streaming_gap_detect",
+    "a29_shuffle_amplification", "q5_sql_antipatterns",
+    "tx27_source_divergence", "snk4_shard_export", "a30_capacity_trend",
     "dd20_component_size_spectrum", "st15_streaming_shard_manifest",
     "sim21_recall_at_k_curve", "tx28_bpe_merge_candidates",
-    "tx2_quality_score", "tx3_language_id",
-    "tx4_winnow_fingerprints", "w2_time_share_per_query",
-    "a18_operator_time_quantiles", "dd5_embedding_neardup",
-    "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly",
-    "ev2_sliding_hourly", "ev4_json_props_stats",
+    "a25_cost_model_outliers", "m2_kmeans_elbow", "m2b_kmeans_elbow_curve",
+    "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",
+    "w2_time_share_per_query", "a18_operator_time_quantiles",
+    "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
+    "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev4_json_props_stats",
     "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
     "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
     "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
@@ -94,8 +57,8 @@ _PRIORITY = (
     "sim1_brute_force_topk", "sim2_lsh_topk", "sim4_ivf_topk",
     "sim6_range_search", "sim8_knn_label_assign", "sim9_lsh_recall",
     "sim10_ivf_recall", "sim12_quantize_recall", "ev18_funnel_latency",
-    "dd11_bloom_prefilter", "m2_kmeans_elbow", "m3_kmeans_clusters",
-    "sim11_pq_assign", "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
+    "dd11_bloom_prefilter", "m3_kmeans_clusters", "sim11_pq_assign",
+    "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     "pt4_plan_fingerprints", "st8_streaming_cms", "dd12_winnow_neardup",
     "tx17_zipf_spectrum", "sim13_ivfpq_topk", "st9_streaming_kmv",
     "dd13_component_keep_best", "ev19_event_transitions",
@@ -104,20 +67,19 @@ _PRIORITY = (
     "st10_streaming_transitions", "tx20_ngram_novelty",
     "a24_cost_model_fit", "mm5_modality_mixture",
     "sim14_cell_balanced_sample", "ev21_user_concentration",
-    "q4_template_runtime", "st11_streaming_bloom",
-    "dd15_dup_span_coverage", "dd16_minhash_calibration", "o4_topn_orders",
+    "q4_template_runtime", "st11_streaming_bloom", "dd15_dup_span_coverage",
+    "dd16_minhash_calibration", "o4_topn_orders",
     "set1_union_party_nations", "tpch_q14", "w2b_nation_revenue_share",
     "w3_top_customers_per_nation", "x1_region_nation_grid",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "ev3_sessionize", "q3_features_rollup",
     "q1_sql_features", "ing1_parsed_operators", "ing2_parsed_fragments",
     "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
-    "m0_cluster_features", "w1_concurrency_sweep",
-    "w4_cluster_utilization", "dd8_neardup_components",
-    "dd9_semantic_components", "dd10_incremental_dedup",
-    "st1_streaming_tumbling", "st2_streaming_sessions",
-    "st3_stateful_user_stats", "st4_streaming_dedup",
-    "st5_streaming_anomaly", "st6_streaming_ingest",
+    "m0_cluster_features", "w1_concurrency_sweep", "w4_cluster_utilization",
+    "dd8_neardup_components", "dd9_semantic_components",
+    "dd10_incremental_dedup", "st1_streaming_tumbling",
+    "st2_streaming_sessions", "st3_stateful_user_stats",
+    "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
     "st7_streaming_interval_join", "ev9_retention_cohorts",
     "ev10_funnel_conversion", "ev11_sessionize_salted",
     "ev12_anomaly_zscore", "ev13_rate_alerts", "ev14_kmv_distinct",
@@ -125,10 +87,29 @@ _PRIORITY = (
     "sim7_embedding_quantize", "tx8_benchmark_contamination",
     "tx9_sequence_packing", "tx10_blocklist_policy",
     "tx11_repetition_stats", "tx12_mixture_sample",
-    "tx13_boilerplate_stats", "tx14_vocab_coverage",
-    "tx15_pipeline_funnel", "tx16_bigram_logprob", "a20_workload_cube",
-    "a21_runtime_deciles", "a22_operator_cooccurrence",
-    "set2_party_nation_overlap",
+    "tx13_boilerplate_stats", "tx14_vocab_coverage", "tx15_pipeline_funnel",
+    "tx16_bigram_logprob", "a20_workload_cube", "a21_runtime_deciles",
+    "a22_operator_cooccurrence", "set2_party_nation_overlap",
+    "sim15_ivfpq_rerank", "sim16_ann_comparison", "tx21_quality_sweep",
+    "st12_streaming_rate_alerts", "dd17_dedup_comparison",
+    "dd18_effective_dataset", "ev22_funnel_window_sweep",
+    "w5_concurrency_percentiles", "snk1_curated_export",
+    "snk2_incremental_export", "a19_operator_time_quantiles_sketch",
+    "sim5_vectorized_topk", "pt2_plan_paths", "pt3_critical_path",
+    "pt5_critical_hotspots", "a5_scan_size_per_query",
+    "a6_workload_distributions", "a9_join_audit_rollup",
+    "a10_preagg_reduction", "a11_preagg_reduction_hist",
+    "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
+    "a15_rollup_by_sql_type", "a16_counter_consistency",
+    "a17_query_num_hosts", "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
+    "dd3_minhash_lsh_pairs", "dd4_simhash_signatures",
+    "dd6_simhash_neardup", "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
+    "f3_pp_time_roundtrip", "f4_bit_reinterpret", "j2_join_children",
+    "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
+    "tx1_token_stats", "sim17_filtered_topk", "dd19_soft_dedup_weights",
+    "tx22_perplexity_buckets", "ev23_rate_cusum", "mm6_frame_fp_neardup",
+    "w6_tail_latency_attribution", "pt6_shape_runtime_drift",
+    "ev24_periodicity_acf", "sim18_diverse_topk", "a26_cardinality_qerror",
 )
 
 

@@ -89,19 +89,27 @@ def test_stratified_split_partitions_corpus(spark, sf_dir):
 
 
 def test_kmeans_elbow_deterministic_and_monotone(spark, sf_dir):
-    """m2 computes live (best-of-_SEEDS per k): two runs are identical
-    (pinned seeds, canonical input layout), the sweep covers k=1..69, and
-    the variance-explained curve is monotone non-decreasing — multi-init
-    keeps a bad single-seed local optimum from denting the curve."""
+    """m2b computes live (best-of-_SEEDS per k): two runs are identical
+    (pinned seeds, canonical input layout, memoized curve), the sweep
+    covers k=1..69, the variance-explained curve is monotone
+    non-decreasing — multi-init keeps a bad single-seed local optimum
+    from denting the curve — and the m2 certificate over the same curve
+    is all-TRUE (what the DuckDB oracle asserts)."""
     from impala_workload_analyzer_spark.ml import clustering as C
 
-    a = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
-    b = sorted(map(tuple, C.kmeans_elbow(spark, sf_dir).collect()))
+    a = sorted(map(tuple, C.kmeans_elbow_curve(spark, sf_dir).collect()))
+    b = sorted(map(tuple, C.kmeans_elbow_curve(spark, sf_dir).collect()))
     assert [(k, round(w, 6)) for k, w, _ in a] == \
            [(k, round(w, 6)) for k, w, _ in b]
     assert [k for k, _, _ in a] == list(range(1, 70))
     pcts = [p for _, _, p in a]
     assert all(y >= x - 1e-9 for x, y in zip(pcts, pcts[1:]))
+
+    cert = C.kmeans_elbow(spark, sf_dir).collect()
+    assert [r["k"] for r in cert] == list(range(1, 70))
+    for r in cert:
+        assert r["wcss_nonincreasing"] and r["pct_var_in_range"]
+        assert r["pct_var_nondecreasing"] and r["tss_matches_dims"]
 
 
 def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
