@@ -68,6 +68,14 @@ HEADLINERS = (
     # covers the candidate+exact-verify dedup shape in the headliners)
     "sim13_ivfpq_topk",
     "tx18_token_entropy",
+    # round-7 families: SQL lint, five-tier ANN + dedup comparisons,
+    # shard manifests (batch + streaming twin) — so regressions in the
+    # newest operator families are visible round-over-round
+    "q5_sql_antipatterns",
+    "sim16_ann_comparison",
+    "dd17_dedup_comparison",
+    "tx25_shard_manifest",
+    "st15_streaming_shard_manifest",
 )
 
 

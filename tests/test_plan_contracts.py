@@ -420,3 +420,31 @@ def test_q5_reuses_q4_template_shuffle_shape(spark, sf_dir):
     # the query_id join — same contract as q4
     plan = _plan(spark, sf_dir, "q5_sql_antipatterns")
     assert plan.count("Exchange hashpartitioning(parameterized_stmt") <= 1, plan
+
+
+def _executed_plan(spark, sf_dir, name: str) -> str:
+    """The AQE-finalized physical plan: PLANS.md's codegen column reads
+    'n' for explain-time plans because '*(n)' stage markers exist only
+    after execution, so the codegen contract must run the query."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_bench_heavy_hitters_run_whole_stage_codegen(spark, sf_dir):
+    """The five most expensive DataFrame bench queries must keep their
+    hot expressions inside WholeStageCodegen stages in the EXECUTED
+    plan — an accidental codegen-breaking expression (python UDF, an
+    unsupported type) would stay correct but fall back to interpreted
+    row-at-a-time evaluation and never survive 100 TB. (ing1 and st3,
+    the other bench heavyweights, are Arrow-batched mapInPandas /
+    applyInPandasWithState by design — no codegen claim for them.)"""
+    for name in (
+        "a9_join_audit_rollup",
+        "a13_avg_time_pct_per_operator",
+        "dd3_minhash_lsh_pairs",
+        "tpch_q9",
+        "pt2_plan_paths",
+    ):
+        executed = _executed_plan(spark, sf_dir, name)
+        assert "*(" in executed, f"{name} lost WholeStageCodegen:\n{executed[:2000]}"
