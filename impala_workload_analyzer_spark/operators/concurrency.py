@@ -365,3 +365,70 @@ SPARK_QUERIES = {
     "w4_cluster_utilization": cluster_utilization,
     "w5_concurrency_percentiles": concurrency_percentiles,
 }
+
+
+def concurrency_mass_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w8 — CONCURRENCY MASS CONSERVATION (Little's law audit): per
+    cluster, the sweep-line integral of the concurrency level over time
+    (``sweep_mass_us`` = sum of level x interval across w1's swept
+    events) must equal the plain sum of query durations
+    (``runtime_mass_us`` = sum(end_time - start_time)) — the L = lambda*W
+    identity, exact in integer microseconds. The certificate cross-checks
+    the ENTIRE two-phase prefix-scan machinery (chunking, offsets, tie
+    ordering) against an independent one-line aggregate: any dropped
+    event, mis-ordered tie, or wrong chunk offset breaks equality.
+    ``mean_residence_us`` (W = mass/n, floored) is the per-query
+    residence time capacity planning reads off the same numbers.
+
+    Scale: the sweep side is w1's shared machinery (adaptive two-phase
+    scan); the runtime side is one grouped aggregate over the bucketed
+    corpus scan. Both shuffle on cluster — a handful of groups."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    swept = _swept_levels(spark, sf_dir)
+    mass = swept.groupBy("cluster").agg(
+        F.sum(F.col("level").cast("bigint") * F.col("interval"))
+        .cast("bigint")
+        .alias("sweep_mass_us")
+    )
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    runtime = (
+        q.join(clusters, "cluster", "left_semi")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.col("end_time") - F.col("start_time"))
+            .cast("bigint")
+            .alias("runtime_mass_us"),
+        )
+    )
+    return runtime.join(mass, "cluster").select(
+        "cluster",
+        "n_queries",
+        "runtime_mass_us",
+        "sweep_mass_us",
+        (F.col("sweep_mass_us") == F.col("runtime_mass_us")).alias("mass_conserved"),
+        F.expr(IDIV("runtime_mass_us", "n_queries")).alias("mean_residence_us"),
+    )
+
+
+# w8's oracle recomputes the identity's RIGHT side only: the duration sum
+# is the ground truth both columns must equal, so a sweep bug (Spark side)
+# hash-mismatches against it.
+from ..corpus.corpus_sql import IDIV as _IDIV  # noqa: E402
+
+ORACLES["w8_concurrency_mass"] = with_corpus(f"""
+        , scoped AS (
+          SELECT cluster, start_time, end_time FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch'))
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(end_time - start_time) AS BIGINT) AS runtime_mass_us,
+               CAST(SUM(end_time - start_time) AS BIGINT) AS sweep_mass_us,
+               TRUE AS mass_conserved,
+               {_IDIV('SUM(end_time - start_time)', 'COUNT(*)')} AS mean_residence_us
+        FROM scoped GROUP BY cluster""")
+
+SPARK_QUERIES["w8_concurrency_mass"] = concurrency_mass_certificate

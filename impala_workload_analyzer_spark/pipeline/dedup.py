@@ -1566,3 +1566,232 @@ ORACLES["dd20_component_size_spectrum"] = f"""
         GROUP BY s.comp_size, t.n_total"""
 
 SPARK_QUERIES["dd20_component_size_spectrum"] = component_size_spectrum
+
+
+# (n_bands, rows_per_band) configurations over the SAME 16-hash signature:
+# more bands with fewer rows = more candidates / higher recall (collision
+# probability 1-(1-J^r)^b), fewer wider bands = cheaper / more precise.
+_DD21_CONFIGS = ((16, 1), (8, 2), (4, 4))
+
+
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd21 — LSH BAND-SHAPE SENSITIVITY: dd3's banding question answered
+    with data instead of the collision formula. For each (bands x rows)
+    split of the one shared 16-minhash signature, the sweep reports the
+    candidate volume (what the verify stage pays), how many candidates
+    verify at jaccard >= 0.5, and how many of the exact baseline's true
+    pairs (dd2) the banding surfaced — the precision/recall/cost table an
+    operator reads before fixing b x r for a 100 TB dedup run. The (8,2)
+    row reproduces dd3 exactly (same signature, same verify), pinning the
+    sweep to the production path.
+
+    Scale: ONE signature pass (dd3's groupBy), one exploded band frame
+    tagged by config self-joined on (config, band_idx, band_key) — banded
+    candidates only, never all-pairs — and ONE exact-Jaccard verify over
+    the distinct union of candidates (configs are nested by construction:
+    a (4,4) collision implies (8,2) implies (16,1), so the union is just
+    the (16,1) set; each config then counts its own subset)."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
+    )
+    sig = _minhash_sig(sh)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("n_bands"),
+                        F.lit(j).alias("band_idx"),
+                        F.concat_ws(
+                            "_", *[F.col(f"h{j * r + k}") for k in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for nb, r in _DD21_CONFIGS
+                    for j in range(nb)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.n_bands", "b.band_idx", "b.band_key")
+    cands = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.n_bands") == F.col("y.n_bands"))
+            & (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.n_bands").alias("n_bands"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    jac = _verify_jaccard(
+        cands.select("doc_a", "doc_b").distinct(), _shingles_df(spark, sf_dir)
+    )
+    truth = _ngram_jaccard_of(_shingles_df(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    scored = (
+        cands.join(jac, ["doc_a", "doc_b"], "left")
+        .join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("n_bands")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("jaccard") >= _JACCARD_THRESHOLD, 1).otherwise(0)
+            ).cast("bigint").alias("n_verified"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).cast("bigint")
+            .alias("n_true_found"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(n_true)).select(
+        F.col("n_bands").cast("bigint").alias("n_bands"),
+        (F.lit(_N_HASHES) / F.col("n_bands")).cast("bigint").alias("rows_per_band"),
+        "n_candidates",
+        "n_verified",
+        "n_true_found",
+        "n_true",
+    )
+
+
+def _dd21_bands_sql() -> str:
+    selects = []
+    for nb, r in _DD21_CONFIGS:
+        for j in range(nb):
+            key = " || '_' || ".join(
+                f"CAST(h{j * r + k} AS STRING)" for k in range(r)
+            )
+            selects.append(
+                f"  SELECT doc_id, {nb} AS n_bands, {j} AS band_idx,"
+                f" {key} AS band_key FROM sig"
+            )
+    return "bands21 AS (\n" + "\n  UNION ALL\n".join(selects) + "\n)"
+
+
+ORACLES["dd21_lsh_band_sensitivity"] = f"""
+        WITH x AS (SELECT 1){_DUCK_JACCARD},
+        {_DUCK_MINHASH_SIG},
+        {_dd21_bands_sql()},
+        cands AS (
+          SELECT DISTINCT x.n_bands, x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands21 x JOIN bands21 y
+            ON x.n_bands = y.n_bands AND x.band_idx = y.band_idx
+           AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        truth AS (
+          SELECT j.doc_a, j.doc_b
+          FROM jac j
+          JOIN (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT s.doc_id, s.shingle FROM shingles s
+                      JOIN (SELECT shingle FROM shingles GROUP BY shingle
+                            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}) r
+                        ON s.shingle = r.shingle) a
+                JOIN (SELECT s.doc_id, s.shingle FROM shingles s
+                      JOIN (SELECT shingle FROM shingles GROUP BY shingle
+                            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}) r
+                        ON s.shingle = r.shingle) b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id) c
+            ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          WHERE j.jaccard >= {_JACCARD_THRESHOLD}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+        SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+               CAST({_N_HASHES} / c.n_bands AS BIGINT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN j.jaccard >= {_JACCARD_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+               CAST(SUM(CASE WHEN t.doc_a IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found,
+               tot.n_true
+        FROM cands c
+        LEFT JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        CROSS JOIN tot
+        GROUP BY c.n_bands, tot.n_true"""
+
+SPARK_QUERIES["dd21_lsh_band_sensitivity"] = lsh_band_sensitivity
+
+
+def dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd22 — DUPLICATION x QUALITY interaction: tx2's quality-filter
+    outcomes profiled by NEAR-DUP component size ("are duplicated
+    documents worse?") — the curation question behind dedup-before-filter
+    vs filter-before-dedup ordering. Per dup-size bucket (unique / 2 /
+    3-5 / 6+ members in dd8's MinHash-LSH component): doc count, how
+    many pass the tx2 keep filter, the keep rate in exact ppm, and
+    floor-mean token length. Boilerplate and spam concentrate in large
+    dup clusters; if keep_ppm falls with cluster size, running dedup
+    FIRST saves the quality filter's compute. (The fixtures carry
+    near-dup structure but almost no byte-exact dups, so components —
+    not md5 classes — are the duplication signal worth profiling.)
+
+    Exactness: counts, ppm, and floor-means are pure integer arithmetic
+    (a13's py2 floor-division discipline) — no float column published.
+
+    Scale: dd8's component labels are doc-keyed; component sizes are one
+    groupBy over them; the quality join is doc-keyed against tx2's
+    stateless projection; the bucket rollup is a 4-group aggregate."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+    from .text import quality_score  # noqa: PLC0415
+
+    comp = neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("dup_count"))
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    bucket = (
+        F.when(F.col("dup_count") == 1, "unique")
+        .when(F.col("dup_count") == 2, "2")
+        .when(F.col("dup_count") <= 5, "3_5")
+        .otherwise("6_plus")
+    )
+    return (
+        comp.join(sizes, "component_id")
+        .join(q, "doc_id")
+        .groupBy(bucket.alias("dup_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "dup_bucket",
+            "n_docs",
+            "n_keep",
+            F.expr(IDIV("n_keep * 1000000", "n_docs")).alias("keep_ppm"),
+            F.expr(IDIV("sum_tokens", "n_docs")).alias("mean_tokens"),
+        )
+    )
+
+
+def _dd22_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+    from .text import ORACLES as _TX_ORACLES  # noqa: PLC0415
+
+    tx2 = _TX_ORACLES["tx2_quality_score"]
+    return f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        q AS ({tx2}),
+        sizes AS (SELECT component_id, COUNT(*) AS dup_count
+                  FROM comp GROUP BY component_id),
+        rolled AS (
+          SELECT CASE WHEN s.dup_count = 1 THEN 'unique'
+                      WHEN s.dup_count = 2 THEN '2'
+                      WHEN s.dup_count <= 5 THEN '3_5'
+                      ELSE '6_plus' END AS dup_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                 CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+          FROM comp c JOIN sizes s USING (component_id) JOIN q USING (doc_id)
+          GROUP BY 1)
+        SELECT dup_bucket, n_docs, n_keep,
+               {IDIV('n_keep * 1000000', 'n_docs')} AS keep_ppm,
+               {IDIV('sum_tokens', 'n_docs')} AS mean_tokens
+        FROM rolled"""
+
+
+ORACLES["dd22_dup_quality_profile"] = _dd22_oracle()
+SPARK_QUERIES["dd22_dup_quality_profile"] = dup_quality_profile

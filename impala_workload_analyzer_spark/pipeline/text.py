@@ -1984,3 +1984,118 @@ ORACLES["tx22_perplexity_buckets"] = f"""
 # breaks the otherwise-circular import.
 ORACLES["snk2_incremental_export"] = _snk2_oracle()
 
+
+
+# temperature exponents for the mixture recipe, expressed in permille and
+# realized ONLY through sqrt compositions (IEEE-correctly-rounded in both
+# engines, unlike libm pow): 250 = sqrt(sqrt(x)), 500 = sqrt(x),
+# 750 = sqrt(x)*sqrt(sqrt(x)), 1000 = x.
+_TX30_ALPHAS = (
+    (250, "SQRT(SQRT({x}))"),
+    (500, "SQRT({x})"),
+    (750, "SQRT({x}) * SQRT(SQRT({x}))"),
+    (1000, "{x}"),
+)
+
+
+def mixture_temperature_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx30 — TEMPERATURE-SCALED MIXTURE RECIPE: per (source, alpha), the
+    sampling weight w_s proportional to tokens_s^alpha and the resulting
+    token draw + epoch count under a fixed budget (half the corpus) —
+    the domain-weighting table (alpha < 1 upweights small sources)
+    pre-training corpus construction starts from; tx12 then *applies*
+    such weights as sampling rates. Alpha sweeps 0.25 / 0.5 / 0.75 / 1.
+
+    Exactness end to end (the a25 lesson): tokens^alpha is built ONLY
+    from SQRT and multiply (both IEEE-correctly-rounded, so bit-identical
+    cross-engine — libm POW is not), then quantized to integer
+    micro-units via FLOOR(x * 1e6); every published ratio is integer
+    floor-division (weight/epochs in ppm) — no float column, no ROUND,
+    no float sum whose order could differ.
+
+    Scale: one grouped aggregate over documents (source cardinality is
+    tiny); the alpha sweep is a constant-width explode of that
+    aggregate; the normalizing sums are window totals over a handful of
+    rows."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size("words")).cast("bigint").alias("n_tokens")
+    )
+    swept = per_src.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).cast("bigint").alias("alpha_permille"),
+                        F.floor(
+                            F.expr(expr.format(x="CAST(n_tokens AS DOUBLE)"))
+                            * 1e6
+                        ).cast("bigint").alias("pow_micro"),
+                    )
+                    for a, expr in _TX30_ALPHAS
+                ]
+            )
+        ).alias("e"),
+    ).select("source", "n_tokens", "e.alpha_permille", "e.pow_micro")
+    wtot = Window.partitionBy("alpha_permille")
+    return (
+        swept.withColumn("sum_pow", F.sum("pow_micro").over(wtot))
+        .withColumn("total_tokens", F.sum("n_tokens").over(wtot))
+        .select(
+            "source",
+            "alpha_permille",
+            "n_tokens",
+            "pow_micro",
+            F.expr(IDIV("pow_micro * 1000000", "sum_pow")).alias("weight_ppm"),
+            F.expr(IDIV("total_tokens", 2)).alias("budget_tokens"),
+            F.expr(
+                IDIV(
+                    IDIV("total_tokens", 2) + " * " + IDIV("pow_micro * 1000000", "sum_pow"),
+                    1000000,
+                )
+            ).alias("draw_tokens"),
+        )
+        .withColumn(
+            "epochs_ppm", F.expr(IDIV("draw_tokens * 1000000", "n_tokens"))
+        )
+    )
+
+
+def _tx30_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    arms = "\n          UNION ALL\n".join(
+        f"          SELECT source, n_tokens, CAST({a} AS BIGINT) AS alpha_permille,"
+        f" CAST(FLOOR({expr.format(x='CAST(n_tokens AS DOUBLE)')} * 1e6) AS BIGINT)"
+        f" AS pow_micro FROM per_src"
+        for a, expr in _TX30_ALPHAS
+    )
+    w_ppm = IDIV("pow_micro * 1000000", "sum_pow")
+    budget = IDIV("total_tokens", 2)
+    draw = IDIV(f"{budget} * {w_ppm}", 1000000)
+    return f"""
+        WITH per_src AS (
+          SELECT source, CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        swept AS (
+{arms}
+        ),
+        tot AS (
+          SELECT *,
+                 SUM(pow_micro) OVER (PARTITION BY alpha_permille) AS sum_pow,
+                 SUM(n_tokens) OVER (PARTITION BY alpha_permille) AS total_tokens
+          FROM swept)
+        SELECT source, alpha_permille, n_tokens, pow_micro,
+               {w_ppm} AS weight_ppm,
+               {budget} AS budget_tokens,
+               {draw} AS draw_tokens,
+               {IDIV(f'({draw}) * 1000000', 'n_tokens')} AS epochs_ppm
+        FROM tot"""
+
+
+ORACLES["tx30_mixture_temperature_recipe"] = _tx30_oracle()
+SPARK_QUERIES["tx30_mixture_temperature_recipe"] = mixture_temperature_recipe

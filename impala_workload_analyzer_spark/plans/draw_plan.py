@@ -516,3 +516,94 @@ SPARK_QUERIES = {
     "pt5_critical_hotspots": critical_hotspots,
     "pt6_shape_runtime_drift": shape_runtime_drift,
 }
+
+
+def plan_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt7 — PLAN MOTIF census: every parent->child->grandchild operator
+    NAME triple across all plan trees, with occurrence and query counts —
+    "which three-operator sub-plan shapes dominate the workload" (e.g.
+    AGGREGATE>HASH JOIN>SCAN HDFS vs EXCHANGE>AGGREGATE>SCAN). The
+    n-gram view of pt4's whole-plan fingerprints: fingerprints tell you
+    which PLANS repeat, motifs tell you which SHAPES repeat inside
+    different plans — what a workload reviewer scans before deciding
+    which pattern to optimize for first.
+
+    Scale: pt1's edge set (one self-join + one fragment join) named via
+    two (query_id, id)-keyed joins, then one edge self-join on the
+    shared child/parent id and a grouped count — every join an equi-join
+    on plan-local keys, output bounded by distinct-name^3."""
+    ops = corpus_operators(spark, sf_dir).select("query_id", "id", "name")
+    edges = plan_edges(spark, sf_dir)
+    named = (
+        edges.join(
+            ops.select(
+                "query_id",
+                F.col("id").alias("parent_op"),
+                F.col("name").alias("parent_name"),
+            ),
+            ["query_id", "parent_op"],
+        )
+        .join(
+            ops.select(
+                "query_id",
+                F.col("id").alias("child_op"),
+                F.col("name").alias("child_name"),
+            ),
+            ["query_id", "child_op"],
+        )
+    )
+    chains = (
+        named.alias("a")
+        .join(
+            named.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.child_op") == F.col("b.parent_op")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.parent_name").alias("op_top"),
+            F.col("a.child_name").alias("op_mid"),
+            F.col("b.child_name").alias("op_leaf"),
+        )
+    )
+    return chains.groupBy("op_top", "op_mid", "op_leaf").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+
+
+ORACLES["pt7_plan_motifs"] = with_corpus("""
+        , edges AS (
+          SELECT o.query_id, p.id AS parent_op, o.id AS child_op
+          FROM iwa_operators o
+          JOIN iwa_operators p
+            ON p.query_id = o.query_id AND p.id = o.parent_id
+           AND p.fragment_id = o.fragment_id
+          UNION ALL
+          SELECT f.query_id, f.exchange_id AS parent_op, o.id
+          FROM iwa_fragments f
+          JOIN iwa_operators o
+            ON o.query_id = f.query_id AND o.fragment_id = f.id
+           AND o.parent_id IS NULL
+          WHERE f.exchange_id IS NOT NULL
+        ),
+        named AS (
+          SELECT e.query_id, e.parent_op, e.child_op,
+                 p.name AS parent_name, c.name AS child_name
+          FROM edges e
+          JOIN iwa_operators p
+            ON p.query_id = e.query_id AND p.id = e.parent_op
+          JOIN iwa_operators c
+            ON c.query_id = e.query_id AND c.id = e.child_op
+        )
+        SELECT a.parent_name AS op_top,
+               a.child_name AS op_mid,
+               b.child_name AS op_leaf,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries
+        FROM named a
+        JOIN named b
+          ON b.query_id = a.query_id AND b.parent_op = a.child_op
+        GROUP BY 1, 2, 3""")
+
+SPARK_QUERIES["pt7_plan_motifs"] = plan_motifs

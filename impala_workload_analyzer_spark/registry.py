@@ -13,7 +13,9 @@ one local-gate green at sf0.01 AND sf0.1 since round 7), then the
 queries whose code changed this round (a25 recast to integer-exact
 micro-ns residuals after its r07 hash mismatch; m2 upgraded from
 rows-only to a hash-matched elbow certificate, with the raw curve moved
-to the new rows-only twin m2b), then round-8 additions as they land,
+to the new rows-only twin m2b), then the round-8 additions (dd21 LSH band
+sweep, w8 concurrency-mass certificate, pt7 plan motifs, dd22 dup x
+quality interaction, tx30 temperature mixture recipe),
 then the longest-unwitnessed tail: the displaced r03 remainder
 (tx2/tx3/tx4/w2), the r04-era block (a18, dd5/dd7, ev1-ev8, mm1-mm3,
 tx5-tx7, the tpch suite), then the r05/r06-witnessed greens. The 50
@@ -43,6 +45,7 @@ _PRIORITY = (
     "dd20_component_size_spectrum", "st15_streaming_shard_manifest",
     "sim21_recall_at_k_curve", "tx28_bpe_merge_candidates",
     "a25_cost_model_outliers", "m2_kmeans_elbow", "m2b_kmeans_elbow_curve",
+    "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs", "dd22_dup_quality_profile", "tx30_mixture_temperature_recipe",
     "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",
     "w2_time_share_per_query", "a18_operator_time_quantiles",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",

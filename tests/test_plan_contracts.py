@@ -448,3 +448,26 @@ def test_bench_heavy_hitters_run_whole_stage_codegen(spark, sf_dir):
     ):
         executed = _executed_plan(spark, sf_dir, name)
         assert "*(" in executed, f"{name} lost WholeStageCodegen:\n{executed[:2000]}"
+
+
+def test_dd21_bands_are_equi_joins_single_signature(spark, sf_dir):
+    # the three band configs must share ONE signature aggregation and
+    # join only on (config, band_idx, band_key) — banded candidates,
+    # never an all-pairs product; the verify stage joins on doc pairs
+    plan = _plan(spark, sf_dir, "dd21_lsh_band_sensitivity")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the broadcast of the 1-row n_true
+    # frame (formatted explain names each node twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_pt7_chains_join_on_plan_local_keys(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pt7_plan_motifs")
+    assert "CartesianProduct" not in plan
+
+
+def test_w8_runtime_side_is_one_grouped_pass(spark, sf_dir):
+    # the duration sum must come straight off the corpus scan — no join
+    # back into the event stream before the cluster-keyed aggregation
+    plan = _plan(spark, sf_dir, "w8_concurrency_mass")
+    assert "CartesianProduct" not in plan

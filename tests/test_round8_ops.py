@@ -1,0 +1,123 @@
+"""Round-8 operators: LSH band sweep, concurrency mass certificate,
+plan motifs, dup x quality interaction, mixture temperature recipe."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_dd21_band_sweep_nested_and_pinned_to_dd3(spark, sf_dir):
+    """dd21: the (8,2) row must reproduce dd3 exactly (same signature,
+    same verify); candidate sets are nested by construction so both the
+    candidate volume and the true-pair recall are monotone in the band
+    count; found-true never exceeds either side of the intersection."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        lsh_band_sensitivity,
+        minhash_lsh_pairs,
+    )
+
+    rows = {r["n_bands"]: r for r in lsh_band_sensitivity(spark, sf_dir).collect()}
+    assert set(rows) == {16, 8, 4}
+    for r in rows.values():
+        assert r["rows_per_band"] * r["n_bands"] == 16
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["n_true_found"] <= min(r["n_candidates"], r["n_true"])
+    assert rows[16]["n_candidates"] >= rows[8]["n_candidates"] >= rows[4]["n_candidates"]
+    assert rows[16]["n_true_found"] >= rows[8]["n_true_found"] >= rows[4]["n_true_found"]
+    assert rows[8]["n_verified"] == minhash_lsh_pairs(spark, sf_dir).count()
+
+
+def test_w8_mass_conservation_and_littles_law(spark, sf_dir):
+    """w8: the sweep-line integral equals the duration sum per cluster
+    (recomputed in python), the certificate is TRUE everywhere, and the
+    floored mean residence is consistent."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        concurrency_mass_certificate,
+    )
+
+    rows = concurrency_mass_certificate(spark, sf_dir).collect()
+    assert rows
+    q = corpus_queries(spark, sf_dir).select(
+        "cluster", "start_time", "end_time"
+    ).collect()
+    expect: dict[str, list[int]] = {}
+    for r in q:
+        expect.setdefault(r["cluster"], [0, 0])
+        expect[r["cluster"]][0] += 1
+        expect[r["cluster"]][1] += r["end_time"] - r["start_time"]
+    for r in rows:
+        n, mass = expect[r["cluster"]]
+        assert r["mass_conserved"] is True
+        assert r["n_queries"] == n
+        assert r["runtime_mass_us"] == mass == r["sweep_mass_us"]
+        assert r["mean_residence_us"] == math.floor(mass / n)
+
+
+def test_pt7_motifs_match_python_chain_count(spark, sf_dir):
+    """pt7: motif occurrence totals equal a python recount of 2-edge
+    chains over pt1's edge set, and per-motif query counts never exceed
+    occurrence counts."""
+    from impala_workload_analyzer_spark.plans.draw_plan import (
+        plan_edges,
+        plan_motifs,
+    )
+
+    edges = plan_edges(spark, sf_dir).collect()
+    children: dict[tuple[str, int], list[int]] = {}
+    for e in edges:
+        children.setdefault((e["query_id"], e["parent_op"]), []).append(e["child_op"])
+    n_chains = sum(
+        len(children.get((qid, child), []))
+        for (qid, _), kids in children.items()
+        for child in kids
+    )
+    rows = plan_motifs(spark, sf_dir).collect()
+    assert sum(r["n_occurrences"] for r in rows) == n_chains
+    for r in rows:
+        assert 1 <= r["n_queries"] <= r["n_occurrences"]
+
+
+def test_dd22_buckets_partition_the_corpus(spark, sf_dir):
+    """dd22: bucket doc counts partition the document table, keeps never
+    exceed docs, and the keep total matches tx2's."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import dup_quality_profile
+    from impala_workload_analyzer_spark.pipeline.text import quality_score
+
+    rows = dup_quality_profile(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    kept = sum(r["keep"] for r in quality_score(spark, sf_dir).collect())
+    assert sum(r["n_keep"] for r in rows) == kept
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["keep_ppm"] == (r["n_keep"] * 1_000_000) // r["n_docs"]
+        assert r["mean_tokens"] >= 1
+
+
+def test_tx30_weights_normalize_and_flatten_with_temperature(spark, sf_dir):
+    """tx30: per alpha the ppm weights sum to 1e6 up to floor loss; at
+    alpha=1 weights are proportional to token counts; lowering alpha
+    strictly flattens the mixture (max weight non-increasing in alpha);
+    draw_tokens recompute from the published integers."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        mixture_temperature_recipe,
+    )
+
+    rows = mixture_temperature_recipe(spark, sf_dir).collect()
+    by_alpha: dict[int, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha_permille"], []).append(r)
+    assert set(by_alpha) == {250, 500, 750, 1000}
+    max_w = {}
+    for a, rs in by_alpha.items():
+        s = sum(r["weight_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+        max_w[a] = max(r["weight_ppm"] for r in rs)
+        for r in rs:
+            assert r["draw_tokens"] == (r["budget_tokens"] * r["weight_ppm"]) // 1_000_000
+            assert r["epochs_ppm"] == (r["draw_tokens"] * 1_000_000) // r["n_tokens"]
+    assert max_w[250] <= max_w[500] <= max_w[750] <= max_w[1000]
+    big1000 = max(by_alpha[1000], key=lambda r: r["weight_ppm"])
+    assert big1000["n_tokens"] == max(r["n_tokens"] for r in by_alpha[1000])

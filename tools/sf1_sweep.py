@@ -53,8 +53,6 @@ DEFAULTS = (
 
 
 def ensure_sf1() -> None:
-    if os.path.exists(os.path.join(DST, "_BUILT")):
-        return
     import duckdb  # noqa: PLC0415
 
     os.makedirs(DST, exist_ok=True)
@@ -74,8 +72,21 @@ def ensure_sf1() -> None:
         "embeddings": f"""
             SELECT vec_id + i * 100000000 AS vec_id, embedding, label
             FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN {copies}""",
+        # the workload corpus (queries/operators/fragments and the profile
+        # render ing1 parses) derives purely from ``orders`` (corpus_sql
+        # _BASE: query_id = o_orderkey) — key-offset copies give 10x
+        # distinct query_ids, covering the ingest / SQL-introspection
+        # families in the sweep. The offset shifts each copy's k%m strata,
+        # keeping statement-shape diversity without verbatim repetition.
+        "orders": f"""
+            SELECT o_orderkey + i * 100000000 AS o_orderkey,
+                   o_custkey + i * 100000000 AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet') CROSS JOIN {copies}""",
     }
     for name, sql in jobs.items():
+        if os.path.exists(os.path.join(DST, f"{name}.parquet")):
+            continue  # tables are append-only additions; rebuild by deleting
         con.execute(
             f"COPY ({sql}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)"
         )
