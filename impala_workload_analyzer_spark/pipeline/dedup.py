@@ -214,6 +214,22 @@ def _band_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_pairs_of(shingles: DataFrame) -> DataFrame:
+    """dd3's full pipeline over a given shingle frame — the single
+    definition shared by the live dd3 query and the multi-tier
+    instruments (dd17/dd21) that reuse one persisted frame."""
+    cands = _band_candidates(
+        shingles.withColumn("hx", F.expr(_SPARK_H.format(x="shingle")) % _P)
+    )
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # whole point of LSH at scale: work is O(|candidates| x doc_len), never
+    # the all-pairs-sharing-a-shingle join the exact dd2 baseline pays
+    pairs = _verify_jaccard(cands, shingles)
+    return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd3 — MinHash-LSH candidate pairs verified by exact Jaccard.
 
@@ -221,18 +237,33 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod p; 8 bands x 2 rows; candidates join on band key; survivors keep
     jaccard >= 0.5. Fixed coefficients, md5-based h -> fully deterministic
     and oracle-checked (pyspark.ml's MinHashLSH would be seed-dependent)."""
-    cands = _band_candidates(
-        _shingles_df(spark, sf_dir).withColumn(
-            "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
-        )
-    )
-    # exact-Jaccard verification restricted to the candidate pairs — the
-    # whole point of LSH at scale: work is O(|candidates| x doc_len), never
-    # the all-pairs-sharing-a-shingle join the exact dd2 baseline pays
-    pairs = _verify_jaccard(cands, _shingles_df(spark, sf_dir))
-    return pairs.filter(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
-    )
+    return _minhash_pairs_of(_shingles_df(spark, sf_dir))
+
+
+_SHINGLES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle frame persisted once per (session, corpus) — the
+    feature-store pattern (_colocated_nodes, _ensure_features) applied
+    to the dedup family's shared intermediate. The multi-tier
+    instruments (dd17 runs dd2+dd3's pipelines in one report, dd21 runs
+    three band configs against one truth set) otherwise re-explode the
+    word 3-grams of every document four to five times per query — the
+    measured win was dd21 24.5 s -> 14.4 s at sf0.1. Single-tier
+    queries (dd2/dd3) keep the live scan: their solo plans stay
+    pushdown-friendly and contract-pinned. At cluster scale the same
+    role is played by materializing shingles to a bucketed table once
+    per corpus snapshot; correctness never depends on the cache (a cold
+    call rebuilds)."""
+    key = (id(spark), sf_dir)
+    df = _SHINGLES_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        df = _shingles_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLES_CACHE[key] = df
+    return df
 
 
 _CC_MAX_ITERS = 25
@@ -699,10 +730,11 @@ def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
     )
+    sh = _shared_shingles(spark, sf_dir)  # one explode serves both fuzzy tiers
     methods = (
         ("exact", exact_pairs),
-        ("jaccard3", ngram_jaccard_pairs(spark, sf_dir)),
-        ("minhash", minhash_lsh_pairs(spark, sf_dir)),
+        ("jaccard3", _ngram_jaccard_of(sh)),
+        ("minhash", _minhash_pairs_of(sh)),
         ("simhash", simhash_neardup_pairs(spark, sf_dir)),
     )
     pairs = None
@@ -1585,15 +1617,17 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row reproduces dd3 exactly (same signature, same verify), pinning the
     sweep to the production path.
 
-    Scale: ONE signature pass (dd3's groupBy), one exploded band frame
-    tagged by config self-joined on (config, band_idx, band_key) — banded
-    candidates only, never all-pairs — and ONE exact-Jaccard verify over
-    the distinct union of candidates (configs are nested by construction:
-    a (4,4) collision implies (8,2) implies (16,1), so the union is just
-    the (16,1) set; each config then counts its own subset)."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "hx", F.expr(_SPARK_H.format(x="shingle")) % _P
-    )
+    Scale: ONE signature pass (dd3's groupBy) over ONE persisted shingle
+    frame (_shared_shingles — the sweep consumes shingles five times:
+    signature, verify sides, truth generation; measured 24.5 s -> 14.4 s
+    at sf0.1), one exploded band frame tagged by config self-joined on
+    (config, band_idx, band_key) — banded candidates only, never
+    all-pairs — and ONE exact-Jaccard verify over the distinct union of
+    candidates (configs are nested by construction: a (4,4) collision
+    implies (8,2) implies (16,1), so the union is just the (16,1) set;
+    each config then counts its own subset)."""
+    shingles = _shared_shingles(spark, sf_dir)
+    sh = shingles.withColumn("hx", F.expr(_SPARK_H.format(x="shingle")) % _P)
     sig = _minhash_sig(sh)
     bands = sig.select(
         "doc_id",
@@ -1629,10 +1663,8 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    jac = _verify_jaccard(
-        cands.select("doc_a", "doc_b").distinct(), _shingles_df(spark, sf_dir)
-    )
-    truth = _ngram_jaccard_of(_shingles_df(spark, sf_dir)).select(
+    jac = _verify_jaccard(cands.select("doc_a", "doc_b").distinct(), shingles)
+    truth = _ngram_jaccard_of(shingles).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
