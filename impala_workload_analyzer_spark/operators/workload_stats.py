@@ -1472,3 +1472,61 @@ SPARK_QUERIES = {
     "plt1_metric_histograms": metric_histograms,
     "plt2_metric_bars": metric_bars,
 }
+
+
+def table_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a31 — TABLE-AFFINITY matrix: for every unordered pair of scanned
+    tables, how many queries scan both and the total bytes those
+    queries read from the pair — the co-location advice table. At
+    cluster scale, the top pairs by joint scan volume are exactly the
+    tables worth bucketing/partitioning on a shared key so their joins
+    stop shuffling; the reference reads scans per query
+    (profile_analyzer.py:304-305) but never rolls them into pair form.
+
+    Scale: distinct (query, table) off the scan slice first (a22's
+    shape — heavy map-side collapse), then a query-keyed self-join
+    bounded by tables-per-query squared; output is bounded by the table
+    vocabulary squared, not by data."""
+    scans = (
+        corpus_operators(spark, sf_dir)
+        .filter((F.col("name") == "SCAN HDFS") & F.col("table_name").isNotNull())
+        .groupBy("query_id", "table_name")
+        .agg(F.sum("size").cast("bigint").alias("scan_bytes"))
+    )
+    a, b = scans.alias("a"), scans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.table_name") < F.col("b.table_name")),
+        )
+        .groupBy(
+            F.col("a.table_name").alias("table_a"),
+            F.col("b.table_name").alias("table_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.col("a.scan_bytes") + F.col("b.scan_bytes"))
+            .cast("bigint")
+            .alias("joint_scan_bytes"),
+        )
+    )
+
+
+ORACLES["a31_table_affinity"] = with_corpus("""
+        , scans AS (
+          SELECT query_id, table_name,
+                 CAST(SUM(size) AS BIGINT) AS scan_bytes
+          FROM iwa_operators
+          WHERE name = 'SCAN HDFS' AND table_name IS NOT NULL
+          GROUP BY query_id, table_name)
+        SELECT a.table_name AS table_a, b.table_name AS table_b,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(a.scan_bytes + b.scan_bytes) AS BIGINT)
+                 AS joint_scan_bytes
+        FROM scans a
+        JOIN scans b
+          ON b.query_id = a.query_id AND a.table_name < b.table_name
+        GROUP BY 1, 2""")
+
+SPARK_QUERIES["a31_table_affinity"] = table_affinity

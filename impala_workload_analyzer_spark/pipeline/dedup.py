@@ -1827,3 +1827,60 @@ def _dd22_oracle() -> str:
 
 ORACLES["dd22_dup_quality_profile"] = _dd22_oracle()
 SPARK_QUERIES["dd22_dup_quality_profile"] = dup_quality_profile
+
+
+def shingle_hotspot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd23 — HOT-SHINGLE WORK AUDIT: the document-frequency spectrum of
+    the shingle index, priced in candidate-join work. Per df bucket
+    (1 / 2-10 / 11-{cap} / >{cap}): shingle count, posting count
+    (sum df — the index size), and pair_work (sum df*(df-1)/2 — the
+    candidate pairs a shared-shingle self-join would emit). This is the
+    measurement behind dd2's _SHINGLE_DF_CAP: the >cap bucket's
+    pair_work is the quadratic cost the cap refuses to pay, and its
+    shingle share is the recall price — the two numbers that justify a
+    cap value at 100 TB, where one boilerplate shingle shared by 10^6
+    docs would otherwise emit 5*10^11 candidate pairs on its own.
+
+    Scale: one shingle-keyed groupBy (df per shingle), one 4-group
+    rollup — the audit costs one pass over the index it audits.
+
+    Exactness: pure integer arithmetic throughout (df*(df-1)/2 is exact
+    in BIGINT at any realistic df)."""
+    df_counts = (
+        _shingles_df(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    bucket = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") <= 10, "2_10")
+        .when(F.col("df") <= _SHINGLE_DF_CAP, f"11_{_SHINGLE_DF_CAP}")
+        .otherwise(f"gt_{_SHINGLE_DF_CAP}")
+    )
+    return (
+        df_counts.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            # df*(df-1) is even, so integer division is exact — the sum
+            # stays BIGINT end to end (no double accumulation)
+            F.sum(F.expr("df * (df - 1) div 2")).cast("bigint").alias("pair_work"),
+        )
+    )
+
+
+ORACLES["dd23_shingle_hotspot_audit"] = f"""
+        WITH x AS (SELECT 1), {_DUCK_SHINGLES.strip()},
+        dfs AS (
+          SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+          FROM shingles GROUP BY shingle)
+        SELECT CASE WHEN df = 1 THEN '1'
+                    WHEN df <= 10 THEN '2_10'
+                    WHEN df <= {_SHINGLE_DF_CAP} THEN '11_{_SHINGLE_DF_CAP}'
+                    ELSE 'gt_{_SHINGLE_DF_CAP}' END AS df_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_work
+        FROM dfs GROUP BY 1"""
+
+SPARK_QUERIES["dd23_shingle_hotspot_audit"] = shingle_hotspot_audit

