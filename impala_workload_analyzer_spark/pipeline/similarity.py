@@ -2150,3 +2150,130 @@ ORACLES["sim20_nprobe_sweep"] = f"""
         LEFT JOIN hits h ON h.nprobe = g.nprobe
         JOIN scan s ON s.probe_rank = g.nprobe
         CROSS JOIN tot t"""
+
+
+# content-independent hash split for the upsert audit: buckets < 80 are
+# the already-indexed corpus, >= 80 the delta batch arriving later
+_UPSERT_SPLIT = 80
+_SIM22_H = "CAST(conv(substring(md5(concat('ups:', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+_SIM22_DUCK_H = "CAST(('0x' || substr(md5('ups:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def ivf_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim22 — IVF INDEX UPSERT audit: the nightly-ingest question for a
+    vector index. The corpus splits by content-independent hash into the
+    already-indexed 80% and a 20% delta batch; centroids are built from
+    the INDEXED slice only (the index is stale by construction), the
+    delta is assigned to nearest existing lists without re-clustering,
+    and the report shows per list: indexed size, delta arrivals, growth
+    in ppm, and the delta's share per list — the imbalance/staleness
+    readout that decides when an index must be re-trained rather than
+    appended to (dd10's incremental-dedup shape applied to ANN index
+    maintenance).
+
+    Scale: centroids stay a broadcast-sized label table built by partial
+    agg over the indexed slice; both slices score against them in one
+    map-side cross product (no shuffle grows with the delta); the rollup
+    is one list-keyed aggregate.
+
+    Exactness: assignment argmax on 9-dp-rounded scores with label
+    tie-break (sim4's discipline); published ratios are integer floor
+    ppm."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    tagged = emb.withColumn(
+        "is_delta",
+        (F.expr(_SIM22_H) % 100 >= _UPSERT_SPLIT).cast("int"),
+    )
+    indexed = tagged.filter(F.col("is_delta") == 0)
+    comp = indexed.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+            ).alias("cvec")
+        )
+        .withColumn("cn", F.expr(f"sqrt({_spark_dot('cvec', 'cvec')})"))
+    )
+    scored = tagged.crossJoin(F.broadcast(cent)).withColumn(
+        "score",
+        F.round(
+            F.expr(_spark_dot("embedding", "cvec")) / (F.col("nrm") * F.col("cn")),
+            9,
+        ),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"),
+            F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+        ).alias("list_id"),
+        F.first("is_delta").alias("is_delta"),
+    )
+    per_list = assign.groupBy(F.col("list_id").cast("bigint").alias("list_id")).agg(
+        F.sum(1 - F.col("is_delta")).cast("bigint").alias("n_indexed"),
+        F.sum("is_delta").cast("bigint").alias("n_delta"),
+    )
+    tot = per_list.agg(
+        F.sum("n_delta").cast("bigint").alias("total_delta")
+    )
+    return per_list.crossJoin(F.broadcast(tot)).select(
+        "list_id",
+        "n_indexed",
+        "n_delta",
+        F.expr(IDIV("n_delta * 1000000", "GREATEST(n_indexed, 1)")).alias("growth_ppm"),
+        F.expr(IDIV("n_delta * 1000000", "GREATEST(total_delta, 1)")).alias("delta_share_ppm"),
+    )
+
+
+def _sim22_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm,
+                 CASE WHEN {_SIM22_DUCK_H} % 100 >= {_UPSERT_SPLIT}
+                      THEN 1 ELSE 0 END AS is_delta
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+                WHERE {_SIM22_DUCK_H} % 100 < {_UPSERT_SPLIT})
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, e.is_delta, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9)
+                   AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, is_delta, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        per_list AS (
+          SELECT CAST(list_id AS BIGINT) AS list_id,
+                 CAST(SUM(1 - is_delta) AS BIGINT) AS n_indexed,
+                 CAST(SUM(is_delta) AS BIGINT) AS n_delta
+          FROM assign GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_delta) AS BIGINT) AS total_delta FROM per_list)
+        SELECT list_id, n_indexed, n_delta,
+               {IDIV('n_delta * 1000000', 'GREATEST(n_indexed, 1)')} AS growth_ppm,
+               {IDIV('n_delta * 1000000', 'GREATEST(total_delta, 1)')} AS delta_share_ppm
+        FROM per_list CROSS JOIN tot"""
+
+
+ORACLES["sim22_ivf_upsert_audit"] = _sim22_oracle()
+SPARK_QUERIES["sim22_ivf_upsert_audit"] = ivf_upsert_audit

@@ -161,3 +161,23 @@ def test_dd23_audit_prices_the_whole_index(spark, sf_dir):
     assert sum(r["pair_work"] for r in rows) == sum(
         d * (d - 1) // 2 for d in dfs.values()
     )
+
+
+def test_sim22_upsert_conserves_the_corpus(spark, sf_dir):
+    """sim22: indexed + delta counts across lists equal the corpus; the
+    hash split puts ~20% in the delta; shares sum to ~1e6 ppm."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        ivf_upsert_audit,
+    )
+
+    rows = ivf_upsert_audit(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    n_idx = sum(r["n_indexed"] for r in rows)
+    n_dlt = sum(r["n_delta"] for r in rows)
+    assert n_idx + n_dlt == total
+    assert 0.05 < n_dlt / total < 0.4  # ~20% hash split
+    share = sum(r["delta_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    for r in rows:
+        assert r["growth_ppm"] == (r["n_delta"] * 1_000_000) // max(r["n_indexed"], 1)
