@@ -24,12 +24,23 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
+# SPARK_GRAFT_EXACT=1 compares float BITS instead of 9 significant
+# digits — the driver's value hash is exact, and a ROUND-on-double can
+# sit on cross-engine last-bit jitter that 9-sig rounding hides (the
+# a25 red row in round 7). Default stays 9-sig for quick iteration.
+_EXACT = os.environ.get("SPARK_GRAFT_EXACT") == "1"
+
+
 def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if _EXACT:
+            import struct  # noqa: PLC0415
+
+            return struct.pack("<d", v).hex()
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
