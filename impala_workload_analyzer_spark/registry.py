@@ -15,7 +15,10 @@ micro-ns residuals after its r07 hash mismatch; m2 upgraded from
 rows-only to a hash-matched elbow certificate, with the raw curve moved
 to the new rows-only twin m2b), then the round-8 additions (dd21 LSH band
 sweep, w8 concurrency-mass certificate, pt7 plan motifs, dd22 dup x
-quality interaction, tx30 temperature mixture recipe),
+quality interaction, tx30 temperature mixture recipe, a31 table
+affinity, dd23 shingle work audit, sim22 IVF upsert audit; tpch_q1's
+avg columns were recast single-rounding after the exact-bit sweep, so
+it re-witnesses as modified),
 then the longest-unwitnessed tail: the displaced r03 remainder
 (tx2/tx3/tx4/w2), the r04-era block (a18, dd5/dd7, ev1-ev8, mm1-mm3,
 tx5-tx7, the tpch suite), then the r05/r06-witnessed greens. The 50
@@ -47,6 +50,7 @@ _PRIORITY = (
     "a25_cost_model_outliers", "m2_kmeans_elbow", "m2b_kmeans_elbow_curve",
     "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs", "dd22_dup_quality_profile", "tx30_mixture_temperature_recipe",
     "a31_table_affinity", "dd23_shingle_hotspot_audit", "sim22_ivf_upsert_audit",
+    "tpch_q1",
     "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",
     "w2_time_share_per_query", "a18_operator_time_quantiles",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
@@ -54,7 +58,7 @@ _PRIORITY = (
     "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
     "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
     "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
-    "tx7_tfidf_top_terms", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4",
+    "tx7_tfidf_top_terms", "tpch_q2", "tpch_q3", "tpch_q4",
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",

@@ -60,9 +60,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_base_price_d").cast("double").alias("sum_base_price"),
             F.col("sum_disc_price_d").cast("double").alias("sum_disc_price"),
             F.col("sum_charge_d").cast("double").alias("sum_charge"),
-            (F.col("sum_qty_d") / F.col("count_order")).cast("double").alias("avg_qty"),
-            (F.col("sum_base_price_d") / F.col("count_order")).cast("double").alias("avg_price"),
-            (F.col("sum_disc_d") / F.col("count_order")).cast("double").alias("avg_disc"),
+            # cast the EXACT decimal to double first, then divide: one IEEE
+            # rounding, bit-identical cross-engine. Decimal division then a
+            # cast rounds twice (Spark picks a division scale, HALF_UP, then
+            # casts) and sits on last-bit jitter vs DuckDB — caught by the
+            # SPARK_GRAFT_EXACT sweep in round 8.
+            (F.col("sum_qty_d").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price_d").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("sum_disc_d").cast("double") / F.col("count_order")).alias("avg_disc"),
             "count_order",
         )
     )
@@ -407,9 +412,9 @@ ORACLES = {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) / COUNT(*) AS DOUBLE) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         GROUP BY l_returnflag, l_linestatus""",
