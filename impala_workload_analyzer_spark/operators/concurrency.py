@@ -432,3 +432,111 @@ ORACLES["w8_concurrency_mass"] = with_corpus(f"""
         FROM scoped GROUP BY cluster""")
 
 SPARK_QUERIES["w8_concurrency_mass"] = concurrency_mass_certificate
+
+
+def serial_replay_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w9 — SERIAL-REPLAY WHAT-IF (admission cap K=1): per cluster, the
+    makespan and total queue delay the workload WOULD have had if the
+    cluster admitted one query at a time in arrival order — the inverse
+    capacity question to w1's measured concurrency (w1 says how parallel
+    the cluster ran; w9 prices what that parallelism bought). The
+    recurrence finish_i = max(arrival_i, finish_{i-1}) + runtime_i has
+    the closed form finish_i = max_{j<=i}(arrival_j - S_{j-1}) + S_i
+    over prefix sums S of runtime, so the replay is TWO window
+    functions — no per-row driver loop, no recursion — the ev23/CUSUM
+    prefix-form trick applied to queueing (Lindley's recursion).
+
+    Exactness: all integer microseconds end to end; the serial-vs-actual
+    ratio publishes as floor ppm.
+
+    Scale: two windows over query-cardinality rows partitioned by
+    cluster, then one grouped rollup — the same shape as w7."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    q = corpus_queries(spark, sf_dir).select(
+        "cluster",
+        "query_id",
+        F.col("start_time").alias("arrival"),
+        (F.col("end_time") - F.col("start_time")).alias("runtime_us"),
+    )
+    w = Window.partitionBy("cluster").orderBy("arrival", "query_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = q.select(
+        "cluster",
+        "query_id",
+        "arrival",
+        "runtime_us",
+        F.sum("runtime_us").over(run).alias("s_incl"),
+    )
+    staged = pre.select(
+        "cluster",
+        "arrival",
+        "runtime_us",
+        "s_incl",
+        F.max(F.col("arrival") - (F.col("s_incl") - F.col("runtime_us")))
+        .over(run)
+        .alias("m"),
+    ).select(
+        "cluster",
+        "arrival",
+        (F.col("m") + F.col("s_incl")).alias("serial_finish"),
+        (F.col("m") + F.col("s_incl") - F.col("runtime_us") - F.col("arrival"))
+        .alias("queue_delay_us"),
+    )
+    actual = corpus_queries(spark, sf_dir).groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (F.max("end_time") - F.min("start_time")).cast("bigint")
+        .alias("actual_makespan_us"),
+    )
+    serial = staged.groupBy("cluster").agg(
+        (F.max("serial_finish") - F.min("arrival")).cast("bigint")
+        .alias("serial_makespan_us"),
+        F.sum("queue_delay_us").cast("bigint").alias("total_queue_delay_us"),
+    )
+    return actual.join(serial, "cluster").select(
+        "cluster",
+        "n_queries",
+        "actual_makespan_us",
+        "serial_makespan_us",
+        "total_queue_delay_us",
+        F.expr(IDIV("serial_makespan_us * 1000000", "actual_makespan_us"))
+        .alias("slowdown_ppm"),
+    )
+
+
+ORACLES["w9_serial_replay_whatif"] = with_corpus(f"""
+        , q AS (
+          SELECT cluster, query_id, start_time AS arrival,
+                 end_time - start_time AS runtime_us
+          FROM iwa_queries),
+        pre AS (
+          SELECT cluster, query_id, arrival, runtime_us,
+                 SUM(runtime_us) OVER w AS s_incl
+          FROM q
+          WINDOW w AS (PARTITION BY cluster ORDER BY arrival, query_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        staged AS (
+          SELECT cluster, arrival, runtime_us, s_incl,
+                 MAX(arrival - (s_incl - runtime_us)) OVER w2 AS m
+          FROM pre
+          WINDOW w2 AS (PARTITION BY cluster ORDER BY arrival, query_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        serial AS (
+          SELECT cluster,
+                 CAST(MAX(m + s_incl) - MIN(arrival) AS BIGINT)
+                   AS serial_makespan_us,
+                 CAST(SUM(m + s_incl - runtime_us - arrival) AS BIGINT)
+                   AS total_queue_delay_us
+          FROM staged GROUP BY cluster),
+        actual AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(MAX(end_time) - MIN(start_time) AS BIGINT)
+                   AS actual_makespan_us
+          FROM iwa_queries GROUP BY cluster)
+        SELECT a.cluster, a.n_queries, a.actual_makespan_us,
+               s.serial_makespan_us, s.total_queue_delay_us,
+               {_IDIV('s.serial_makespan_us * 1000000', 'a.actual_makespan_us')}
+                 AS slowdown_ppm
+        FROM actual a JOIN serial s USING (cluster)""")
+
+SPARK_QUERIES["w9_serial_replay_whatif"] = serial_replay_whatif

@@ -181,3 +181,42 @@ def test_sim22_upsert_conserves_the_corpus(spark, sf_dir):
     assert 1_000_000 - len(rows) <= share <= 1_000_000
     for r in rows:
         assert r["growth_ppm"] == (r["n_delta"] * 1_000_000) // max(r["n_indexed"], 1)
+
+
+def test_w9_serial_replay_matches_lindley_recursion(spark, sf_dir):
+    """w9: the closed-form window replay must equal a direct python
+    Lindley recursion per cluster; serial makespan dominates the actual
+    one; delays are non-negative."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        serial_replay_whatif,
+    )
+
+    q = corpus_queries(spark, sf_dir).select(
+        "cluster", "query_id", "start_time", "end_time"
+    ).collect()
+    per: dict[str, list] = {}
+    for r in q:
+        per.setdefault(r["cluster"], []).append(
+            (r["start_time"], r["query_id"], r["end_time"] - r["start_time"])
+        )
+    expect = {}
+    for cl, rows in per.items():
+        rows.sort()
+        finish, total_delay, max_fin = 0, 0, 0
+        first_arr = rows[0][0]
+        for arr, _, rt in rows:
+            start = max(arr, finish)
+            total_delay += start - arr
+            finish = start + rt
+            max_fin = max(max_fin, finish)
+        expect[cl] = (len(rows), max_fin - first_arr, total_delay)
+    out = serial_replay_whatif(spark, sf_dir).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        n, mk, dl = expect[r["cluster"]]
+        assert r["n_queries"] == n
+        assert r["serial_makespan_us"] == mk
+        assert r["total_queue_delay_us"] == dl
+        assert r["serial_makespan_us"] >= r["actual_makespan_us"]
+        assert r["slowdown_ppm"] >= 1_000_000
