@@ -220,3 +220,24 @@ def test_w9_serial_replay_matches_lindley_recursion(spark, sf_dir):
         assert r["total_queue_delay_us"] == dl
         assert r["serial_makespan_us"] >= r["actual_makespan_us"]
         assert r["slowdown_ppm"] >= 1_000_000
+
+
+def test_shared_caches_equal_their_live_lineage(spark, sf_dir):
+    """The persisted shared frames (dedup shingles, exact top-k truth)
+    must be row-identical to their live definitions — correctness can
+    never depend on cache state."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _shared_shingles,
+        _shingles_df,
+    )
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _exact_topk_shared,
+        brute_force_topk,
+    )
+
+    live = sorted(map(tuple, _shingles_df(spark, sf_dir).collect()))
+    shared = sorted(map(tuple, _shared_shingles(spark, sf_dir).collect()))
+    assert live == shared
+    live_k = sorted(map(tuple, brute_force_topk(spark, sf_dir).collect()))
+    shared_k = sorted(map(tuple, _exact_topk_shared(spark, sf_dir).collect()))
+    assert live_k == shared_k
