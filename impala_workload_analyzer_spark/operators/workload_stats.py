@@ -1530,3 +1530,84 @@ ORACLES["a31_table_affinity"] = with_corpus("""
         GROUP BY 1, 2""")
 
 SPARK_QUERIES["a31_table_affinity"] = table_affinity
+
+
+def version_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a32 — VERSION REGRESSION report: per (impala_version, sql_type),
+    query count, total runtime (floor ms), floor-mean runtime, and the
+    exact integer-rank p50 — the "did the upgrade regress SELECTs"
+    comparison a workload review runs after a fleet rollout. The corpus
+    carries impala_version per profile (reference
+    profile_analyzer.py:328-334 harvests it; the reference never rolls
+    it up); a23's drift report slices by TIME, this one slices by the
+    software version actually running.
+
+    Exactness: counts, floor-divisions, and a18's integer-rank median —
+    no float column.
+
+    Scale: one window + one grouped agg over query-cardinality rows,
+    partitioned by a tiny (version x sql_type) key."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    q = corpus_queries(spark, sf_dir).filter(
+        F.col("runtime").isNotNull()
+    ).select("impala_version", "sql_type", "runtime")
+    w = Window.partitionBy("impala_version", "sql_type").orderBy("runtime")
+    ranked = q.select(
+        "impala_version",
+        "sql_type",
+        "runtime",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy("impala_version", "sql_type")
+        ).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rk") == F.floor(F.lit(0.5) * (F.col("n") - 1)))
+        .groupBy("impala_version", "sql_type")
+        .agg(F.min("runtime").cast("bigint").alias("p50_runtime_ns"))
+    )
+    agg = q.groupBy("impala_version", "sql_type").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("runtime").cast("bigint").alias("sum_runtime_ns"),
+    )
+    return agg.join(med, ["impala_version", "sql_type"]).select(
+        "impala_version",
+        "sql_type",
+        "n_queries",
+        F.expr(IDIV("sum_runtime_ns", 1000000)).alias("total_runtime_ms"),
+        F.expr(IDIV("sum_runtime_ns", "n_queries")).alias("mean_runtime_ns"),
+        "p50_runtime_ns",
+    )
+
+
+def _a32_oracle() -> str:
+    return with_corpus(f"""
+        , q AS (
+          SELECT impala_version, sql_type, runtime FROM iwa_queries
+          WHERE runtime IS NOT NULL),
+        ranked AS (
+          SELECT impala_version, sql_type, runtime,
+                 ROW_NUMBER() OVER (PARTITION BY impala_version, sql_type
+                                    ORDER BY runtime) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY impala_version, sql_type) AS n
+          FROM q),
+        med AS (
+          SELECT impala_version, sql_type,
+                 CAST(MIN(runtime) AS BIGINT) AS p50_runtime_ns
+          FROM ranked WHERE rk = FLOOR(0.5 * (n - 1))
+          GROUP BY impala_version, sql_type),
+        agg AS (
+          SELECT impala_version, sql_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(SUM(runtime) AS BIGINT) AS sum_runtime_ns
+          FROM q GROUP BY impala_version, sql_type)
+        SELECT a.impala_version, a.sql_type, a.n_queries,
+               {IDIV('a.sum_runtime_ns', 1000000)} AS total_runtime_ms,
+               {IDIV('a.sum_runtime_ns', 'a.n_queries')} AS mean_runtime_ns,
+               m.p50_runtime_ns
+        FROM agg a JOIN med m USING (impala_version, sql_type)""")
+
+
+ORACLES["a32_version_regression"] = _a32_oracle()
+SPARK_QUERIES["a32_version_regression"] = version_regression

@@ -241,3 +241,26 @@ def test_shared_caches_equal_their_live_lineage(spark, sf_dir):
     live_k = sorted(map(tuple, brute_force_topk(spark, sf_dir).collect()))
     shared_k = sorted(map(tuple, _exact_topk_shared(spark, sf_dir).collect()))
     assert live_k == shared_k
+
+
+def test_a32_version_grid_medians_match_python(spark, sf_dir):
+    """a32: floor-means and integer-rank medians recompute in python."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        version_regression,
+    )
+
+    q = corpus_queries(spark, sf_dir).select(
+        "impala_version", "sql_type", "runtime"
+    ).collect()
+    per: dict[tuple, list] = {}
+    for r in q:
+        if r["runtime"] is not None:
+            per.setdefault((r["impala_version"], r["sql_type"]), []).append(r["runtime"])
+    rows = version_regression(spark, sf_dir).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        vals = sorted(per[(r["impala_version"], r["sql_type"])])
+        assert r["n_queries"] == len(vals)
+        assert r["mean_runtime_ns"] == sum(vals) // len(vals)
+        assert r["p50_runtime_ns"] == vals[(len(vals) - 1) // 2]
