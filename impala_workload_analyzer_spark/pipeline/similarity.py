@@ -2277,3 +2277,98 @@ def _sim22_oracle() -> str:
 
 ORACLES["sim22_ivf_upsert_audit"] = _sim22_oracle()
 SPARK_QUERIES["sim22_ivf_upsert_audit"] = ivf_upsert_audit
+
+
+def pq_cell_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim23 — PER-CELL PQ DISTORTION: sim11's reconstruction error
+    rolled up by sim4's IVF cell — WHERE quantization hurts. A flat
+    global MSE (sim11) hides cells whose local geometry the shared
+    codebook fits badly; this report ranks cells by distortion so an
+    index operator knows which lists need a codebook retrain or a cell
+    split — sim22's staleness audit and this are the two index-health
+    dashboards. Integer discipline: per-vector MSE (cross-engine
+    identical, sim11 is hash-matched) quantizes to micro-units via
+    FLOOR(mse * 1e6); sums/means/maxes are BIGINT and floor-division
+    from there (the a25 lesson — no float ever re-aggregated).
+
+    Scale: both inputs are vec_id-keyed single-pass pipelines over
+    broadcast codebooks/centroids; the join is vec_id-keyed; the rollup
+    is nlists groups."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    mse = pq_assign(spark, sf_dir).select(
+        "vec_id", F.floor(F.col("mse") * 1e6).cast("bigint").alias("mse_u")
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    assign = _ivf_scored(emb).groupBy("vec_id").agg(
+        F.max_by(
+            F.col("c_label"),
+            F.struct(F.col("score"), (-F.col("c_label")).alias("nl")),
+        ).alias("list_id")
+    )
+    return (
+        mse.join(assign, "vec_id")
+        .groupBy(F.col("list_id").cast("bigint").alias("list_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("mse_u").cast("bigint").alias("sum_mse_micro"),
+            F.max("mse_u").cast("bigint").alias("max_mse_micro"),
+        )
+        .select(
+            "list_id",
+            "n_vecs",
+            "sum_mse_micro",
+            F.expr(IDIV("sum_mse_micro", "n_vecs")).alias("mean_mse_micro"),
+            "max_mse_micro",
+        )
+    )
+
+
+def _sim23_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH pq AS ({_SIM11_SQL}),
+        e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9)
+                   AS score
+          FROM e CROSS JOIN centn c),
+        assign AS (
+          SELECT vec_id, c_label AS list_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, c_label ASC) AS rn
+            FROM scored) t WHERE rn = 1),
+        j AS (
+          SELECT a.list_id,
+                 CAST(FLOOR(pq.mse * 1e6) AS BIGINT) AS mse_u
+          FROM pq JOIN assign a USING (vec_id)),
+        rolled AS (
+          SELECT CAST(list_id AS BIGINT) AS list_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(mse_u) AS BIGINT) AS sum_mse_micro,
+                 CAST(MAX(mse_u) AS BIGINT) AS max_mse_micro
+          FROM j GROUP BY 1)
+        SELECT list_id, n_vecs, sum_mse_micro,
+               {IDIV('sum_mse_micro', 'n_vecs')} AS mean_mse_micro,
+               max_mse_micro
+        FROM rolled"""
+
+
+ORACLES["sim23_pq_cell_distortion"] = _sim23_oracle()
+SPARK_QUERIES["sim23_pq_cell_distortion"] = pq_cell_distortion

@@ -264,3 +264,24 @@ def test_a32_version_grid_medians_match_python(spark, sf_dir):
         assert r["n_queries"] == len(vals)
         assert r["mean_runtime_ns"] == sum(vals) // len(vals)
         assert r["p50_runtime_ns"] == vals[(len(vals) - 1) // 2]
+
+
+def test_sim23_cells_partition_the_corpus_and_bounds_hold(spark, sf_dir):
+    """sim23: n_vecs across cells equals the corpus; max >= mean; the
+    global mean from sim11 reconstructs from the cell sums."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        pq_assign,
+        pq_cell_distortion,
+    )
+
+    rows = pq_cell_distortion(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == total
+    import math
+
+    glob = sum(math.floor(r["mse"] * 1e6) for r in pq_assign(spark, sf_dir).collect())
+    assert sum(r["sum_mse_micro"] for r in rows) == glob
+    for r in rows:
+        assert r["mean_mse_micro"] <= r["max_mse_micro"]
+        assert r["mean_mse_micro"] == r["sum_mse_micro"] // r["n_vecs"]
