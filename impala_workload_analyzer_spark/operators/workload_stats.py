@@ -1611,3 +1611,124 @@ def _a32_oracle() -> str:
 
 ORACLES["a32_version_regression"] = _a32_oracle()
 SPARK_QUERIES["a32_version_regression"] = version_regression
+
+
+def join_strategy_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a33 — JOIN-STRATEGY ADVICE: the reference's broadcast-vs-
+    partitioned cost model (joins.py:5-20: broadcastCost =
+    min(leftBytes, rightBytes) * num_hosts, partitionedCost =
+    leftBytes + rightBytes) applied FORWARD over the a31 table-affinity
+    pairs — instead of auditing past join choices (a9), advise the next
+    one from workload history. Per co-scanned table pair: floor-mean
+    scanned bytes per side across the queries that join them, the
+    cluster width those queries actually ran at (max num_hosts), both
+    model costs, and the cheaper strategy. Equal costs keep the
+    reference's tie rule (joins.py:16-18: not-broadcast wins ties).
+
+    Exactness: floor-mean bytes, integer cost products, a CASE verdict —
+    all BIGINT/string.
+
+    Scale: a31's distinct (query, table) aggregation plus one query-
+    keyed join to pick up num_hosts; output bounded by table-pairs."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    scans = (
+        corpus_operators(spark, sf_dir)
+        .filter((F.col("name") == "SCAN HDFS") & F.col("table_name").isNotNull())
+        .groupBy("query_id", "table_name")
+        .agg(F.sum("size").cast("bigint").alias("scan_bytes"))
+    )
+    hosts = corpus_queries(spark, sf_dir).select(
+        "query_id", F.col("num_hosts").cast("bigint").alias("num_hosts")
+    )
+    a, b = scans.alias("a"), scans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.table_name") < F.col("b.table_name")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.table_name").alias("table_a"),
+            F.col("b.table_name").alias("table_b"),
+            F.col("a.scan_bytes").alias("bytes_a"),
+            F.col("b.scan_bytes").alias("bytes_b"),
+        )
+        .join(hosts, "query_id")
+        .groupBy("table_a", "table_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("bytes_a").cast("bigint").alias("sum_a"),
+            F.sum("bytes_b").cast("bigint").alias("sum_b"),
+            F.max("num_hosts").cast("bigint").alias("max_hosts"),
+        )
+    )
+    mean_a = F.expr(IDIV("sum_a", "n_queries"))
+    mean_b = F.expr(IDIV("sum_b", "n_queries"))
+    advised = pairs.select(
+        "table_a",
+        "table_b",
+        "n_queries",
+        mean_a.alias("mean_bytes_a"),
+        mean_b.alias("mean_bytes_b"),
+        "max_hosts",
+    ).withColumn(
+        "broadcast_cost",
+        F.least("mean_bytes_a", "mean_bytes_b") * F.col("max_hosts"),
+    ).withColumn(
+        "partitioned_cost", F.col("mean_bytes_a") + F.col("mean_bytes_b")
+    )
+    return advised.select(
+        "table_a",
+        "table_b",
+        "n_queries",
+        "mean_bytes_a",
+        "mean_bytes_b",
+        "max_hosts",
+        F.col("broadcast_cost").cast("bigint").alias("broadcast_cost"),
+        F.col("partitioned_cost").cast("bigint").alias("partitioned_cost"),
+        F.when(
+            F.col("broadcast_cost") < F.col("partitioned_cost"), "BROADCAST"
+        ).otherwise("PARTITIONED").alias("advice"),
+    )
+
+
+def _a33_oracle() -> str:
+    return with_corpus(f"""
+        , scans AS (
+          SELECT query_id, table_name,
+                 CAST(SUM(size) AS BIGINT) AS scan_bytes
+          FROM iwa_operators
+          WHERE name = 'SCAN HDFS' AND table_name IS NOT NULL
+          GROUP BY query_id, table_name),
+        pairs AS (
+          SELECT a.table_name AS table_a, b.table_name AS table_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(SUM(a.scan_bytes) AS BIGINT) AS sum_a,
+                 CAST(SUM(b.scan_bytes) AS BIGINT) AS sum_b,
+                 CAST(MAX(q.num_hosts) AS BIGINT) AS max_hosts
+          FROM scans a
+          JOIN scans b
+            ON b.query_id = a.query_id AND a.table_name < b.table_name
+          JOIN iwa_queries q ON q.query_id = a.query_id
+          GROUP BY 1, 2),
+        m AS (
+          SELECT table_a, table_b, n_queries,
+                 {IDIV('sum_a', 'n_queries')} AS mean_bytes_a,
+                 {IDIV('sum_b', 'n_queries')} AS mean_bytes_b,
+                 max_hosts
+          FROM pairs)
+        SELECT table_a, table_b, n_queries, mean_bytes_a, mean_bytes_b,
+               max_hosts,
+               CAST(LEAST(mean_bytes_a, mean_bytes_b) * max_hosts AS BIGINT)
+                 AS broadcast_cost,
+               CAST(mean_bytes_a + mean_bytes_b AS BIGINT) AS partitioned_cost,
+               CASE WHEN LEAST(mean_bytes_a, mean_bytes_b) * max_hosts
+                         < mean_bytes_a + mean_bytes_b
+                    THEN 'BROADCAST' ELSE 'PARTITIONED' END AS advice
+        FROM m""")
+
+
+ORACLES["a33_join_strategy_advice"] = _a33_oracle()
+SPARK_QUERIES["a33_join_strategy_advice"] = join_strategy_advice

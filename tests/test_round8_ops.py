@@ -285,3 +285,22 @@ def test_sim23_cells_partition_the_corpus_and_bounds_hold(spark, sf_dir):
     for r in rows:
         assert r["mean_mse_micro"] <= r["max_mse_micro"]
         assert r["mean_mse_micro"] == r["sum_mse_micro"] // r["n_vecs"]
+
+
+def test_a33_advice_follows_the_reference_cost_model(spark, sf_dir):
+    """a33: the verdict must equal the reference's joins.py cost rule
+    recomputed from the published integers, with the not-broadcast tie
+    rule; pair universe matches a31's."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        join_strategy_advice,
+        table_affinity,
+    )
+
+    rows = join_strategy_advice(spark, sf_dir).collect()
+    pairs31 = {(r["table_a"], r["table_b"]) for r in table_affinity(spark, sf_dir).collect()}
+    assert {(r["table_a"], r["table_b"]) for r in rows} == pairs31
+    for r in rows:
+        bc = min(r["mean_bytes_a"], r["mean_bytes_b"]) * r["max_hosts"]
+        pc = r["mean_bytes_a"] + r["mean_bytes_b"]
+        assert r["broadcast_cost"] == bc and r["partitioned_cost"] == pc
+        assert r["advice"] == ("BROADCAST" if bc < pc else "PARTITIONED")
