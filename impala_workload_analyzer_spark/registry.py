@@ -16,9 +16,11 @@ rows-only to a hash-matched elbow certificate, with the raw curve moved
 to the new rows-only twin m2b), then the round-8 additions (dd21 LSH band
 sweep, w8 concurrency-mass certificate, pt7 plan motifs, dd22 dup x
 quality interaction, tx30 temperature mixture recipe, a31 table
-affinity, dd23 shingle work audit, sim22 IVF upsert audit; tpch_q1's
-avg columns were recast single-rounding after the exact-bit sweep, so
-it re-witnesses as modified),
+affinity, dd23 shingle work audit, sim22 IVF upsert audit, w9 serial
+replay what-if, a32 version regression, sim23 per-cell PQ distortion,
+a33 join-strategy advice; tpch_q1's avg columns were recast
+single-rounding after the exact-bit sweep, so it re-witnesses as
+modified),
 then the longest-unwitnessed tail: the displaced r03 remainder
 (tx2/tx3/tx4/w2), the r04-era block (a18, dd5/dd7, ev1-ev8, mm1-mm3,
 tx5-tx7, the tpch suite), then the r05/r06-witnessed greens. The 50
