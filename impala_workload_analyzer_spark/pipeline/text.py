@@ -2099,3 +2099,75 @@ def _tx30_oracle() -> str:
 
 ORACLES["tx30_mixture_temperature_recipe"] = _tx30_oracle()
 SPARK_QUERIES["tx30_mixture_temperature_recipe"] = mixture_temperature_recipe
+
+
+def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk5 — JSONL EXPORT round-trip: the corpus written as
+    shard-partitioned JSON Lines — the interchange format LLM training
+    stacks actually exchange (one JSON object per line) — then read
+    BACK with an explicit schema (never inference: inferred types are a
+    reader-dependent hazard) and re-checksummed per shard. The output
+    row is the loader-side integrity manifest, exactly snk4's contract
+    on the text-format leg: a checksum mismatch vs tx25's plan-side
+    manifest means the write path corrupted, dropped, or re-encoded
+    rows.
+
+    Scale: identical write shape to snk4 (one repartition on the
+    uniform shard hash, one partitioned write, one read-back
+    aggregation); JSONL trades parquet's compression for append-ability
+    and universal readability — the usual interchange choice at the
+    pipeline boundary. Escaping survives the round-trip because Spark's
+    JSON writer/reader are inverse by construction; the checksum is
+    computed from the READ-BACK rows, so any lossy encoding would
+    surface as a hash mismatch."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+    d = docs.select("doc_id", "text", "source").withColumn(
+        "shard", (h % _N_SHARDS).cast("bigint")
+    )
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "jsonl",
+    )
+    (
+        d.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.schema("doc_id BIGINT, text STRING, source STRING, shard BIGINT").json(
+        out
+    )
+    return (
+        back.withColumn("h", F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")))
+        .withColumn("th", F.expr(_SPARK_H.format(x="text")))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("h") % _CKSUM_MOD).cast("bigint").alias("checksum"),
+            F.sum(F.col("th") % _CKSUM_MOD).cast("bigint").alias("text_checksum"),
+        )
+    )
+
+
+# the oracle restates the manifest from the SOURCE rows: equality means
+# the JSONL write+read round-trip preserved every doc id AND every byte
+# of text (md5-based text checksum)
+ORACLES["snk5_jsonl_export"] = f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 {_DUCK_H.format(x='CAST(doc_id AS VARCHAR)')} AS h,
+                 {_DUCK_H.format(x='text')} AS th
+          FROM documents)
+        SELECT CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(h % {_CKSUM_MOD}) AS BIGINT) AS checksum,
+               CAST(SUM(th % {_CKSUM_MOD}) AS BIGINT) AS text_checksum
+        FROM d GROUP BY CAST(h % {_N_SHARDS} AS BIGINT)"""
+
+SPARK_QUERIES["snk5_jsonl_export"] = jsonl_export

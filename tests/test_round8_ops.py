@@ -304,3 +304,27 @@ def test_a33_advice_follows_the_reference_cost_model(spark, sf_dir):
         pc = r["mean_bytes_a"] + r["mean_bytes_b"]
         assert r["broadcast_cost"] == bc and r["partitioned_cost"] == pc
         assert r["advice"] == ("BROADCAST" if bc < pc else "PARTITIONED")
+
+
+def test_snk5_jsonl_roundtrip_preserves_every_byte(spark, sf_dir):
+    """snk5: shard doc counts partition the corpus and the read-back
+    text checksum equals the source-side recompute — JSON encoding
+    preserved every byte of every document."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _CKSUM_MOD,
+        _SPARK_H,
+        jsonl_export,
+    )
+    from pyspark.sql import functions as F
+
+    rows = jsonl_export(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.expr(_SPARK_H.format(x="text")) % _CKSUM_MOD).alias("th"))
+        .agg(F.sum("th"))
+        .collect()[0][0]
+    )
+    assert sum(r["text_checksum"] for r in rows) == src
