@@ -1762,3 +1762,95 @@ SPARK_QUERIES = {
 }
 
 ORACLES["ev25_gap_fill_audit"] = ORACLES_EV25
+
+
+# candidate watermark delays for the sizing sweep (seconds)
+_EV26_DELAYS_S = (60, 600, 3600)
+
+
+def watermark_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev26 — WATERMARK SIZING what-if: for each candidate watermark
+    delay, how many events per type would be DROPPED as too-late
+    (disorder beyond the delay) and the drop rate in exact ppm — the
+    actionable table behind ev15's lateness profile (ev15 measures how
+    disordered the stream is; ev26 prices each watermark choice in lost
+    events, which is what actually sizes st1-st7's ``withWatermark``).
+    The sweep twin pattern of sim20/dd21 applied to stream configs.
+
+    Exactness: disorder is integer microseconds off ev15's prefix-max;
+    drops are counts; rates are floor ppm — no float column.
+
+    Scale: ONE per-type prefix-max window (ev15's shape) feeds all
+    delays; the sweep is a constant-width explode of per-event rows
+    pre-aggregated to (type, delay) before any wide operation."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    us = F.unix_micros("ts")
+    scored = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.max(us).over(w).alias("seen"),
+    ).select(
+        "event_type",
+        F.when(
+            F.col("seen").isNull() | (F.col("seen") <= F.col("us")), F.lit(0)
+        ).otherwise(F.col("seen") - F.col("us")).alias("disorder_us"),
+    )
+    swept = scored.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(d).cast("bigint") for d in _EV26_DELAYS_S])
+        ).alias("delay_s"),
+        "disorder_us",
+    )
+    return (
+        swept.groupBy("event_type", "delay_s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                (F.col("disorder_us") > F.col("delay_s") * 1_000_000).cast("bigint")
+            ).alias("n_dropped"),
+        )
+        .select(
+            "event_type",
+            "delay_s",
+            "n_events",
+            "n_dropped",
+            F.expr(IDIV("n_dropped * 1000000", "n_events")).alias("drop_ppm"),
+        )
+    )
+
+
+def _ev26_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    delays = ", ".join(f"(CAST({d} AS BIGINT))" for d in _EV26_DELAYS_S)
+    return f"""
+        WITH s AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+          FROM events),
+        d AS (
+          SELECT event_type,
+                 CASE WHEN seen IS NULL OR seen <= us THEN 0
+                      ELSE seen - us END AS disorder_us
+          FROM s),
+        delays(delay_s) AS (VALUES {delays})
+        SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN disorder_us > delay_s * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               {IDIV('SUM(CASE WHEN disorder_us > delay_s * 1000000 THEN 1 ELSE 0 END) * 1000000', 'COUNT(*)')}
+                 AS drop_ppm
+        FROM d CROSS JOIN delays
+        GROUP BY event_type, CAST(delay_s AS BIGINT)"""
+
+
+ORACLES["ev26_watermark_whatif"] = _ev26_oracle()
+SPARK_QUERIES["ev26_watermark_whatif"] = watermark_whatif

@@ -52,7 +52,7 @@ _PRIORITY = (
     "a25_cost_model_outliers", "m2_kmeans_elbow", "m2b_kmeans_elbow_curve",
     "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs", "dd22_dup_quality_profile", "tx30_mixture_temperature_recipe",
     "a31_table_affinity", "dd23_shingle_hotspot_audit", "sim22_ivf_upsert_audit",
-    "w9_serial_replay_whatif", "a32_version_regression", "sim23_pq_cell_distortion", "a33_join_strategy_advice", "snk5_jsonl_export", "tpch_q1",
+    "w9_serial_replay_whatif", "a32_version_regression", "sim23_pq_cell_distortion", "a33_join_strategy_advice", "snk5_jsonl_export", "ev26_watermark_whatif", "tpch_q1",
     "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",
     "w2_time_share_per_query", "a18_operator_time_quantiles",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",

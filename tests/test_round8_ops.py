@@ -328,3 +328,23 @@ def test_snk5_jsonl_roundtrip_preserves_every_byte(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["text_checksum"] for r in rows) == src
+
+
+def test_ev26_drop_curve_is_monotone_and_matches_ev15(spark, sf_dir):
+    """ev26: drops are non-increasing in the watermark delay, the
+    largest delay's drops never exceed ev15's late-event count, and ppm
+    recomputes from the integers."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        disorder_profile,
+        watermark_whatif,
+    )
+
+    late = {r["event_type"]: r["n_late"] for r in disorder_profile(spark, sf_dir).collect()}
+    per: dict[str, dict] = {}
+    for r in watermark_whatif(spark, sf_dir).collect():
+        per.setdefault(r["event_type"], {})[r["delay_s"]] = r
+        assert r["drop_ppm"] == (r["n_dropped"] * 1_000_000) // r["n_events"]
+    for et, by_d in per.items():
+        assert set(by_d) == {60, 600, 3600}
+        assert by_d[60]["n_dropped"] >= by_d[600]["n_dropped"] >= by_d[3600]["n_dropped"]
+        assert by_d[60]["n_dropped"] <= late[et]
