@@ -471,3 +471,33 @@ def test_w8_runtime_side_is_one_grouped_pass(spark, sf_dir):
     # back into the event stream before the cluster-keyed aggregation
     plan = _plan(spark, sf_dir, "w8_concurrency_mass")
     assert "CartesianProduct" not in plan
+
+
+def test_a31_a33_affinity_pair_join_is_bounded(spark, sf_dir):
+    # the pair self-join must be query-keyed (bounded by tables-per-query
+    # squared), never a cartesian across the scan table
+    for name in ("a31_table_affinity", "a33_join_strategy_advice"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sim22_sim23_centroids_and_codebooks_broadcast(spark, sf_dir):
+    # index maintenance must keep the quantizer tables broadcast-sized:
+    # the only full-corpus operations are vec_id-keyed aggregations
+    for name in ("sim22_ivf_upsert_audit", "sim23_pq_cell_distortion"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastExchange") >= 1, name
+
+
+def test_a32_w9_are_window_plus_rollup_no_join_explosion(spark, sf_dir):
+    for name in ("a32_version_regression", "w9_serial_replay_whatif"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ev26_sweep_reuses_one_prefix_max_window(spark, sf_dir):
+    # all three candidate delays must ride ONE event_type-keyed window —
+    # a per-delay recomputation would scan the stream three times
+    plan = _plan(spark, sf_dir, "ev26_watermark_whatif")
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2, plan
