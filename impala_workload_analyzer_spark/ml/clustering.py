@@ -22,11 +22,13 @@ feature shapes (WCSS hits 0), and the pct-variance curve is pinned
 monotone by ``tests/test_pipeline_ops``. sklearn's n_init=20 restarts
 map to best-of-20 pinned-seed fits (``_SEEDS``). Raw WCSS and cluster
 ids are fit-dependent -> the curve (m2b) and final clustering (m3) are
-rows-only for the driver, but the elbow's CORRECTNESS is oracle-checked:
+rows-only for the driver, but both sweeps' CORRECTNESS is oracle-checked:
 m2 hashes a per-k boolean certificate (monotone WCSS, %variance in
-range and monotone, TSS == d_eff*(n-1) via the z-score identity) that a
-DuckDB oracle asserts literally TRUE; the feature extraction itself is
-fully oracle-checked (m0).
+range and monotone, TSS == d_eff*(n-1) via the z-score identity) and m3b
+hashes a per-cluster certificate of the k=10 fit (all clusters populated,
+sizes sum to n, per-point nearest-centroid invariant, Lloyd fixed-point
+centroid == assigned-mean identity), each asserted literally TRUE by a
+DuckDB oracle; the feature extraction itself is fully oracle-checked (m0).
 
 Scale: feature extraction is a stateless projection; KMeans is
 pyspark.ml's distributed Lloyd iterations — both shuffle-light. The elbow
@@ -181,8 +183,27 @@ def _fit_best(data, k: int, pool=None):
 
 # Elbow rows are deterministic (pinned seeds, canonical input layout), so
 # one in-process computation serves both the m2 certificate and the m2b
-# curve without doubling the 1360 fits.
-_ELBOW_MEMO: dict[str, list[tuple[int, float, float]]] = {}
+# curve without doubling the 1360 fits. Keyed by (applicationId, sf_dir):
+# applicationId is stable and never reused, so a regenerated fixture dir
+# inside one process still reuses (the parquet is immutable test data),
+# but a NEW session never inherits a curve computed under a replaced one
+# — consistent with the (session, corpus) keying of the shared persisted
+# frames in dedup/similarity.
+_ELBOW_MEMO: dict[tuple[str, str], list[tuple[int, float, float]]] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os  # noqa: PLC0415
+
+    return (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+
+
+def _evict_replaced(memo: dict, app: str) -> None:
+    """Drop memo entries from sessions other than the live one — a stopped
+    session's JVM-side state is gone, and id()-style reuse bugs aside,
+    keeping them would pin memory for process lifetime."""
+    for k in [k for k in memo if k[0] != app]:
+        memo.pop(k)
 
 
 def _elbow_curve(spark: SparkSession, sf_dir: str) -> list[tuple[int, float, float]]:
@@ -190,14 +211,14 @@ def _elbow_curve(spark: SparkSession, sf_dir: str) -> list[tuple[int, float, flo
     %variance explained); TSS via the exact variance identity. 68
     k-values x 20 seeds = 1360 single-task fits run threaded, bounded by
     _FIT_THREADS."""
-    import os  # noqa: PLC0415
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
 
-    key = os.path.normpath(sf_dir)
+    key = _memo_key(spark, sf_dir)
     if key in _ELBOW_MEMO:
         return _ELBOW_MEMO[key]
+    _evict_replaced(_ELBOW_MEMO, key[0])
     data = _assembled(spark, sf_dir)
     tss = (
         data.select(
@@ -294,22 +315,129 @@ def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The final k=10 model is deterministic (pinned seeds, canonical input
+# layout), so one best-of-_SEEDS fit serves m3's published rows AND the
+# m3b certificate without doubling the 20 fits; (session, corpus) keyed
+# like _ELBOW_MEMO.
+_MODEL_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _final_model(spark: SparkSession, sf_dir: str, data):
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    key = _memo_key(spark, sf_dir)
+    model = _MODEL_MEMO.get(key)
+    if model is None:
+        _evict_replaced(_MODEL_MEMO, key[0])
+        with ThreadPoolExecutor(max_workers=len(_SEEDS)) as pool:
+            model = _fit_best(data, 10, pool)  # reference K (clustering.py:83)
+        _MODEL_MEMO[key] = model
+    return model
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m3 — final clustering at the reference's K=10: cluster sizes +
     per-cluster mean of the unscaled features (clustering.py:83-92);
     best-of-_SEEDS fit. The corpus has 15 distinct feature shapes, so
-    all 10 clusters populate at every fixture scale."""
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
+    all 10 clusters populate at every fixture scale. Raw cluster ids and
+    means are fit-dependent -> rows-only for the driver; the hash-matched
+    evidence is the m3b certificate over the same fit."""
     data = _assembled(spark, sf_dir)
-    with ThreadPoolExecutor(max_workers=len(_SEEDS)) as pool:
-        model = _fit_best(data, 10, pool)  # reference K (clustering.py:83)
+    model = _final_model(spark, sf_dir, data)
     out = (
         model.transform(data)
         .groupBy("prediction")
         .agg(
             F.count("*").alias("n_queries"),
             *[F.round(F.avg(f), 8).alias(f"avg_{f}") for f in _FEATURES],
+        )
+    )
+    data.unpersist()
+    return out
+
+
+def kmeans_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m3b — final-clustering CERTIFICATE (the m2 pattern applied to the
+    k=10 fit, reference ``clustering.py:83-92``): the raw clusters are
+    fit-dependent, so the hashed output is one row per cluster id 0..9 of
+    booleans a correct final clustering must satisfy, which a DuckDB
+    oracle asserts literally TRUE:
+
+    - row presence itself: all 10 cluster ids appear (the corpus has 15
+      distinct feature shapes, so no cluster may come back empty — a
+      missing id is a row-count mismatch, not just a FALSE);
+    - ``sizes_sum_to_n``: cluster sizes sum to the number of clustered
+      statements (no row dropped or double-assigned);
+    - ``nearest_centroid_ok``: every member row is nearer (squared
+      euclidean, scaled space) to its own centroid than to any other —
+      computed JVM-side from the published centers, independently of
+      ``model.transform``'s internal distance code;
+    - ``centroid_is_assigned_mean``: the centroid equals the mean of its
+      assigned scaled points — Lloyd's fixed point at convergence. This
+      is the analytic cross-check (tss_matches_dims' role in m2): a fit
+      that stopped early, a scaler drift, or a wrong assignment path all
+      break the identity.
+
+    A driver green row therefore certifies a real converged clustering,
+    not constants."""
+    from pyspark.ml.functions import vector_to_array  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    data = _assembled(spark, sf_dir)
+    model = _final_model(spark, sf_dir, data)
+    centers = [[float(v) for v in c] for c in model.clusterCenters()]
+    n_dim = len(centers[0])
+
+    arr = vector_to_array("features")
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                arr,
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, cv: (x - cv) * (x - cv),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for c in centers
+    ]
+    pred = model.transform(data).select(
+        F.col("prediction").cast("long").alias("cluster"),
+        F.element_at(F.array(*dists), F.col("prediction").cast("int") + 1)
+        .alias("d_own"),
+        F.least(*dists).alias("d_min"),
+        *[arr[i].alias(f"s{i}") for i in range(n_dim)],
+    )
+    per_cluster = pred.groupBy("cluster").agg(
+        F.count("*").alias("n_k"),
+        F.min(F.col("d_own") <= F.col("d_min") + F.lit(1e-9))
+        .alias("nearest_centroid_ok"),
+        *[F.avg(f"s{i}").alias(f"m{i}") for i in range(n_dim)],
+    )
+    centers_df = spark.createDataFrame(
+        [(j, *centers[j]) for j in range(len(centers))],
+        ["cluster", *[f"c{i}" for i in range(n_dim)]],
+    )
+    # Lloyd fixed point: converged Lloyd ends on an assignment step whose
+    # preceding update left centers unmoved, so center == assigned-mean to
+    # float precision; 1e-6 absolute covers the accumulation order.
+    mean_ok = None
+    for i in range(n_dim):
+        ok_i = F.abs(F.col(f"m{i}") - F.col(f"c{i}")) <= F.lit(1e-6)
+        mean_ok = ok_i if mean_ok is None else (mean_ok & ok_i)
+    total = data.count()  # O(1) scalar, mirrors m2's stats collect
+    out = (
+        per_cluster.join(F.broadcast(centers_df), "cluster")
+        .withColumn(
+            "sizes_sum_to_n",
+            F.sum("n_k").over(Window.partitionBy()) == F.lit(total),
+        )
+        .select(
+            "cluster",
+            (F.col("n_k") > 0).alias("populated"),
+            "sizes_sum_to_n",
+            "nearest_centroid_ok",
+            mean_ok.alias("centroid_is_assigned_mean"),
         )
     )
     data.unpersist()
@@ -352,6 +480,15 @@ ORACLES = {
                TRUE AS pct_var_nondecreasing,
                TRUE AS tss_matches_dims
         FROM range(69)""",
+    # m3b asserts the final k=10 clustering certificate literally TRUE for
+    # all 10 cluster ids; an empty cluster is a missing row (rows mismatch).
+    "m3b_kmeans_certificate": """
+        SELECT CAST(range AS BIGINT) AS cluster,
+               TRUE AS populated,
+               TRUE AS sizes_sum_to_n,
+               TRUE AS nearest_centroid_ok,
+               TRUE AS centroid_is_assigned_mean
+        FROM range(10)""",
 }
 
 SPARK_QUERIES = {
@@ -359,4 +496,5 @@ SPARK_QUERIES = {
     "m2_kmeans_elbow": kmeans_elbow,
     "m2b_kmeans_elbow_curve": kmeans_elbow_curve,
     "m3_kmeans_clusters": kmeans_clusters,
+    "m3b_kmeans_certificate": kmeans_certificate,
 }

@@ -5,29 +5,23 @@ Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything no driver
 round has ever witnessed, (b) everything modified since the last driver
-run, (c) the block longest unwitnessed. Round-8 window: the 24 round-7
-additions that landed past round 7's window and so have never been
-driver-witnessed (st13 w7 a27 plt1 plt2 sim19 tx23 snk3 a28 tx24 tx25
-sim20 ev25 tx26 st14 a29 q5 tx27 snk4 a30 dd20 st15 sim21 tx28 — every
-one local-gate green at sf0.01 AND sf0.1 since round 7), then the
-queries whose code changed this round (a25 recast to integer-exact
-micro-ns residuals after its r07 hash mismatch; m2 upgraded from
-rows-only to a hash-matched elbow certificate, with the raw curve moved
-to the new rows-only twin m2b), then the round-8 additions (dd21 LSH band
-sweep, w8 concurrency-mass certificate, pt7 plan motifs, dd22 dup x
-quality interaction, tx30 temperature mixture recipe, a31 table
-affinity, dd23 shingle work audit, sim22 IVF upsert audit, w9 serial
-replay what-if, a32 version regression, sim23 per-cell PQ distortion,
-a33 join-strategy advice; tpch_q1's avg columns were recast
-single-rounding after the exact-bit sweep, so it re-witnesses as
-modified),
-then the longest-unwitnessed tail: the displaced r03 remainder
-(tx2/tx3/tx4/w2), the r04-era block (a18, dd5/dd7, ev1-ev8, mm1-mm3,
-tx5-tx7, the tpch suite), then the r05/r06-witnessed greens. The 50
-queries of round 7's window (all green there except a25, which moved
-forward as changed) carry the freshest witness and close the list.
-Unlisted names keep module order after the prioritized block, so a new
-query is never silently dropped.
+run, (c) the block longest unwitnessed. Round-9 window (50): the new
+m3b_kmeans_certificate (never witnessed — the hash-matched certificate
+that closes the last unverified component) with its rows-only twin m3
+(last witnessed r6, and its fit is now served by the shared model memo,
+so re-witnessing is due), tx30 (modified: the IDIV numerator was
+rescaled to keep the floor exact-double-safe per ADVICE r8 — values
+unchanged in range, but the plan changed), then the
+longest-unwitnessed tail exactly as round 8's verdict prescribed: the
+21 TPC-H queries last witnessed r4/r6 (tpch_q1 re-witnessed r8 as
+modified, so it sits out), ev2/ev4-ev8, mm1-mm3, tx5-tx7 (all r4), and
+the r5 block (ing1-ing5, st1-st7, q1, w1). The cache-keying changes of
+round 9 (applicationId-keyed shared frames in dedup/similarity, the
+elbow memo) do not alter any query's rows — those queries are not
+re-windowed for it. Displaced r05/r06-witnessed greens and the
+fresher r7/r8 witnesses close the list. Unlisted names keep module
+order after the prioritized block, so a new query is never silently
+dropped.
 """
 
 from __future__ import annotations
@@ -39,6 +33,20 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
+    "m3b_kmeans_certificate", "m3_kmeans_clusters",
+    "tx30_mixture_temperature_recipe", "tpch_q2", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q14",
+    "ev2_sliding_hourly", "ev4_json_props_stats", "ev5_asof_join",
+    "ev6_range_join", "ev7_hypertable_rollup", "ev8_windowed_topk",
+    "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
+    "tx5_stratified_split", "tx6_unigram_logprob", "tx7_tfidf_top_terms",
+    "ing1_parsed_operators", "ing2_parsed_fragments", "ing3_parsed_queries",
+    "ing4_delete_by_tag", "ing5_ingest_health", "st1_streaming_tumbling",
+    "st2_streaming_sessions", "st3_stateful_user_stats",
+    "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
+    "st7_streaming_interval_join", "q1_sql_features", "w1_concurrency_sweep",
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",
@@ -50,57 +58,46 @@ _PRIORITY = (
     "dd20_component_size_spectrum", "st15_streaming_shard_manifest",
     "sim21_recall_at_k_curve", "tx28_bpe_merge_candidates",
     "a25_cost_model_outliers", "m2_kmeans_elbow", "m2b_kmeans_elbow_curve",
-    "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs", "dd22_dup_quality_profile", "tx30_mixture_temperature_recipe",
-    "a31_table_affinity", "dd23_shingle_hotspot_audit", "sim22_ivf_upsert_audit",
-    "w9_serial_replay_whatif", "a32_version_regression", "sim23_pq_cell_distortion", "a33_join_strategy_advice", "snk5_jsonl_export", "ev26_watermark_whatif", "tpch_q1",
+    "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs",
+    "dd22_dup_quality_profile", "a31_table_affinity",
+    "dd23_shingle_hotspot_audit", "sim22_ivf_upsert_audit",
+    "w9_serial_replay_whatif", "a32_version_regression",
+    "sim23_pq_cell_distortion", "a33_join_strategy_advice",
+    "snk5_jsonl_export", "ev26_watermark_whatif", "tpch_q1",
     "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",
     "w2_time_share_per_query", "a18_operator_time_quantiles",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best",
-    "ev1_tumbling_hourly", "ev2_sliding_hourly", "ev4_json_props_stats",
-    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
-    "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
-    "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
-    "tx7_tfidf_top_terms", "tpch_q2", "tpch_q3", "tpch_q4",
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "sim1_brute_force_topk", "sim2_lsh_topk", "sim4_ivf_topk",
-    "sim6_range_search", "sim8_knn_label_assign", "sim9_lsh_recall",
-    "sim10_ivf_recall", "sim12_quantize_recall", "ev18_funnel_latency",
-    "dd11_bloom_prefilter", "m3_kmeans_clusters", "sim11_pq_assign",
+    "ev1_tumbling_hourly", "sim1_brute_force_topk", "sim2_lsh_topk",
+    "sim4_ivf_topk", "sim6_range_search", "sim8_knn_label_assign",
+    "sim9_lsh_recall", "sim10_ivf_recall", "sim12_quantize_recall",
+    "ev18_funnel_latency", "dd11_bloom_prefilter", "sim11_pq_assign",
     "mm4_multimodal_packing", "ev17_cms_heavy_hitters",
     "pt4_plan_fingerprints", "st8_streaming_cms", "dd12_winnow_neardup",
     "tx17_zipf_spectrum", "sim13_ivfpq_topk", "st9_streaming_kmv",
     "dd13_component_keep_best", "ev19_event_transitions",
     "tx18_token_entropy", "a23_runtime_drift", "dd14_containment_pairs",
     "ev20_cadence_profile", "tx19_dsir_importance",
-    "st10_streaming_transitions", "tx20_ngram_novelty",
-    "a24_cost_model_fit", "mm5_modality_mixture",
-    "sim14_cell_balanced_sample", "ev21_user_concentration",
-    "q4_template_runtime", "st11_streaming_bloom", "dd15_dup_span_coverage",
-    "dd16_minhash_calibration", "o4_topn_orders",
-    "set1_union_party_nations", "tpch_q14", "w2b_nation_revenue_share",
+    "st10_streaming_transitions", "tx20_ngram_novelty", "a24_cost_model_fit",
+    "mm5_modality_mixture", "sim14_cell_balanced_sample",
+    "ev21_user_concentration", "q4_template_runtime", "st11_streaming_bloom",
+    "dd15_dup_span_coverage", "dd16_minhash_calibration", "o4_topn_orders",
+    "set1_union_party_nations", "w2b_nation_revenue_share",
     "w3_top_customers_per_nation", "x1_region_nation_grid",
     "a1_op_time_by_name", "a2_codegen_sink_totals", "a3_join_counts",
     "a4_distinct_scan_tables", "ev3_sessionize", "q3_features_rollup",
-    "q1_sql_features", "ing1_parsed_operators", "ing2_parsed_fragments",
-    "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
-    "m0_cluster_features", "w1_concurrency_sweep", "w4_cluster_utilization",
+    "m0_cluster_features", "w4_cluster_utilization",
     "dd8_neardup_components", "dd9_semantic_components",
-    "dd10_incremental_dedup", "st1_streaming_tumbling",
-    "st2_streaming_sessions", "st3_stateful_user_stats",
-    "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
-    "st7_streaming_interval_join", "ev9_retention_cohorts",
+    "dd10_incremental_dedup", "ev9_retention_cohorts",
     "ev10_funnel_conversion", "ev11_sessionize_salted",
     "ev12_anomaly_zscore", "ev13_rate_alerts", "ev14_kmv_distinct",
     "ev15_disorder_profile", "ev16_seasonality_heatmap",
     "sim7_embedding_quantize", "tx8_benchmark_contamination",
-    "tx9_sequence_packing", "tx10_blocklist_policy",
-    "tx11_repetition_stats", "tx12_mixture_sample",
-    "tx13_boilerplate_stats", "tx14_vocab_coverage", "tx15_pipeline_funnel",
-    "tx16_bigram_logprob", "a20_workload_cube", "a21_runtime_deciles",
-    "a22_operator_cooccurrence", "set2_party_nation_overlap",
-    "sim15_ivfpq_rerank", "sim16_ann_comparison", "tx21_quality_sweep",
+    "tx9_sequence_packing", "tx10_blocklist_policy", "tx11_repetition_stats",
+    "tx12_mixture_sample", "tx13_boilerplate_stats", "tx14_vocab_coverage",
+    "tx15_pipeline_funnel", "tx16_bigram_logprob", "a20_workload_cube",
+    "a21_runtime_deciles", "a22_operator_cooccurrence",
+    "set2_party_nation_overlap", "sim15_ivfpq_rerank",
+    "sim16_ann_comparison", "tx21_quality_sweep",
     "st12_streaming_rate_alerts", "dd17_dedup_comparison",
     "dd18_effective_dataset", "ev22_funnel_window_sweep",
     "w5_concurrency_percentiles", "snk1_curated_export",
@@ -112,11 +109,11 @@ _PRIORITY = (
     "a13_avg_time_pct_per_operator", "a14_abs_time_pct_per_operator",
     "a15_rollup_by_sql_type", "a16_counter_consistency",
     "a17_query_num_hosts", "dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
-    "dd3_minhash_lsh_pairs", "dd4_simhash_signatures",
-    "dd6_simhash_neardup", "f1_pp_size_roundtrip", "f2_pp_number_roundtrip",
-    "f3_pp_time_roundtrip", "f4_bit_reinterpret", "j2_join_children",
-    "p5_operator_skew", "pt1_plan_edges", "sim3_label_centroids",
-    "tx1_token_stats", "sim17_filtered_topk", "dd19_soft_dedup_weights",
+    "dd3_minhash_lsh_pairs", "dd4_simhash_signatures", "dd6_simhash_neardup",
+    "f1_pp_size_roundtrip", "f2_pp_number_roundtrip", "f3_pp_time_roundtrip",
+    "f4_bit_reinterpret", "j2_join_children", "p5_operator_skew",
+    "pt1_plan_edges", "sim3_label_centroids", "tx1_token_stats",
+    "sim17_filtered_topk", "dd19_soft_dedup_weights",
     "tx22_perplexity_buckets", "ev23_rate_cusum", "mm6_frame_fp_neardup",
     "w6_tail_latency_attribution", "pt6_shape_runtime_drift",
     "ev24_periodicity_acf", "sim18_diverse_topk", "a26_cardinality_qerror",

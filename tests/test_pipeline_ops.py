@@ -112,6 +112,29 @@ def test_kmeans_elbow_deterministic_and_monotone(spark, sf_dir):
         assert r["pct_var_nondecreasing"] and r["tss_matches_dims"]
 
 
+def test_kmeans_final_deterministic_and_certified(spark, sf_dir):
+    """m3 publishes a deterministic clustering (pinned seeds, canonical
+    input layout): two fits from a cold model memo are identical, all 10
+    clusters populate (the corpus has 15 distinct feature shapes), and
+    the m3b certificate over the same fit is all-TRUE (what the DuckDB
+    oracle asserts): sizes sum to n, every member nearer its own centroid
+    than any other, centroid == assigned-mean (Lloyd fixed point)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.ml import clustering as C
+
+    a = sorted(map(tuple, C.kmeans_clusters(spark, sf_dir).collect()))
+    C._MODEL_MEMO.clear()  # force a second, independent best-of-seeds fit
+    b = sorted(map(tuple, C.kmeans_clusters(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) == 10
+
+    cert = C.kmeans_certificate(spark, sf_dir).collect()
+    assert sorted(r["cluster"] for r in cert) == list(range(10))
+    for r in cert:
+        assert r["populated"] and r["sizes_sum_to_n"]
+        assert r["nearest_centroid_ok"] and r["centroid_is_assigned_mean"]
+
+
 def test_unigram_logprob_covers_corpus_with_negative_scores(spark, sf_dir):
     """tx6: one score per document, every score a negative mean
     log-probability (all smoothed unigram probabilities are < 1)."""
