@@ -71,3 +71,39 @@ def stamp(root: str) -> None:
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, _STAMP), "w") as f:
         f.write(fingerprint())
+
+
+# --- session-scoped persisted-DataFrame cache -------------------------------
+#
+# The shared intermediates (shingle frame, exact top-k, KMeans memos) are
+# persisted once per (session, corpus). Keying by ``id(spark)`` was a trap:
+# after a session is stopped and GC'd, a new session can reuse the same id
+# and receive a frame bound to the dead session, and dead entries pinned
+# executor memory for process lifetime. ``applicationId`` is stable for a
+# session's life and never reused, so it is the correct identity; entries
+# belonging to any other (replaced) session are evicted with a best-effort
+# unpersist on the next miss.
+
+_DF_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def session_persisted(spark, sf_dir: str, tag: str, build):
+    """Build-once-per-(session, corpus) persisted DataFrame.
+
+    ``build`` is a zero-arg callable returning the DataFrame to persist;
+    correctness never depends on the cache (a cold call rebuilds)."""
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.normpath(sf_dir), tag)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _DF_CACHE if k[0] != app]:
+            old = _DF_CACHE.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — dead session; nothing to free
+                pass
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _DF_CACHE[key] = df
+    return df

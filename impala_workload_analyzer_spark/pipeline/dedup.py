@@ -240,9 +240,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_of(_shingles_df(spark, sf_dir))
 
 
-_SHINGLES_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shingle frame persisted once per (session, corpus) — the
     feature-store pattern (_colocated_nodes, _ensure_features) applied
@@ -255,15 +252,14 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown-friendly and contract-pinned. At cluster scale the same
     role is played by materializing shingles to a bucketed table once
     per corpus snapshot; correctness never depends on the cache (a cold
-    call rebuilds)."""
-    key = (id(spark), sf_dir)
-    df = _SHINGLES_CACHE.get(key)
-    if df is None:
-        from pyspark import StorageLevel  # noqa: PLC0415
+    call rebuilds). Keyed by applicationId via cache_util.session_persisted
+    (ADVICE r8: id(spark) can be reused after GC, and dead entries pinned
+    executor memory)."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
 
-        df = _shingles_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLES_CACHE[key] = df
-    return df
+    return session_persisted(
+        spark, sf_dir, "shingles", lambda: _shingles_df(spark, sf_dir)
+    )
 
 
 _CC_MAX_ITERS = 25

@@ -653,9 +653,6 @@ def knn_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def _exact_topk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim1's exact top-k, persisted once per (session, corpus): the
     ground-truth side every recall audit joins against. sim16 alone
@@ -664,15 +661,14 @@ def _exact_topk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the persist trades a brute-force corpus scan per consumer for a
     tiny in-memory frame (the _shared_shingles / _colocated_nodes
     feature-store pattern). Correctness never depends on the cache; the
-    registered sim1 query keeps its live lineage."""
-    key = (id(spark), sf_dir)
-    df = _EXACT_CACHE.get(key)
-    if df is None:
-        from pyspark import StorageLevel  # noqa: PLC0415
+    registered sim1 query keeps its live lineage. Keyed by applicationId
+    via cache_util.session_persisted (ADVICE r8: id(spark) can be reused
+    after GC, and dead entries pinned executor memory)."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
 
-        df = brute_force_topk(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-        _EXACT_CACHE[key] = df
-    return df
+    return session_persisted(
+        spark, sf_dir, "exact_topk", lambda: brute_force_topk(spark, sf_dir)
+    )
 
 
 def _recall_vs_exact(spark: SparkSession, sf_dir: str,

@@ -2007,23 +2007,32 @@ def mixture_temperature_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     such weights as sampling rates. Alpha sweeps 0.25 / 0.5 / 0.75 / 1.
 
     Exactness end to end (the a25 lesson): tokens^alpha is built ONLY
-    from SQRT and multiply (both IEEE-correctly-rounded, so bit-identical
-    cross-engine — libm POW is not), then quantized to integer
-    micro-units via FLOOR(x * 1e6); every published ratio is integer
-    floor-division (weight/epochs in ppm) — no float column, no ROUND,
-    no float sum whose order could differ.
+    from SQRT / multiply / divide (all IEEE-correctly-rounded, so
+    bit-identical cross-engine — libm POW is not), quantized ONCE to
+    integer parts-per-billion of the per-alpha maximum
+    (``pow_rel_ppb = FLOOR(n^alpha / max_n^alpha * 1e9)``); every
+    published ratio is integer floor-division — no float column, no
+    ROUND, no float sum whose order could differ. Normalizing to the
+    per-alpha max (ADVICE r8) keeps every IDIV numerator exact:
+    ``pow_rel_ppb * 1e6 <= 1e15 < 2^53`` regardless of corpus size
+    (the old micro-unit form overflowed BIGINT at ~9.2M tokens/source
+    and left the exact-double envelope at ~9k). The draw/epoch ratios
+    are decomposed as ``floor(a*M/b) = (a/b)*M + floor((a%b)*M/b)`` so
+    their numerators stay exact for any corpus under ~9e15 total
+    tokens and any source under ~9e9 tokens — 100 TB-safe.
 
     Scale: one grouped aggregate over documents (source cardinality is
     tiny); the alpha sweep is a constant-width explode of that
-    aggregate; the normalizing sums are window totals over a handful of
-    rows."""
+    aggregate; the normalizing max/sums are a broadcast 1-row total and
+    window totals over a handful of rows."""
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
 
     docs = _with_norm(load_table(spark, sf_dir, "documents"))
     per_src = docs.groupBy("source").agg(
         F.sum(F.size("words")).cast("bigint").alias("n_tokens")
     )
-    swept = per_src.select(
+    max_tok = per_src.agg(F.max("n_tokens").alias("max_tokens"))
+    swept = per_src.crossJoin(F.broadcast(max_tok)).select(
         "source",
         "n_tokens",
         F.explode(
@@ -2033,34 +2042,42 @@ def mixture_temperature_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(a).cast("bigint").alias("alpha_permille"),
                         F.floor(
                             F.expr(expr.format(x="CAST(n_tokens AS DOUBLE)"))
-                            * 1e6
-                        ).cast("bigint").alias("pow_micro"),
+                            / F.expr(expr.format(x="CAST(max_tokens AS DOUBLE)"))
+                            * 1e9
+                        ).cast("bigint").alias("pow_rel_ppb"),
                     )
                     for a, expr in _TX30_ALPHAS
                 ]
             )
         ).alias("e"),
-    ).select("source", "n_tokens", "e.alpha_permille", "e.pow_micro")
+    ).select("source", "n_tokens", "e.alpha_permille", "e.pow_rel_ppb")
     wtot = Window.partitionBy("alpha_permille")
+    w_ppm = IDIV("pow_rel_ppb * 1000000", "sum_pow")
+    budget = IDIV("total_tokens", 2)
+    # floor(budget * w / 1e6) decomposed exactly: q*w + floor(r*w/1e6)
+    draw = (
+        f"{IDIV(budget, 1000000)} * ({w_ppm})"
+        f" + {IDIV(f'(({budget}) % 1000000) * ({w_ppm})', 1000000)}"
+    )
     return (
-        swept.withColumn("sum_pow", F.sum("pow_micro").over(wtot))
+        swept.withColumn("sum_pow", F.sum("pow_rel_ppb").over(wtot))
         .withColumn("total_tokens", F.sum("n_tokens").over(wtot))
         .select(
             "source",
             "alpha_permille",
             "n_tokens",
-            "pow_micro",
-            F.expr(IDIV("pow_micro * 1000000", "sum_pow")).alias("weight_ppm"),
-            F.expr(IDIV("total_tokens", 2)).alias("budget_tokens"),
-            F.expr(
-                IDIV(
-                    IDIV("total_tokens", 2) + " * " + IDIV("pow_micro * 1000000", "sum_pow"),
-                    1000000,
-                )
-            ).alias("draw_tokens"),
+            "pow_rel_ppb",
+            F.expr(w_ppm).alias("weight_ppm"),
+            F.expr(budget).alias("budget_tokens"),
+            F.expr(draw).alias("draw_tokens"),
         )
         .withColumn(
-            "epochs_ppm", F.expr(IDIV("draw_tokens * 1000000", "n_tokens"))
+            # floor(draw * 1e6 / n) decomposed the same way
+            "epochs_ppm",
+            F.expr(
+                f"{IDIV('draw_tokens', 'n_tokens')} * 1000000"
+                f" + {IDIV('(draw_tokens % n_tokens) * 1000000', 'n_tokens')}"
+            ),
         )
     )
 
@@ -2070,31 +2087,41 @@ def _tx30_oracle() -> str:
 
     arms = "\n          UNION ALL\n".join(
         f"          SELECT source, n_tokens, CAST({a} AS BIGINT) AS alpha_permille,"
-        f" CAST(FLOOR({expr.format(x='CAST(n_tokens AS DOUBLE)')} * 1e6) AS BIGINT)"
-        f" AS pow_micro FROM per_src"
+        f" CAST(FLOOR(({expr.format(x='CAST(n_tokens AS DOUBLE)')})"
+        f" / ({expr.format(x='CAST(max_tokens AS DOUBLE)')}) * 1e9) AS BIGINT)"
+        f" AS pow_rel_ppb FROM per_src CROSS JOIN mx"
         for a, expr in _TX30_ALPHAS
     )
-    w_ppm = IDIV("pow_micro * 1000000", "sum_pow")
+    w_ppm = IDIV("pow_rel_ppb * 1000000", "sum_pow")
     budget = IDIV("total_tokens", 2)
-    draw = IDIV(f"{budget} * {w_ppm}", 1000000)
+    draw = (
+        f"{IDIV(budget, 1000000)} * ({w_ppm})"
+        f" + {IDIV(f'(({budget}) % 1000000) * ({w_ppm})', 1000000)}"
+    )
     return f"""
         WITH per_src AS (
           SELECT source, CAST(SUM(len({_DUCK_WORDS})) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
+        mx AS (SELECT MAX(n_tokens) AS max_tokens FROM per_src),
         swept AS (
 {arms}
         ),
         tot AS (
           SELECT *,
-                 SUM(pow_micro) OVER (PARTITION BY alpha_permille) AS sum_pow,
+                 SUM(pow_rel_ppb) OVER (PARTITION BY alpha_permille) AS sum_pow,
                  SUM(n_tokens) OVER (PARTITION BY alpha_permille) AS total_tokens
-          FROM swept)
-        SELECT source, alpha_permille, n_tokens, pow_micro,
-               {w_ppm} AS weight_ppm,
-               {budget} AS budget_tokens,
-               {draw} AS draw_tokens,
-               {IDIV(f'({draw}) * 1000000', 'n_tokens')} AS epochs_ppm
-        FROM tot"""
+          FROM swept),
+        pub AS (
+          SELECT source, alpha_permille, n_tokens, pow_rel_ppb,
+                 {w_ppm} AS weight_ppm,
+                 {budget} AS budget_tokens,
+                 {draw} AS draw_tokens
+          FROM tot)
+        SELECT *,
+               {IDIV('draw_tokens', 'n_tokens')} * 1000000
+                 + {IDIV('(draw_tokens % n_tokens) * 1000000', 'n_tokens')}
+                 AS epochs_ppm
+        FROM pub"""
 
 
 ORACLES["tx30_mixture_temperature_recipe"] = _tx30_oracle()
