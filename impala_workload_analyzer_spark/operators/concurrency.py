@@ -499,8 +499,16 @@ def serial_replay_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_makespan_us",
         "serial_makespan_us",
         "total_queue_delay_us",
-        F.expr(IDIV("serial_makespan_us * 1000000", "actual_makespan_us"))
-        .alias("slowdown_ppm"),
+        # floor(S * 1e6 / A) decomposed exactly as (S div A) * 1e6 +
+        # floor((S mod A) * 1e6 / A): the naive numerator overflows BIGINT
+        # at ~9.2e12 us of serial makespan (the sf1-equivalent sweep hit
+        # it) and left the exact-double envelope far earlier; after the
+        # split every term stays exact while A < ~9e9 us per cluster.
+        (
+            F.expr("serial_makespan_us div actual_makespan_us") * F.lit(1000000)
+            + F.expr(IDIV("(serial_makespan_us % actual_makespan_us) * 1000000",
+                          "actual_makespan_us"))
+        ).cast("bigint").alias("slowdown_ppm"),
     )
 
 
@@ -535,7 +543,10 @@ ORACLES["w9_serial_replay_whatif"] = with_corpus(f"""
           FROM iwa_queries GROUP BY cluster)
         SELECT a.cluster, a.n_queries, a.actual_makespan_us,
                s.serial_makespan_us, s.total_queue_delay_us,
-               {_IDIV('s.serial_makespan_us * 1000000', 'a.actual_makespan_us')}
+               CAST(s.serial_makespan_us // a.actual_makespan_us AS BIGINT)
+                 * 1000000
+                 + {_IDIV('(s.serial_makespan_us % a.actual_makespan_us) * 1000000',
+                          'a.actual_makespan_us')}
                  AS slowdown_ppm
         FROM actual a JOIN serial s USING (cluster)""")
 

@@ -1880,3 +1880,228 @@ ORACLES["dd23_shingle_hotspot_audit"] = f"""
         FROM dfs GROUP BY 1"""
 
 SPARK_QUERIES["dd23_shingle_hotspot_audit"] = shingle_hotspot_audit
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd24 — CROSS-SOURCE DUPLICATION MATRIX: dd3's verified near-dup
+    pairs rolled up by (source, source) — which feeds copy from each
+    other, and how strongly. This is the provenance view a curation run
+    reads before weighting sources: a hot off-diagonal cell means two
+    feeds mirror the same upstream (keep one), a hot diagonal means a
+    feed re-posts itself (dedup within, not across). Jaccard mass is
+    published in exact integer micro-units (floor(j * 1e6)) so the sums
+    are order-independent and bit-identical cross-engine.
+
+    Scale: the pair set is dd3's banded LSH output (bounded, never
+    all-pairs); attaching sources is two keyed joins on doc_id against a
+    2-column projection of documents; the rollup output is
+    |sources|^2-bounded. At 100 TB the same plan rides the persisted
+    shingle frame and a broadcast source dim."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _minhash_pairs_of(_shingles_df(spark, sf_dir))
+    joined = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("j_micro"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("j_micro").cast("bigint").alias("sum_jaccard_micro"),
+            F.max("j_micro").cast("bigint").alias("max_jaccard_micro"),
+        )
+        .withColumn(
+            "mean_jaccard_micro",
+            F.expr("CAST(FLOOR(sum_jaccard_micro / CAST(n_pairs AS DOUBLE)) AS BIGINT)"),
+        )
+    )
+
+
+# dd24's oracle nests dd3's full oracle text; jaccard is already
+# ROUND(.., 9) there, so floor(j * 1e6) sees identical doubles.
+ORACLES["dd24_cross_source_dup_matrix"] = f"""
+        WITH p AS ({ORACLES["dd3_minhash_lsh_pairs"]}),
+        d AS (SELECT doc_id, source FROM documents),
+        cells AS (
+          SELECT LEAST(da.source, db.source) AS source_lo,
+                 GREATEST(da.source, db.source) AS source_hi,
+                 CAST(FLOOR(p.jaccard * 1e6) AS BIGINT) AS j_micro
+          FROM p JOIN d da ON p.doc_a = da.doc_id
+                 JOIN d db ON p.doc_b = db.doc_id)
+        SELECT source_lo, source_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(j_micro) AS BIGINT) AS sum_jaccard_micro,
+               CAST(MAX(j_micro) AS BIGINT) AS max_jaccard_micro,
+               CAST(FLOOR(SUM(j_micro) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS mean_jaccard_micro
+        FROM cells GROUP BY source_lo, source_hi"""
+
+SPARK_QUERIES["dd24_cross_source_dup_matrix"] = cross_source_dup_matrix
+
+
+# tx5's deterministic split, restated on doc_id alone (content-free, so
+# a doc's split never depends on which table carries it)
+_SPLIT_EXPR = (
+    "CASE WHEN ({h}) % 100 < 80 THEN 'train' "
+    "WHEN ({h}) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+_TX31_CELLS = (
+    ("test", "test"), ("test", "train"), ("test", "val"),
+    ("train", "train"), ("train", "val"), ("val", "val"),
+)
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx31 — TRAIN/VAL/TEST SPLIT-LEAKAGE AUDIT: duplicate pairs that
+    CROSS tx5's split boundaries — the "did the test set leak into
+    train?" table every eval pipeline needs before trusting held-out
+    numbers. Two tiers share one report: ``exact`` (same md5 digest,
+    dd1's relation) and ``minhash`` (dd3's verified near-dup pairs);
+    same-split cells are published too, so the cross-split mass can be
+    read against the within-split base rate. ``n_docs`` counts distinct
+    documents participating in at least one pair of the cell.
+
+    Exactness: splits derive from the doc_id hash (tx5's bucket — no
+    content, no join), every figure is an integer count.
+
+    Scale: the exact tier NEVER materializes pairs — per-digest split
+    counts (one dd1-shaped shuffle) yield each cell's pair/doc count
+    arithmetically (C(n,2) / n_a*n_b per digest, summed); a mega dup
+    group costs O(1), not O(k^2). The minhash tier rides dd3's banded
+    LSH output; its cells publish only where pairs exist, while the
+    exact tier always publishes all six cells (zero means verified-clean)."""
+    h = _SPARK_H.format(x="CAST(doc_id AS STRING)")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("digest"),
+        F.expr(_SPLIT_EXPR.format(h=h)).alias("split"),
+    )
+    g = docs.groupBy("digest").agg(
+        *[
+            F.sum((F.col("split") == s).cast("bigint")).alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ]
+    )
+    exact_cells = []
+    for a, b in _TX31_CELLS:
+        na, nb = F.col(f"n_{a}"), F.col(f"n_{b}")
+        if a == b:
+            pairs = F.expr(f"n_{a} * (n_{a} - 1) div 2")
+            docs_in = F.when(na >= 2, na).otherwise(F.lit(0))
+        else:
+            pairs = na * nb
+            docs_in = F.when((na > 0) & (nb > 0), na + nb).otherwise(F.lit(0))
+        exact_cells.append(
+            F.struct(
+                F.lit(a).alias("split_lo"), F.lit(b).alias("split_hi"),
+                F.sum(pairs).cast("bigint").alias("n_pairs"),
+                F.sum(docs_in).cast("bigint").alias("n_docs"),
+            )
+        )
+    exact = (
+        g.agg(*[c.alias(f"c{i}") for i, c in enumerate(exact_cells)])
+        .select(F.explode(F.array(*[F.col(f"c{i}") for i in range(len(exact_cells))])).alias("r"))
+        .select(F.lit("exact").alias("method"), "r.*")
+    )
+
+    mh_pairs = _minhash_pairs_of(_shingles_df(spark, sf_dir)).select(
+        F.expr(_SPLIT_EXPR.format(h=_SPARK_H.format(x="CAST(doc_a AS STRING)")))
+        .alias("sp_a"),
+        F.expr(_SPLIT_EXPR.format(h=_SPARK_H.format(x="CAST(doc_b AS STRING)")))
+        .alias("sp_b"),
+        "doc_a", "doc_b",
+    ).select(
+        F.least("sp_a", "sp_b").alias("split_lo"),
+        F.greatest("sp_a", "sp_b").alias("split_hi"),
+        "doc_a", "doc_b",
+    )
+    mh_counts = mh_pairs.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    mh_docs = (
+        mh_pairs.select(
+            "split_lo", "split_hi",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+        .distinct()
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    minhash = mh_counts.join(mh_docs, ["split_lo", "split_hi"]).select(
+        F.lit("minhash").alias("method"), "split_lo", "split_hi",
+        "n_pairs", "n_docs",
+    )
+    # exact cells publish even at zero: "no cross-split dups" is itself
+    # the audit verdict a reader needs stated, not omitted
+    return exact.unionByName(minhash)
+
+
+def _tx31_oracle() -> str:
+    h = _DUCK_H.format(x="CAST(doc_id AS VARCHAR)")
+    split = _SPLIT_EXPR.format(h=h)
+    arms = []
+    for a, b in _TX31_CELLS:
+        if a == b:
+            arms.append(
+                f"SELECT 'exact' AS method, '{a}' AS split_lo, '{b}' AS split_hi,"
+                f" CAST(SUM(n_{a} * (n_{a} - 1) // 2) AS BIGINT) AS n_pairs,"
+                f" CAST(SUM(CASE WHEN n_{a} >= 2 THEN n_{a} ELSE 0 END) AS BIGINT)"
+                f" AS n_docs FROM g"
+            )
+        else:
+            arms.append(
+                f"SELECT 'exact', '{a}', '{b}',"
+                f" CAST(SUM(n_{a} * n_{b}) AS BIGINT),"
+                f" CAST(SUM(CASE WHEN n_{a} > 0 AND n_{b} > 0"
+                f" THEN n_{a} + n_{b} ELSE 0 END) AS BIGINT) FROM g"
+            )
+    exact_arms = "\n          UNION ALL\n          ".join(arms)
+    ha = _DUCK_H.format(x="CAST(doc_a AS VARCHAR)")
+    hb = _DUCK_H.format(x="CAST(doc_b AS VARCHAR)")
+    return f"""
+        WITH d AS (
+          SELECT md5(text) AS digest, {split} AS split FROM documents),
+        g AS (
+          SELECT digest,
+                 SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+                 SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+                 SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+          FROM d GROUP BY digest),
+        exact_cells AS (
+          {exact_arms}
+        ),
+        mh AS (
+          SELECT LEAST({_SPLIT_EXPR.format(h=ha)}, {_SPLIT_EXPR.format(h=hb)})
+                   AS split_lo,
+                 GREATEST({_SPLIT_EXPR.format(h=ha)}, {_SPLIT_EXPR.format(h=hb)})
+                   AS split_hi,
+                 doc_a, doc_b
+          FROM ({ORACLES["dd3_minhash_lsh_pairs"]})),
+        mh_counts AS (
+          SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM mh GROUP BY 1, 2),
+        mh_docs AS (
+          SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM (SELECT DISTINCT split_lo, split_hi, doc FROM (
+                  SELECT split_lo, split_hi, doc_a AS doc FROM mh
+                  UNION ALL
+                  SELECT split_lo, split_hi, doc_b FROM mh))
+          GROUP BY 1, 2)
+        SELECT * FROM exact_cells
+        UNION ALL
+        SELECT 'minhash', c.split_lo, c.split_hi, c.n_pairs, d.n_docs
+        FROM mh_counts c JOIN mh_docs d USING (split_lo, split_hi)"""
+
+
+ORACLES["tx31_split_leakage_audit"] = _tx31_oracle()
+SPARK_QUERIES["tx31_split_leakage_audit"] = split_leakage_audit

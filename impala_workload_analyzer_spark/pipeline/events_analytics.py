@@ -1854,3 +1854,92 @@ def _ev26_oracle() -> str:
 
 ORACLES["ev26_watermark_whatif"] = _ev26_oracle()
 SPARK_QUERIES["ev26_watermark_whatif"] = watermark_whatif
+
+
+_EV27_THRESH_MIN = (0, 1, 2, 5, 10, 30, 60)
+
+
+def session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev27 — SESSION-DURATION SURVIVAL CURVE: for each threshold t in a
+    fixed minute ladder, how many of ev3's sessions last at least t
+    minutes, how many events those sessions carry, and the surviving
+    session share in exact ppm. This is the engagement-decay table a
+    session-gap choice is judged against (a curve that cliffs at the
+    30-min threshold says the ev3 gap parameter is clipping real
+    sessions), and the retention shape feeding ev9's cohort view.
+
+    Exactness: durations are integer microseconds off ev3's
+    session rollup; every published figure is a conditional COUNT/SUM
+    or an integer floor-division ppm — no float accumulates.
+
+    Scale: one pass over the session table (already user-keyed by ev3's
+    single shuffle) computes ALL thresholds as conditional aggregates in
+    one partial-agg'd reduction to a single row, exploded to the
+    |thresholds|-row curve — the threshold ladder never multiplies the
+    session-scan cost."""
+    sess = sessionize(spark, sf_dir).select(
+        (F.col("session_end_us") - F.col("session_start_us")).alias("dur_us"),
+        "n_events",
+    )
+    conds = [
+        (F.col("dur_us") >= F.lit(t * 60 * 1_000_000)).cast("bigint")
+        for t in _EV27_THRESH_MIN
+    ]
+    agg = sess.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        *[F.sum(c).cast("bigint").alias(f"s{t}")
+          for t, c in zip(_EV27_THRESH_MIN, conds)],
+        *[F.sum(F.col("n_events") * c).cast("bigint").alias(f"e{t}")
+          for t, c in zip(_EV27_THRESH_MIN, conds)],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("bigint").alias("thr_min"),
+                        F.col("n_total").alias("n_sessions_total"),
+                        F.col(f"s{t}").alias("n_sessions_surviving"),
+                        F.col(f"e{t}").alias("n_events_surviving"),
+                    )
+                    for t in _EV27_THRESH_MIN
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.thr_min",
+        "r.n_sessions_total",
+        "r.n_sessions_surviving",
+        "r.n_events_surviving",
+        F.expr(
+            "CAST(FLOOR(r.n_sessions_surviving * 1000000"
+            " / CAST(r.n_sessions_total AS DOUBLE)) AS BIGINT)"
+        ).alias("survival_ppm"),
+    )
+
+
+# ev27's oracle nests ev3's sessionization verbatim; the threshold
+# ladder is an unnested constant list.
+ORACLES["ev27_session_survival"] = f"""
+        WITH s AS ({ORACLES["ev3_sessionize"]}),
+        thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _EV27_THRESH_MIN)}]) AS BIGINT)
+                       AS thr_min)
+        SELECT CAST(t.thr_min AS BIGINT) AS thr_min,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions_total,
+               CAST(SUM(CASE WHEN s.session_end_us - s.session_start_us
+                               >= t.thr_min * 60 * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sessions_surviving,
+               CAST(SUM(CASE WHEN s.session_end_us - s.session_start_us
+                               >= t.thr_min * 60 * 1000000
+                             THEN s.n_events ELSE 0 END) AS BIGINT)
+                 AS n_events_surviving,
+               CAST(FLOOR(SUM(CASE WHEN s.session_end_us - s.session_start_us
+                                     >= t.thr_min * 60 * 1000000
+                                   THEN 1 ELSE 0 END) * 1000000
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS survival_ppm
+        FROM s CROSS JOIN thr t
+        GROUP BY t.thr_min"""
+
+SPARK_QUERIES["ev27_session_survival"] = session_survival

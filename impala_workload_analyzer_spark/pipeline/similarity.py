@@ -2368,3 +2368,86 @@ def _sim23_oracle() -> str:
 
 ORACLES["sim23_pq_cell_distortion"] = _sim23_oracle()
 SPARK_QUERIES["sim23_pq_cell_distortion"] = pq_cell_distortion
+
+
+def label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim24 — EMBEDDING-SPACE LABEL CONFUSION MATRIX: sim1's exact
+    top-k rolled up by (query label, neighbor label) — the class
+    structure of the embedding space itself. A strong diagonal means
+    labels are separable (sim8's kNN assignment will work); a hot
+    off-diagonal cell names the two classes the embedding conflates —
+    exactly the table read before trusting embedding-cosine near-dup
+    (dd5) or label-filtered retrieval (sim17) at 100 TB. ``n_rank1``
+    restricts to each query's single nearest neighbor (the classic
+    confusion-matrix cell); similarity mass is published in exact
+    integer micro-units (floor(sim * 1e6), sim already rounded to 9 in
+    the shared scorer) so sums are order-independent cross-engine.
+
+    Scale: rides sim1's plan (fixed _QUERY_K batch broadcast against
+    the corpus, one top-k shuffle); the label attach is one broadcast
+    join for the 100-row query side and one keyed join for neighbors;
+    the rollup output is |labels|^2-bounded."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = brute_force_topk(spark, sf_dir)
+    joined = (
+        topk.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").cast("bigint").alias("query_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").cast("bigint").alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        joined.select(
+            "query_label",
+            "neighbor_label",
+            F.floor(F.col("sim") * 1e6).cast("bigint").alias("sim_micro"),
+            (F.col("rank") == 1).cast("bigint").alias("is_rank1"),
+        )
+        .groupBy("query_label", "neighbor_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_slots"),
+            F.sum("is_rank1").cast("bigint").alias("n_rank1"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .withColumn("mean_sim_micro", F.expr(IDIV("sum_sim_micro", "n_slots")))
+    )
+
+
+def _sim24_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH topk AS ({ORACLES["sim1_brute_force_topk"]}),
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        cells AS (
+          SELECT ql.label AS query_label, nl.label AS neighbor_label,
+                 CAST(FLOOR(t.sim * 1e6) AS BIGINT) AS sim_micro,
+                 CASE WHEN t.rank = 1 THEN 1 ELSE 0 END AS is_rank1
+          FROM topk t JOIN lab ql ON t.query_id = ql.vec_id
+                      JOIN lab nl ON t.neighbor_id = nl.vec_id),
+        rolled AS (
+          SELECT query_label, neighbor_label,
+                 CAST(COUNT(*) AS BIGINT) AS n_slots,
+                 CAST(SUM(is_rank1) AS BIGINT) AS n_rank1,
+                 CAST(SUM(sim_micro) AS BIGINT) AS sum_sim_micro
+          FROM cells GROUP BY query_label, neighbor_label)
+        SELECT query_label, neighbor_label, n_slots, n_rank1, sum_sim_micro,
+               {IDIV('sum_sim_micro', 'n_slots')} AS mean_sim_micro
+        FROM rolled"""
+
+
+ORACLES["sim24_label_confusion"] = _sim24_oracle()
+SPARK_QUERIES["sim24_label_confusion"] = label_confusion

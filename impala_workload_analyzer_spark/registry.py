@@ -11,7 +11,10 @@ that closes the last unverified component) with its rows-only twin m3
 (last witnessed r6, and its fit is now served by the shared model memo,
 so re-witnessing is due), tx30 (modified: the IDIV numerator was
 rescaled to keep the floor exact-double-safe per ADVICE r8 — values
-unchanged in range, but the plan changed), then the
+unchanged in range, but the plan changed), w9 (modified: slowdown_ppm
+decomposed div/mod-exactly after the sf1 sweep overflowed its BIGINT
+numerator — displacing tpch_q14, the freshest tpch witness, to the
+tail), then the
 longest-unwitnessed tail exactly as round 8's verdict prescribed: the
 21 TPC-H queries last witnessed r4/r6 (tpch_q1 re-witnessed r8 as
 modified, so it sits out), ev2/ev4-ev8, mm1-mm3, tx5-tx7 (all r4), and
@@ -37,7 +40,8 @@ _PRIORITY = (
     "tx30_mixture_temperature_recipe", "tpch_q2", "tpch_q3", "tpch_q4",
     "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q14",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "w9_serial_replay_whatif",
     "ev2_sliding_hourly", "ev4_json_props_stats", "ev5_asof_join",
     "ev6_range_join", "ev7_hypertable_rollup", "ev8_windowed_topk",
     "mm1_image_features", "mm2_frame_samples", "mm3_audio_stats",
@@ -47,6 +51,11 @@ _PRIORITY = (
     "st2_streaming_sessions", "st3_stateful_user_stats",
     "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
     "st7_streaming_interval_join", "q1_sql_features", "w1_concurrency_sweep",
+    # round-9 additions: land past the r9 window (like the r7 batch did),
+    # locally exact-gated at both scales; they lead the r10 rotation
+    "dd24_cross_source_dup_matrix", "sim24_label_confusion",
+    "ev27_session_survival", "st16_streaming_session_survival",
+    "tx31_split_leakage_audit",
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",
@@ -61,7 +70,7 @@ _PRIORITY = (
     "dd21_lsh_band_sensitivity", "w8_concurrency_mass", "pt7_plan_motifs",
     "dd22_dup_quality_profile", "a31_table_affinity",
     "dd23_shingle_hotspot_audit", "sim22_ivf_upsert_audit",
-    "w9_serial_replay_whatif", "a32_version_regression",
+    "tpch_q14", "a32_version_regression",
     "sim23_pq_cell_distortion", "a33_join_strategy_advice",
     "snk5_jsonl_export", "ev26_watermark_whatif", "tpch_q1",
     "tx2_quality_score", "tx3_language_id", "tx4_winnow_fingerprints",

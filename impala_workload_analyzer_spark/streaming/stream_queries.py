@@ -1125,3 +1125,94 @@ SPARK_QUERIES = {
     "st14_streaming_gap_detect": streaming_gap_detect,
     "st15_streaming_shard_manifest": streaming_shard_manifest,
 }
+
+
+_ST16_THRESH_MIN = (0, 1, 2, 5, 10, 30, 60)
+
+
+def streaming_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st16 — ev27's survival curve over the STREAMING session set: the
+    duration ladder computed from st2's watermark-finalized
+    ``session_window`` rows, i.e. the survival table a live dashboard
+    can publish while the stream is still running (only sessions the
+    watermark has sealed count — no partial-session bias). Durations
+    subtract the 30-min gap padding ``session_window`` bakes into the
+    window end, so the buckets line up with ev27's batch curve over the
+    finalized subset; the DuckDB oracle states exactly that predicate
+    and arithmetic over ev3's sessionization.
+
+    Scale: the streaming agg is st2's (state bounded by open sessions);
+    the survival rollup is a one-row conditional aggregate over the
+    emitted session table, exploded to the constant-width ladder."""
+    sess = streaming_sessions(spark, sf_dir).select(
+        (
+            F.col("session_end_us")
+            - F.lit(30 * 60 * 1_000_000)
+            - F.col("session_start_us")
+        ).alias("dur_us"),
+        "n_events",
+    )
+    conds = [
+        (F.col("dur_us") >= F.lit(t * 60 * 1_000_000)).cast("bigint")
+        for t in _ST16_THRESH_MIN
+    ]
+    agg = sess.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        *[F.sum(c).cast("bigint").alias(f"s{t}")
+          for t, c in zip(_ST16_THRESH_MIN, conds)],
+        *[F.sum(F.col("n_events") * c).cast("bigint").alias(f"e{t}")
+          for t, c in zip(_ST16_THRESH_MIN, conds)],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("bigint").alias("thr_min"),
+                        F.col("n_total").alias("n_sessions_total"),
+                        F.col(f"s{t}").alias("n_sessions_surviving"),
+                        F.col(f"e{t}").alias("n_events_surviving"),
+                    )
+                    for t in _ST16_THRESH_MIN
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.thr_min",
+        "r.n_sessions_total",
+        "r.n_sessions_surviving",
+        "r.n_events_surviving",
+        F.expr(
+            "CAST(FLOOR(r.n_sessions_surviving * 1000000"
+            " / CAST(r.n_sessions_total AS DOUBLE)) AS BIGINT)"
+        ).alias("survival_ppm"),
+    )
+
+
+# st16's oracle nests st2's finalized-session predicate; durations drop
+# the gap padding exactly as the Spark side does.
+ORACLES["st16_streaming_session_survival"] = f"""
+        WITH fin AS ({_ST2_ORACLE}),
+        d AS (
+          SELECT session_end_us - 30 * 60 * 1000000 - session_start_us
+                   AS dur_us,
+                 n_events
+          FROM fin),
+        thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _ST16_THRESH_MIN)}]) AS BIGINT)
+                       AS thr_min)
+        SELECT CAST(t.thr_min AS BIGINT) AS thr_min,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions_total,
+               CAST(SUM(CASE WHEN d.dur_us >= t.thr_min * 60 * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sessions_surviving,
+               CAST(SUM(CASE WHEN d.dur_us >= t.thr_min * 60 * 1000000
+                             THEN d.n_events ELSE 0 END) AS BIGINT)
+                 AS n_events_surviving,
+               CAST(FLOOR(SUM(CASE WHEN d.dur_us >= t.thr_min * 60 * 1000000
+                                   THEN 1 ELSE 0 END) * 1000000
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS survival_ppm
+        FROM d CROSS JOIN thr t
+        GROUP BY t.thr_min"""
+
+SPARK_QUERIES["st16_streaming_session_survival"] = streaming_session_survival
