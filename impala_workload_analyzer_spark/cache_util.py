@@ -107,3 +107,17 @@ def session_persisted(spark, sf_dir: str, tag: str, build):
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         _DF_CACHE[key] = df
     return df
+
+
+def evict_session_frames() -> None:
+    """Unpersist and drop every session-scoped cached frame. Long
+    multi-corpus drivers (the sf1 sweep runs 17 queries against two
+    corpora in one session) call this between corpora so storage for the
+    finished corpus never competes with the next one's execution
+    memory."""
+    while _DF_CACHE:
+        _, df = _DF_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass

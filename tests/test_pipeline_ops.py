@@ -2786,3 +2786,48 @@ def test_bpe_merge_candidates_match_python(spark, sf_dir):
     assert [r["rank"] for r in rows] == list(range(1, len(want) + 1))
     for r in rows:
         assert r["pair_share"] == round(r["n_occurrences"] / total, 9)
+
+
+def test_session_survival_curve_is_monotone_and_anchored(spark, sf_dir):
+    """ev27: the ladder is complete, survival counts are non-increasing
+    in the threshold, and the t=0 row covers every session (ppm exactly
+    1e6); st16's streaming twin obeys the same shape over the
+    watermark-finalized subset (never more sessions than batch)."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV27_THRESH_MIN,
+        session_survival,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_session_survival,
+    )
+
+    rows = {r["thr_min"]: r for r in session_survival(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_EV27_THRESH_MIN)
+    assert rows[0]["n_sessions_surviving"] == rows[0]["n_sessions_total"]
+    assert rows[0]["survival_ppm"] == 1_000_000
+    surv = [rows[t]["n_sessions_surviving"] for t in sorted(rows)]
+    assert all(b <= a for a, b in zip(surv, surv[1:]))
+
+    st = {r["thr_min"]: r for r in
+          streaming_session_survival(spark, sf_dir).collect()}
+    assert sorted(st) == sorted(rows)
+    assert st[0]["n_sessions_total"] <= rows[0]["n_sessions_total"]
+
+
+def test_split_leakage_exact_cells_always_publish(spark, sf_dir):
+    """tx31: the six exact cells appear even when clean (zero counts are
+    the audit verdict), pair counts are consistent with doc counts, and
+    every split label is one of tx5's three."""
+    from impala_workload_analyzer_spark.pipeline.dedup import split_leakage_audit
+
+    rows = split_leakage_audit(spark, sf_dir).collect()
+    exact = [r for r in rows if r["method"] == "exact"]
+    assert len(exact) == 6
+    assert {(r["split_lo"], r["split_hi"]) for r in exact} == {
+        ("test", "test"), ("test", "train"), ("test", "val"),
+        ("train", "train"), ("train", "val"), ("val", "val")}
+    for r in rows:
+        assert r["split_lo"] <= r["split_hi"]
+        assert (r["n_pairs"] == 0) == (r["n_docs"] == 0)
+        if r["n_pairs"] > 0:
+            assert r["n_docs"] >= 2

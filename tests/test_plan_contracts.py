@@ -501,3 +501,34 @@ def test_ev26_sweep_reuses_one_prefix_max_window(spark, sf_dir):
     # a per-delay recomputation would scan the stream three times
     plan = _plan(spark, sf_dir, "ev26_watermark_whatif")
     assert plan.count("Exchange hashpartitioning(event_type") <= 2, plan
+
+
+def test_dd24_rides_banded_lsh_no_cartesian(spark, sf_dir):
+    # the source matrix must inherit dd3's banded candidate generation;
+    # attaching sources is doc_id-keyed, never a pair explosion
+    plan = _plan(spark, sf_dir, "dd24_cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+
+
+def test_sim24_broadcasts_the_query_batch(spark, sf_dir):
+    # sim1's contract carries over: the fixed query batch is the
+    # broadcast side; the corpus never shuffles for scoring
+    plan = _plan(spark, sf_dir, "sim24_label_confusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ev27_survival_is_one_pass_over_sessions(spark, sf_dir):
+    # the threshold ladder must be conditional aggregates in ev3's
+    # existing user-keyed pass — never a per-threshold rescan/join
+    plan = _plan(spark, sf_dir, "ev27_session_survival")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_tx31_exact_tier_never_materializes_pairs(spark, sf_dir):
+    # the exact tier is one digest-keyed aggregation; pair counts are
+    # arithmetic over per-digest split counts, so no self-join on digest
+    plan = _plan(spark, sf_dir, "tx31_split_leakage_audit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(digest") <= 1, plan
