@@ -1732,3 +1732,85 @@ def _a33_oracle() -> str:
 
 ORACLES["a33_join_strategy_advice"] = _a33_oracle()
 SPARK_QUERIES["a33_join_strategy_advice"] = join_strategy_advice
+
+
+def operator_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a34 — operator ASSOCIATION STRENGTH: a22 counts how many queries
+    contain each unordered operator-type pair; this adds the marginals
+    and the normalized association figures that make those counts
+    actionable — directional confidence (given a query runs operator A,
+    how often does B ride along, in exact ppm) and lift in milli-units
+    (observed co-occurrence over the independence expectation). Lift
+    >> 1000 names the operator pairs that structurally travel together
+    (the motif signal pt7 reads off plan shapes, here recovered from
+    bag-of-operators alone); confidence asymmetry separates "every A
+    implies B" from "B is just everywhere". This is the workload-
+    characterization layer behind the reference's clustering features
+    (``clustering.py:14-40`` builds per-query operator-count vectors;
+    lift is the pairwise structure of those vectors).
+
+    Exactness: counts are BIGINTs off distinct (query, name); ppm and
+    milli figures are integer floor divisions. The lift numerator
+    ``n_both * n_total * 1000`` stays under IDIV's 2^53 exact-double
+    envelope through sf1 (~1.5M corpus queries -> <= 2.3e15).
+
+    Scale: one distinct over (query_id, name) (heavy map-side collapse),
+    a self-join reusing that query_id partitioning (a22's plan), then
+    everything downstream is bounded by the operator-type vocabulary:
+    the marginal and total frames are vocabulary-sized and broadcast."""
+    ops = corpus_operators(spark, sf_dir).select("query_id", "name").distinct()
+    a, b = ops.alias("a"), ops.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .groupBy(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    marg = ops.groupBy("name").agg(F.count("*").cast("bigint").alias("n_q"))
+    total = ops.agg(
+        F.count_distinct(F.col("query_id")).cast("bigint").alias("n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("name").alias("name_a"), F.col("n_q").alias("n_a"))),
+            "name_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("name").alias("name_b"), F.col("n_q").alias("n_b"))),
+            "name_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "name_a", "name_b", "n_both", "n_a", "n_b", "n_total",
+            F.expr(IDIV("n_both * 1000000", "n_a")).alias("conf_a_to_b_ppm"),
+            F.expr(IDIV("n_both * 1000000", "n_b")).alias("conf_b_to_a_ppm"),
+            F.expr(IDIV("n_both * n_total * 1000", "n_a * n_b")).alias("lift_milli"),
+        )
+    )
+
+
+ORACLES["a34_operator_lift"] = with_corpus(f"""
+        , ops AS (SELECT DISTINCT query_id, name FROM iwa_operators),
+        pairs AS (
+          SELECT a.name AS name_a, b.name AS name_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ops a JOIN ops b
+            ON a.query_id = b.query_id AND a.name < b.name
+          GROUP BY 1, 2),
+        marg AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS n_q
+                 FROM ops GROUP BY name),
+        tot AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_total
+                FROM ops)
+        SELECT p.name_a, p.name_b, p.n_both,
+               ma.n_q AS n_a, mb.n_q AS n_b, t.n_total,
+               {IDIV('p.n_both * 1000000', 'ma.n_q')} AS conf_a_to_b_ppm,
+               {IDIV('p.n_both * 1000000', 'mb.n_q')} AS conf_b_to_a_ppm,
+               {IDIV('p.n_both * t.n_total * 1000', 'ma.n_q * mb.n_q')} AS lift_milli
+        FROM pairs p
+        JOIN marg ma ON p.name_a = ma.name
+        JOIN marg mb ON p.name_b = mb.name
+        CROSS JOIN tot t""")
+SPARK_QUERIES["a34_operator_lift"] = operator_lift

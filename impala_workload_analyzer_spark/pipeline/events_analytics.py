@@ -1943,3 +1943,101 @@ ORACLES["ev27_session_survival"] = f"""
         GROUP BY t.thr_min"""
 
 SPARK_QUERIES["ev27_session_survival"] = session_survival
+
+
+_EV28_THRESH_H = (1, 2, 6, 12, 24, 48, 96)
+
+
+def return_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev28 — RETURN-TIME CDF: for each threshold t in a fixed hour
+    ladder, how many inter-session gaps (the idle time between one ev3
+    session's end and the same user's next session start) close within
+    t hours. ev27 profiles how long sessions last; ev28 profiles how
+    long users stay away — the churn-risk curve behind re-engagement
+    timing, and the empirical justification for ev9's weekly cohort
+    grain (a CDF already saturated at 24h says weekly buckets blur
+    nothing). Gaps are > the 30-min session gap by construction, so the
+    ladder starts at 1h.
+
+    Exactness: gaps are integer-microsecond differences off ev3's
+    session rollup; every figure is a conditional COUNT/SUM of BIGINTs
+    or an integer floor-division ppm — no float accumulates.
+
+    Scale: LEAD over the session table reuses ev3's user_id
+    partitioning (no extra shuffle at scale — sessions are already
+    user-keyed); all thresholds are conditional aggregates in ONE
+    partial-agg'd reduction to a single row, exploded to the
+    |thresholds|-row curve."""
+    sess = sessionize(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start_us", "session_id")
+    gaps = (
+        sess.withColumn("next_start_us", F.lead("session_start_us").over(w))
+        .filter(F.col("next_start_us").isNotNull())
+        .select(
+            (F.col("next_start_us") - F.col("session_end_us")).alias("gap_us")
+        )
+    )
+    conds = [
+        (F.col("gap_us") <= F.lit(t * 3_600_000_000)).cast("bigint")
+        for t in _EV28_THRESH_H
+    ]
+    agg = gaps.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        *[F.sum(c).cast("bigint").alias(f"r{t}")
+          for t, c in zip(_EV28_THRESH_H, conds)],
+        *[F.sum(F.col("gap_us") * c).cast("bigint").alias(f"g{t}")
+          for t, c in zip(_EV28_THRESH_H, conds)],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("bigint").alias("thr_hours"),
+                        F.col("n_total").alias("n_gaps_total"),
+                        F.col(f"r{t}").alias("n_returned_within"),
+                        F.col(f"g{t}").alias("gap_us_within_sum"),
+                    )
+                    for t in _EV28_THRESH_H
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.thr_hours",
+        "r.n_gaps_total",
+        "r.n_returned_within",
+        "r.gap_us_within_sum",
+        F.expr(
+            "CAST(FLOOR(r.n_returned_within * 1000000"
+            " / CAST(r.n_gaps_total AS DOUBLE)) AS BIGINT)"
+        ).alias("return_ppm"),
+    )
+
+
+# ev28's oracle nests ev3's sessionization verbatim, like ev27's.
+ORACLES["ev28_return_gaps"] = f"""
+        WITH s AS ({ORACLES["ev3_sessionize"]}),
+        g AS (SELECT session_end_us AS en,
+                     LEAD(session_start_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY session_start_us, session_id) AS nxt
+              FROM s),
+        gaps AS (SELECT nxt - en AS gap_us FROM g WHERE nxt IS NOT NULL),
+        thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _EV28_THRESH_H)}]) AS BIGINT)
+                       AS thr_hours)
+        SELECT CAST(t.thr_hours AS BIGINT) AS thr_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps_total,
+               CAST(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_returned_within,
+               CAST(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                             THEN gap_us ELSE 0 END) AS BIGINT)
+                 AS gap_us_within_sum,
+               CAST(FLOOR(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                                   THEN 1 ELSE 0 END) * 1000000
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS return_ppm
+        FROM gaps CROSS JOIN thr t
+        GROUP BY t.thr_hours"""
+
+SPARK_QUERIES["ev28_return_gaps"] = return_gaps

@@ -2451,3 +2451,152 @@ def _sim24_oracle() -> str:
 
 ORACLES["sim24_label_confusion"] = _sim24_oracle()
 SPARK_QUERIES["sim24_label_confusion"] = label_confusion
+
+
+# sim25 ambiguity thresholds, in integer nano-cosine: 0.01 is ~p10 of
+# the top1-top2 centroid margin on the synthetic corpus, 0.05 ~median
+# (measured at sf0.01) — the "one wrong quantizer step loses the point"
+# band that nprobe=1 recall pays for.
+_SIM25_NANO_TIGHT = 10_000_000
+_SIM25_NANO_LOOSE = 50_000_000
+
+
+def centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim25 — IVF CELL-ASSIGNMENT AMBIGUITY AUDIT: for every vector,
+    the cosine margin between its nearest and second-nearest coarse
+    centroid (sim4's quantizer), rolled up per assigned cell. A cell
+    whose points sit on knife-edge margins leaks neighbors to its
+    runner-up cell whenever nprobe is too small — this table names the
+    leaky cells, how leaky (tight/loose ambiguity counts, min/mean
+    margin), and WHERE they leak to (the modal runner-up cell), which
+    is exactly the co-probe pairing sim20's nprobe sweep pays for
+    blindly. The index-tuning twin of sim24's label-confusion view.
+
+    Exactness: scores are 9-decimal-rounded before any comparison (the
+    sim4 rule); margins are differences of ``FLOOR(score * 1e9)``
+    BIGINTs, so every published figure is integer arithmetic or an
+    integer floor-division ppm — no float accumulates.
+
+    Scale: rides _ivf_scored's broadcast map-side cross product (corpus
+    x nlists, never corpus x corpus); ONE shuffle on vec_id for the
+    top-2 pivot; both rollups are bounded by the centroid vocabulary
+    (nlists rows), and the modal-runner join is a broadcast of an
+    nlists-sized side."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    scored = _ivf_scored(emb)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("c_label"))
+    piv = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c_label"))).cast("bigint").alias("list_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("c_label"))).cast("bigint").alias("runner_label"),
+            F.max(F.when(F.col("rn") == 2, F.col("score"))).alias("s2"),
+        )
+        .withColumn(
+            "margin_nano",
+            F.expr("CAST(FLOOR(s1 * 1e9) AS BIGINT) - CAST(FLOOR(s2 * 1e9) AS BIGINT)"),
+        )
+    )
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    # ONE pass: partial-aggregate per (list, runner) cell, then roll up
+    # to the cell row while picking the modal runner with max_by — a
+    # separate mode branch would recompute the whole scored pivot.
+    by_runner = piv.groupBy("list_id", "runner_label").agg(
+        F.count("*").cast("bigint").alias("n_runner"),
+        F.min("margin_nano").alias("mn_min"),
+        F.sum("margin_nano").alias("mn_sum"),
+        F.sum((F.col("margin_nano") < _SIM25_NANO_TIGHT).cast("bigint")).alias("n_tight"),
+        F.sum((F.col("margin_nano") < _SIM25_NANO_LOOSE).cast("bigint")).alias("n_loose"),
+    )
+    # modal-runner tie-break (n_runner desc, runner_label asc) encoded
+    # as max over (n_runner, -runner_label)
+    mode_key = F.struct(F.col("n_runner"), (-F.col("runner_label")).alias("neg"))
+    return by_runner.groupBy("list_id").agg(
+        F.sum("n_runner").cast("bigint").alias("n_points"),
+        F.min("mn_min").alias("margin_nano_min"),
+        F.sum("mn_sum").alias("margin_nano_sum"),
+        F.sum("n_tight").cast("bigint").alias("n_ambig_tight"),
+        F.sum("n_loose").cast("bigint").alias("n_ambig_loose"),
+        F.max_by(F.col("runner_label"), mode_key).alias("top_runner_label"),
+        F.max("n_runner").alias("n_top_runner"),
+    ).select(
+        "list_id", "n_points", "margin_nano_min",
+        F.expr(IDIV("margin_nano_sum", "n_points")).alias("margin_nano_mean"),
+        "n_ambig_tight", "n_ambig_loose",
+        F.expr(IDIV("n_ambig_tight * 1000000", "n_points")).alias("ambig_ppm"),
+        "top_runner_label", "n_top_runner",
+    )
+
+
+def _sim25_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        comp AS (
+          SELECT label, pos - 1 AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+          FROM (SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)
+          GROUP BY label, pos - 1),
+        cent AS (
+          SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+          FROM comp GROUP BY label),
+        centn AS (
+          SELECT c_label, cvec, sqrt({_duck_dot('cvec', 'cvec')}) AS cn FROM cent),
+        scored AS (
+          SELECT e.vec_id, c.c_label,
+                 ROUND({_duck_dot('e.embedding', 'c.cvec')} / (e.nrm * c.cn), 9) AS score
+          FROM e CROSS JOIN centn c),
+        piv AS (
+          SELECT vec_id,
+                 CAST(MAX(CASE WHEN rn = 1 THEN c_label END) AS BIGINT) AS list_id,
+                 MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+                 CAST(MAX(CASE WHEN rn = 2 THEN c_label END) AS BIGINT) AS runner_label,
+                 MAX(CASE WHEN rn = 2 THEN score END) AS s2
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY score DESC, c_label ASC) AS rn
+                FROM scored) t
+          WHERE rn <= 2 GROUP BY vec_id),
+        m AS (
+          SELECT list_id, runner_label,
+                 CAST(FLOOR(s1 * 1e9) AS BIGINT)
+                   - CAST(FLOOR(s2 * 1e9) AS BIGINT) AS margin_nano
+          FROM piv),
+        cell AS (
+          SELECT list_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 MIN(margin_nano) AS margin_nano_min,
+                 SUM(margin_nano) AS margin_nano_sum,
+                 CAST(SUM(CASE WHEN margin_nano < {_SIM25_NANO_TIGHT}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_ambig_tight,
+                 CAST(SUM(CASE WHEN margin_nano < {_SIM25_NANO_LOOSE}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_ambig_loose
+          FROM m GROUP BY list_id),
+        rmode AS (
+          SELECT list_id, runner_label AS top_runner_label,
+                 n_runner AS n_top_runner
+          FROM (SELECT list_id, runner_label,
+                       CAST(COUNT(*) AS BIGINT) AS n_runner,
+                       ROW_NUMBER() OVER (PARTITION BY list_id
+                                          ORDER BY COUNT(*) DESC,
+                                                   runner_label ASC) AS rn
+                FROM m GROUP BY list_id, runner_label) t
+          WHERE rn = 1)
+        SELECT c.list_id, c.n_points, c.margin_nano_min,
+               {IDIV('c.margin_nano_sum', 'c.n_points')} AS margin_nano_mean,
+               c.n_ambig_tight, c.n_ambig_loose,
+               {IDIV('c.n_ambig_tight * 1000000', 'c.n_points')} AS ambig_ppm,
+               r.top_runner_label, r.n_top_runner
+        FROM cell c JOIN rmode r ON c.list_id = r.list_id"""
+
+
+ORACLES["sim25_centroid_margin"] = _sim25_oracle()
+SPARK_QUERIES["sim25_centroid_margin"] = centroid_margin

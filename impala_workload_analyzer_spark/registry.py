@@ -55,7 +55,8 @@ _PRIORITY = (
     # locally exact-gated at both scales; they lead the r10 rotation
     "dd24_cross_source_dup_matrix", "sim24_label_confusion",
     "ev27_session_survival", "st16_streaming_session_survival",
-    "tx31_split_leakage_audit",
+    "tx31_split_leakage_audit", "ev28_return_gaps",
+    "sim25_centroid_margin", "a34_operator_lift",
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",

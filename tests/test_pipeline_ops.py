@@ -2831,3 +2831,74 @@ def test_split_leakage_exact_cells_always_publish(spark, sf_dir):
         assert (r["n_pairs"] == 0) == (r["n_docs"] == 0)
         if r["n_pairs"] > 0:
             assert r["n_docs"] >= 2
+
+
+def test_return_gaps_cdf_is_monotone_and_consistent(spark, sf_dir):
+    """ev28: the hour ladder is complete, the CDF (returned counts and
+    their gap-time mass) is non-decreasing in the threshold, every gap
+    exceeds ev3's 30-min session gap by construction (sub-hour ladder
+    rows can never capture a full population silently), and each ppm is
+    the exact floor of its own ratio."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV28_THRESH_H,
+        return_gaps,
+    )
+
+    rows = {r["thr_hours"]: r for r in return_gaps(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_EV28_THRESH_H)
+    totals = {r["n_gaps_total"] for r in rows.values()}
+    assert len(totals) == 1 and totals.pop() > 0
+    ordered = [rows[t] for t in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_returned_within"] <= b["n_returned_within"]
+        assert a["gap_us_within_sum"] <= b["gap_us_within_sum"]
+    for r in ordered:
+        assert 0 <= r["n_returned_within"] <= r["n_gaps_total"]
+        assert r["return_ppm"] == (
+            r["n_returned_within"] * 1_000_000 // r["n_gaps_total"]
+        )
+
+
+def test_centroid_margin_partitions_and_orders_cells(spark, sf_dir):
+    """sim25: every vector lands in exactly one cell (sizes sum to the
+    corpus), margins are non-negative with tight <= loose <= all, the
+    modal runner is never the cell itself, and ppm/mean figures are
+    exact integer arithmetic over the published counts."""
+    from impala_workload_analyzer_spark.pipeline.similarity import centroid_margin
+    from impala_workload_analyzer_spark.io import load_table
+
+    rows = centroid_margin(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n_vecs
+    assert len({r["list_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["margin_nano_min"] >= 0
+        assert 0 <= r["n_ambig_tight"] <= r["n_ambig_loose"] <= r["n_points"]
+        assert r["top_runner_label"] != r["list_id"]
+        assert 1 <= r["n_top_runner"] <= r["n_points"]
+        assert r["ambig_ppm"] == r["n_ambig_tight"] * 1_000_000 // r["n_points"]
+        assert r["margin_nano_mean"] >= r["margin_nano_min"]
+
+
+def test_operator_lift_agrees_with_a22_counts(spark, sf_dir):
+    """a34: pair counts equal a22's co-occurrence matrix row for row;
+    marginals bound the pair counts; confidences and lift reduce to the
+    exact integer floors of the published counts."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        operator_cooccurrence,
+        operator_lift,
+    )
+
+    lift = {(r["name_a"], r["name_b"]): r
+            for r in operator_lift(spark, sf_dir).collect()}
+    a22 = {(r["name_a"], r["name_b"]): r["num_queries"]
+           for r in operator_cooccurrence(spark, sf_dir).collect()}
+    assert set(lift) == set(a22)
+    for key, r in lift.items():
+        assert r["n_both"] == a22[key]
+        assert r["n_both"] <= min(r["n_a"], r["n_b"]) <= r["n_total"]
+        assert r["conf_a_to_b_ppm"] == r["n_both"] * 1_000_000 // r["n_a"]
+        assert r["conf_b_to_a_ppm"] == r["n_both"] * 1_000_000 // r["n_b"]
+        assert r["lift_milli"] == (
+            r["n_both"] * r["n_total"] * 1000 // (r["n_a"] * r["n_b"])
+        )

@@ -532,3 +532,28 @@ def test_tx31_exact_tier_never_materializes_pairs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx31_split_leakage_audit")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(digest") <= 1, plan
+
+
+def test_ev28_rides_ev3s_user_partitioning(spark, sf_dir):
+    # the LEAD window and the threshold ladder must reuse ev3's single
+    # user_id shuffle — never a second exchange or per-threshold rescan
+    plan = _plan(spark, sf_dir, "ev28_return_gaps")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") <= 1, plan
+
+
+def test_sim25_is_one_pass_over_the_scored_pivot(spark, sf_dir):
+    # centroids broadcast (never a corpus x corpus product), and the
+    # modal-runner mode must fold into the cell rollup: exactly one
+    # vec_id shuffle — a separate mode branch recomputes the corpus scan
+    plan = _plan(spark, sf_dir, "sim25_centroid_margin")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(vec_id") <= 1, plan
+
+
+def test_a34_broadcasts_marginals_and_total(spark, sf_dir):
+    # the vocabulary-sized marginal/total frames join broadcast-side;
+    # the only data-sized work is a22's distinct + self-join shape
+    plan = _plan(spark, sf_dir, "a34_operator_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
