@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _GAP = "30 minutes"
@@ -1216,3 +1216,103 @@ ORACLES["st16_streaming_session_survival"] = f"""
         GROUP BY t.thr_min"""
 
 SPARK_QUERIES["st16_streaming_session_survival"] = streaming_session_survival
+
+
+# st17 shares ev28's hour ladder so the live curve lines up with the
+# batch CDF row for row.
+from ..pipeline.events_analytics import _EV28_THRESH_H as _ST17_THRESH_H  # noqa: E402
+
+
+def streaming_return_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st17 — ev28's return-time CDF over the STREAMING session set:
+    inter-session gaps computed from st2's watermark-finalized
+    ``session_window`` rows, i.e. the churn curve a live dashboard can
+    publish mid-stream. Because the watermark seals a user's sessions
+    in time order, the finalized set is a PREFIX of that user's batch
+    sessions — so every streaming gap is a real batch gap (consecutive
+    finalized sessions are consecutive in batch), never an artifact of
+    a skipped unsealed session. Session ends subtract the 30-min gap
+    padding ``session_window`` bakes in, aligning gap arithmetic with
+    ev28's event-time ends; the DuckDB oracle states exactly that
+    predicate and arithmetic over ev3's sessionization.
+
+    Scale: the streaming agg is st2's (state bounded by open sessions);
+    the LEAD rides the emitted table's user keying, and the ladder is
+    one conditional-aggregate reduction exploded to constant width."""
+    sess = streaming_sessions(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    gaps = (
+        sess.withColumn("next_start_us", F.lead("session_start_us").over(w))
+        .filter(F.col("next_start_us").isNotNull())
+        .select(
+            (
+                F.col("next_start_us")
+                - (F.col("session_end_us") - F.lit(30 * 60 * 1_000_000))
+            ).alias("gap_us")
+        )
+    )
+    conds = [
+        (F.col("gap_us") <= F.lit(t * 3_600_000_000)).cast("bigint")
+        for t in _ST17_THRESH_H
+    ]
+    agg = gaps.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        *[F.sum(c).cast("bigint").alias(f"r{t}")
+          for t, c in zip(_ST17_THRESH_H, conds)],
+        *[F.sum(F.col("gap_us") * c).cast("bigint").alias(f"g{t}")
+          for t, c in zip(_ST17_THRESH_H, conds)],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("bigint").alias("thr_hours"),
+                        F.col("n_total").alias("n_gaps_total"),
+                        F.col(f"r{t}").alias("n_returned_within"),
+                        F.col(f"g{t}").alias("gap_us_within_sum"),
+                    )
+                    for t in _ST17_THRESH_H
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.thr_hours",
+        "r.n_gaps_total",
+        "r.n_returned_within",
+        "r.gap_us_within_sum",
+        F.expr(
+            "CAST(FLOOR(r.n_returned_within * 1000000"
+            " / CAST(r.n_gaps_total AS DOUBLE)) AS BIGINT)"
+        ).alias("return_ppm"),
+    )
+
+
+# st17's oracle nests st2's finalized-session predicate; session ends
+# drop the gap padding exactly as the Spark side does.
+ORACLES["st17_streaming_return_gaps"] = f"""
+        WITH fin AS ({_ST2_ORACLE}),
+        g AS (SELECT session_end_us - 30 * 60 * 1000000 AS en,
+                     LEAD(session_start_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY session_start_us) AS nxt
+              FROM fin),
+        gaps AS (SELECT nxt - en AS gap_us FROM g WHERE nxt IS NOT NULL),
+        thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _ST17_THRESH_H)}]) AS BIGINT)
+                       AS thr_hours)
+        SELECT CAST(t.thr_hours AS BIGINT) AS thr_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps_total,
+               CAST(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_returned_within,
+               CAST(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                             THEN gap_us ELSE 0 END) AS BIGINT)
+                 AS gap_us_within_sum,
+               CAST(FLOOR(SUM(CASE WHEN gap_us <= t.thr_hours * 3600000000
+                                   THEN 1 ELSE 0 END) * 1000000
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                 AS return_ppm
+        FROM gaps CROSS JOIN thr t
+        GROUP BY t.thr_hours"""
+
+SPARK_QUERIES["st17_streaming_return_gaps"] = streaming_return_gaps

@@ -2902,3 +2902,22 @@ def test_operator_lift_agrees_with_a22_counts(spark, sf_dir):
         assert r["lift_milli"] == (
             r["n_both"] * r["n_total"] * 1000 // (r["n_a"] * r["n_b"])
         )
+
+
+def test_streaming_return_gaps_is_a_prefix_of_batch(spark, sf_dir):
+    """st17: the finalized-session gap set is a subset of ev28's batch
+    gaps (the watermark seals per-user prefixes), so every ladder row is
+    bounded by its batch twin and the ladders align row for row."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import return_gaps
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_return_gaps,
+    )
+
+    batch = {r["thr_hours"]: r for r in return_gaps(spark, sf_dir).collect()}
+    live = {r["thr_hours"]: r
+            for r in streaming_return_gaps(spark, sf_dir).collect()}
+    assert sorted(live) == sorted(batch)
+    for t, r in live.items():
+        assert r["n_gaps_total"] <= batch[t]["n_gaps_total"]
+        assert r["n_returned_within"] <= batch[t]["n_returned_within"]
+        assert r["gap_us_within_sum"] <= batch[t]["gap_us_within_sum"]
