@@ -2041,3 +2041,149 @@ ORACLES["ev28_return_gaps"] = f"""
         GROUP BY t.thr_hours"""
 
 SPARK_QUERIES["ev28_return_gaps"] = return_gaps
+
+
+# snk6 compaction: planning constants. The hourly (type, hour) chunks
+# are the simulated small-files input (3,600 micro-chunks at sf0.01,
+# avg ~3 rows — the classic streaming-sink layout a compactor fixes);
+# the greedy planner packs them, in hour order, into files of
+# ~_SNK6_TARGET_ROWS.
+_SNK6_TARGET_ROWS = 500
+_SNK6_CKSUM_MOD = 1_000_000_007  # keeps the order-proof checksum << 2^63
+
+
+def compaction_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk6 — SMALL-FILES COMPACTION, planned then MATERIALIZED: the
+    event stream's natural sink layout is one file per (type, hour)
+    micro-batch — thousands of tiny files that crush a 100 TB table's
+    scan planning. The planner rolls the hourly chunks up, assigns each
+    chunk (in hour order, within its type) to the compacted file whose
+    target-row multiple its running prefix mass falls in —
+    ``file_id = floor(rows_before / target)`` — so file boundaries are
+    pure integer prefix-sum arithmetic, time-locality is preserved
+    (each compacted file covers a contiguous hour range, keeping hour
+    predicates prunable after compaction), and a chunk is never split.
+    The plan is then EXECUTED: events written as parquet partitioned by
+    (event_type, file_id) under the snk4 one-file-per-partition
+    repartition contract, read BACK, and re-counted/re-checksummed —
+    the published row is readback truth joined to plan bounds, which is
+    the verification a compactor must emit before deleting the small
+    files it replaced.
+
+    Exactness: counts/hour bounds/checksums are BIGINT arithmetic
+    (event_id mod p summed — order-free); fill_ppm is an integer floor
+    division against the row target.
+
+    Scale: one map-side-combined shuffle to (type, hour) chunks, one
+    type-keyed window for the prefix sums (chunk count is bounded by
+    types x hours, not data), one broadcast of the chunk->file map onto
+    the write join, one partitioned write + readback aggregation. At
+    100 TB raise the target and add ``maxRecordsPerFile``; n_files then
+    reports per-file-id counts instead of asserting 1."""
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.expr("CAST(FLOOR(unix_micros(ts) / 3600000000) AS BIGINT)")
+    )
+    chunks = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("bigint").alias("chunk_rows")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assign = chunks.withColumn(
+        "rows_before", F.coalesce(F.sum("chunk_rows").over(wt), F.lit(0))
+    ).withColumn(
+        "file_id",
+        F.expr(
+            f"CAST(FLOOR(rows_before / CAST({_SNK6_TARGET_ROWS} AS DOUBLE)) AS BIGINT)"
+        ),
+    )
+    plan = assign.groupBy("event_type", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.min("hr").alias("hour_lo"),
+        F.max("hr").alias("hour_hi"),
+    )
+    out = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "compaction",
+    )
+    (
+        ev.join(F.broadcast(assign.select("event_type", "hr", "file_id")),
+                ["event_type", "hr"])
+        .select("event_id", "ts", "user_id", "value", "event_type", "file_id")
+        .repartition("event_type", "file_id")
+        .sortWithinPartitions("event_type", "file_id", "event_id")
+        .write.partitionBy("event_type", "file_id")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy(
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("file_id").cast("bigint").alias("file_id"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("f").cast("bigint").alias("n_files"),
+            F.sum(F.col("event_id") % _SNK6_CKSUM_MOD).cast("bigint").alias("checksum"),
+        )
+    )
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return back.join(F.broadcast(plan), ["event_type", "file_id"]).select(
+        "event_type", "file_id", "n_chunks", "n_rows", "hour_lo", "hour_hi",
+        "n_files", "checksum",
+        F.expr(IDIV("n_rows * 1000000", _SNK6_TARGET_ROWS)).alias("fill_ppm"),
+    )
+
+
+def _snk6_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS chunk_rows
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT *, COALESCE(SUM(chunk_rows) OVER (
+                     PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS rows_before
+          FROM c),
+        a AS (
+          SELECT event_type, hr, chunk_rows,
+                 {IDIV('rows_before', _SNK6_TARGET_ROWS)} AS file_id
+          FROM w),
+        plan AS (
+          SELECT event_type, file_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(chunk_rows) AS BIGINT) AS n_rows,
+                 MIN(hr) AS hour_lo, MAX(hr) AS hour_hi
+          FROM a GROUP BY 1, 2),
+        ck AS (
+          SELECT a.event_type, a.file_id,
+                 CAST(SUM(e.event_id % {_SNK6_CKSUM_MOD}) AS BIGINT) AS checksum
+          FROM (SELECT event_type, event_id,
+                       CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr
+                FROM events) e
+          JOIN a ON e.event_type = a.event_type AND e.hr = a.hr
+          GROUP BY 1, 2)
+        SELECT p.event_type, p.file_id, p.n_chunks, p.n_rows,
+               p.hour_lo, p.hour_hi,
+               CAST(1 AS BIGINT) AS n_files, ck.checksum,
+               {IDIV('p.n_rows * 1000000', _SNK6_TARGET_ROWS)} AS fill_ppm
+        FROM plan p JOIN ck ON p.event_type = ck.event_type
+                           AND p.file_id = ck.file_id"""
+
+
+ORACLES["snk6_compaction_export"] = _snk6_oracle()
+SPARK_QUERIES["snk6_compaction_export"] = compaction_export

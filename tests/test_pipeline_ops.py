@@ -2921,3 +2921,31 @@ def test_streaming_return_gaps_is_a_prefix_of_batch(spark, sf_dir):
         assert r["n_gaps_total"] <= batch[t]["n_gaps_total"]
         assert r["n_returned_within"] <= batch[t]["n_returned_within"]
         assert r["gap_us_within_sum"] <= batch[t]["gap_us_within_sum"]
+
+
+def test_compaction_export_conserves_rows_and_time_locality(spark, sf_dir):
+    """snk6: the compacted layout loses nothing (row counts conserve),
+    honors the one-file-per-partition write contract, and keeps files
+    time-local (hour ranges strictly ordered and disjoint within each
+    type, file ids densely ordered by time)."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _SNK6_TARGET_ROWS,
+        compaction_export,
+    )
+
+    rows = compaction_export(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+    by_type: dict = {}
+    for r in rows:
+        assert r["n_files"] == 1
+        assert r["hour_lo"] <= r["hour_hi"]
+        assert r["n_chunks"] >= 1 and r["n_rows"] >= r["n_chunks"]
+        assert r["fill_ppm"] == r["n_rows"] * 1_000_000 // _SNK6_TARGET_ROWS
+        by_type.setdefault(r["event_type"], []).append(r)
+    for files in by_type.values():
+        files.sort(key=lambda r: r["file_id"])
+        for a, b in zip(files, files[1:]):
+            assert a["file_id"] < b["file_id"]
+            assert a["hour_hi"] < b["hour_lo"]

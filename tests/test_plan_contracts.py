@@ -557,3 +557,12 @@ def test_a34_broadcasts_marginals_and_total(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a34_operator_lift")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_snk6_broadcasts_the_chunk_map(spark, sf_dir):
+    # the chunk->file assignment (bounded by types x hours) must be the
+    # broadcast side of the write join; the readback-plan join too —
+    # data-sized events never shuffle for either
+    plan = _plan(spark, sf_dir, "snk6_compaction_export")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1, plan
