@@ -262,6 +262,24 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_jaccard3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd2's exact DF-capped 3-gram Jaccard pair set persisted once per
+    (session, corpus) — the GROUND-TRUTH frame the multi-tier
+    instruments reuse (dd17's jaccard3 tier, dd21's recall
+    denominator). The build is the dedup family's single most expensive
+    stage (the shingle-sharing pair join + per-pair verify: measured
+    ~92 s alone at the sf1-equivalent), while the OUTPUT is one row per
+    verified pair — trivially persistable. Production shape: the exact
+    truth set is materialized once per corpus snapshot and every audit
+    joins it. dd2 itself keeps its live, contract-pinned scan."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "jaccard3",
+        lambda: _ngram_jaccard_of(_shared_shingles(spark, sf_dir)),
+    )
+
+
 _CC_MAX_ITERS = 25
 
 
@@ -729,7 +747,7 @@ def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shared_shingles(spark, sf_dir)  # one explode serves both fuzzy tiers
     methods = (
         ("exact", exact_pairs),
-        ("jaccard3", _ngram_jaccard_of(sh)),
+        ("jaccard3", _shared_jaccard3(spark, sf_dir)),
         ("minhash", _minhash_pairs_of(sh)),
         ("simhash", simhash_neardup_pairs(spark, sf_dir)),
     )
@@ -1600,6 +1618,16 @@ SPARK_QUERIES["dd20_component_size_spectrum"] = component_size_spectrum
 # more bands with fewer rows = more candidates / higher recall (collision
 # probability 1-(1-J^r)^b), fewer wider bands = cheaper / more precise.
 _DD21_CONFIGS = ((16, 1), (8, 2), (4, 4))
+# Hot-bucket cap for the sweep's candidate generator: a single-row band
+# key is ONE minhash, so any high-document-frequency shingle that wins a
+# permutation's min puts its ENTIRE posting list into one bucket — a
+# bucket that grows with the corpus, making the (16,1) config's pair
+# join quadratic (measured alpha 1.18 over the sf0.1 -> sf1 decade
+# before the cap). Buckets above the cap are excluded from the pair
+# join and accounted arithmetically instead (n_hot_buckets /
+# n_hot_pairs = sum of C(size, 2)) — the published skipped volume IS
+# the sweep's cost verdict on that band shape, not a silent drop.
+_DD21_BUCKET_CAP = 128
 
 
 def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,7 +1649,13 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — and ONE exact-Jaccard verify over the distinct union of
     candidates (configs are nested by construction: a (4,4) collision
     implies (8,2) implies (16,1), so the union is just the (16,1) set;
-    each config then counts its own subset)."""
+    each config then counts its own subset). Buckets larger than
+    ``_DD21_BUCKET_CAP`` are excluded from the pair join and published
+    as n_hot_buckets / n_hot_pairs instead (see the cap's comment):
+    with the cap the surfaced-candidate volume is bounded by
+    cap x corpus per band, restoring linear scaling; the skipped pair
+    count is the sweep's own evidence of what the loose band shape
+    would have cost."""
     shingles = _shared_shingles(spark, sf_dir)
     sh = shingles.withColumn("hx", F.expr(_SPARK_H.format(x="shingle")) % _P)
     sig = _minhash_sig(sh)
@@ -1643,10 +1677,25 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.n_bands", "b.band_idx", "b.band_key")
+    bsize = bands.groupBy("n_bands", "band_idx", "band_key").agg(
+        F.count("*").cast("bigint").alias("bsz")
+    )
+    hot = bsize.filter(F.col("bsz") > _DD21_BUCKET_CAP)
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    hot_stats = hot.groupBy("n_bands").agg(
+        F.count("*").cast("bigint").alias("n_hot_buckets"),
+        F.expr(IDIV("SUM(bsz * (bsz - 1))", 2)).alias("n_hot_pairs"),
+    )
+    cold = bands.join(
+        hot.select("n_bands", "band_idx", "band_key"),
+        ["n_bands", "band_idx", "band_key"],
+        "left_anti",
+    )
     cands = (
-        bands.alias("x")
+        cold.alias("x")
         .join(
-            bands.alias("y"),
+            cold.alias("y"),
             (F.col("x.n_bands") == F.col("y.n_bands"))
             & (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_key") == F.col("y.band_key"))
@@ -1660,7 +1709,7 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     jac = _verify_jaccard(cands.select("doc_a", "doc_b").distinct(), shingles)
-    truth = _ngram_jaccard_of(shingles).select(
+    truth = _shared_jaccard3(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
@@ -1677,13 +1726,21 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_true_found"),
         )
     )
-    return scored.crossJoin(F.broadcast(n_true)).select(
-        F.col("n_bands").cast("bigint").alias("n_bands"),
-        (F.lit(_N_HASHES) / F.col("n_bands")).cast("bigint").alias("rows_per_band"),
-        "n_candidates",
-        "n_verified",
-        "n_true_found",
-        "n_true",
+    return (
+        scored.join(F.broadcast(hot_stats), "n_bands", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("n_bands").cast("bigint").alias("n_bands"),
+            (F.lit(_N_HASHES) / F.col("n_bands")).cast("bigint").alias("rows_per_band"),
+            "n_candidates",
+            F.coalesce(F.col("n_hot_buckets"), F.lit(0)).cast("bigint")
+            .alias("n_hot_buckets"),
+            F.coalesce(F.col("n_hot_pairs"), F.lit(0)).cast("bigint")
+            .alias("n_hot_pairs"),
+            "n_verified",
+            "n_true_found",
+            "n_true",
+        )
     )
 
 
@@ -1705,9 +1762,29 @@ ORACLES["dd21_lsh_band_sensitivity"] = f"""
         WITH x AS (SELECT 1){_DUCK_JACCARD},
         {_DUCK_MINHASH_SIG},
         {_dd21_bands_sql()},
+        bsize AS (
+          SELECT n_bands, band_idx, band_key,
+                 CAST(COUNT(*) AS BIGINT) AS bsz
+          FROM bands21 GROUP BY 1, 2, 3
+        ),
+        hot AS (SELECT * FROM bsize WHERE bsz > {_DD21_BUCKET_CAP}),
+        hotstats AS (
+          SELECT n_bands,
+                 CAST(COUNT(*) AS BIGINT) AS n_hot_buckets,
+                 CAST(FLOOR(SUM(bsz * (bsz - 1)) / CAST(2 AS DOUBLE))
+                      AS BIGINT) AS n_hot_pairs
+          FROM hot GROUP BY n_bands
+        ),
+        cold AS (
+          SELECT b.* FROM bands21 b
+          LEFT JOIN hot h
+            ON b.n_bands = h.n_bands AND b.band_idx = h.band_idx
+           AND b.band_key = h.band_key
+          WHERE h.band_key IS NULL
+        ),
         cands AS (
           SELECT DISTINCT x.n_bands, x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM bands21 x JOIN bands21 y
+          FROM cold x JOIN cold y
             ON x.n_bands = y.n_bands AND x.band_idx = y.band_idx
            AND x.band_key = y.band_key AND x.doc_id < y.doc_id
         ),
@@ -1731,6 +1808,10 @@ ORACLES["dd21_lsh_band_sensitivity"] = f"""
         SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
                CAST({_N_HASHES} / c.n_bands AS BIGINT) AS rows_per_band,
                CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(MAX(h.n_hot_buckets), 0) AS BIGINT)
+                 AS n_hot_buckets,
+               CAST(COALESCE(MAX(h.n_hot_pairs), 0) AS BIGINT)
+                 AS n_hot_pairs,
                CAST(SUM(CASE WHEN j.jaccard >= {_JACCARD_THRESHOLD}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
                CAST(SUM(CASE WHEN t.doc_a IS NOT NULL
@@ -1739,6 +1820,7 @@ ORACLES["dd21_lsh_band_sensitivity"] = f"""
         FROM cands c
         LEFT JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        LEFT JOIN hotstats h ON h.n_bands = c.n_bands
         CROSS JOIN tot
         GROUP BY c.n_bands, tot.n_true"""
 

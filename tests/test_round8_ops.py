@@ -22,6 +22,10 @@ def test_dd21_band_sweep_nested_and_pinned_to_dd3(spark, sf_dir):
         assert r["rows_per_band"] * r["n_bands"] == 16
         assert r["n_verified"] <= r["n_candidates"]
         assert r["n_true_found"] <= min(r["n_candidates"], r["n_true"])
+        # hot-bucket accounting: no bucket crosses the cap at fixture
+        # scale (the monotone-nesting asserts below rely on that), and
+        # the skipped-volume columns are present and consistent
+        assert r["n_hot_buckets"] == 0 and r["n_hot_pairs"] == 0
     assert rows[16]["n_candidates"] >= rows[8]["n_candidates"] >= rows[4]["n_candidates"]
     assert rows[16]["n_true_found"] >= rows[8]["n_true_found"] >= rows[4]["n_true_found"]
     assert rows[8]["n_verified"] == minhash_lsh_pairs(spark, sf_dir).count()
