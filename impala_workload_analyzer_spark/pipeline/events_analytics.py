@@ -2187,3 +2187,134 @@ def _snk6_oracle() -> str:
 
 ORACLES["snk6_compaction_export"] = _snk6_oracle()
 SPARK_QUERIES["snk6_compaction_export"] = compaction_export
+
+
+_EV29_BINS = 10
+
+
+def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev29 — WEEKLY VALUE-DISTRIBUTION DRIFT: the monitoring table a
+    training-data pipeline alarms on — per calendar week (ev9's Monday
+    grain), the total-variation distance in exact ppm between that
+    week's event-value distribution and the FIRST week's, over 10
+    equal-width value bins spanning the global range. TV distance
+    (half the L1 gap between the binned shares) is the integer-exact
+    stand-in for PSI/KL drift scores: same alarm ordering, no
+    logarithms, so both engines agree to the bit. Also published: the
+    worst-drifting bin and its gap — where in the value range the
+    distribution moved.
+
+    Exactness: bin shares are integer floor-division ppm; the drift
+    sum is BIGINT; the only float is the single bin-assignment
+    expression, one identical arithmetic tree in both engines (no
+    accumulation). The baseline week's own row is exactly zero drift.
+
+    Scale: one map-side-combined shuffle to (week, bin) counts — the
+    broadcast global min/max attaches bin ids before any shuffle —
+    then everything is bounded by weeks x 10: zero-fill grid, baseline
+    join, and the final per-week rollup are all constant-width."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week"),
+        F.col("value").cast("double").alias("v"),
+    )
+    bounds = ev.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"CAST(LEAST({_EV29_BINS - 1}, GREATEST(0,"
+                f" FLOOR((v - vmin) * {_EV29_BINS} / (vmax - vmin)))) AS BIGINT)"
+            ),
+        )
+        .groupBy("week", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        # weeks x bins rows feed four consumers (grid, totals, baseline,
+        # drift); checkpoint so the data-sized scan+shuffle runs ONCE
+        # (the dd8 edge-frame pattern)
+        .localCheckpoint(eager=True)
+    )
+    grid = (
+        counts.select("week").distinct()
+        .select("week", F.explode(
+            F.sequence(F.lit(0), F.lit(_EV29_BINS - 1))
+        ).alias("bin0"))
+        .select("week", F.col("bin0").cast("bigint").alias("bin"))
+    )
+    full = grid.join(counts, ["week", "bin"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    )
+    totals = full.groupBy("week").agg(F.sum("n").cast("bigint").alias("wn"))
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    obs = full.join(F.broadcast(totals), "week").withColumn(
+        "ppm", F.expr(IDIV("n * 1000000", "wn"))
+    )
+    w0 = totals.agg(F.min("week").alias("w0"))
+    base = (
+        obs.crossJoin(F.broadcast(w0))
+        .filter(F.col("week") == F.col("w0"))
+        .select("bin", F.col("ppm").alias("base_ppm"))
+    )
+    drift = obs.join(F.broadcast(base), "bin").withColumn(
+        "d_ppm", F.abs(F.col("ppm") - F.col("base_ppm"))
+    )
+    # the argmax tie-break (drift desc, bin asc) packed into one BIGINT
+    # key — bin < 16, so d_ppm*16 - bin orders exactly that way and
+    # stays portable (DuckDB's max_by takes no struct keys)
+    worst_key = F.col("d_ppm") * 16 - F.col("bin")
+    return drift.groupBy("week").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.expr("CAST(FLOOR(SUM(d_ppm) / CAST(2 AS DOUBLE)) AS BIGINT)").alias("tv_ppm"),
+        F.max("d_ppm").cast("bigint").alias("max_bin_drift_ppm"),
+        F.max_by(F.col("bin"), worst_key).cast("bigint").alias("top_drift_bin"),
+    )
+
+
+def _ev29_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    b = _EV29_BINS
+    return f"""
+        WITH ev AS (
+          SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week,
+                 CAST(value AS DOUBLE) AS v
+          FROM events),
+        bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM ev),
+        counts AS (
+          SELECT week,
+                 CAST(LEAST({b - 1}, GREATEST(0,
+                      FLOOR((v - vmin) * {b} / (vmax - vmin)))) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev CROSS JOIN bounds
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT w.week, CAST(b.bin AS BIGINT) AS bin
+          FROM (SELECT DISTINCT week FROM counts) w
+          CROSS JOIN (SELECT unnest(range(0, {b})) AS bin) b),
+        filled AS (
+          SELECT g.week, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM grid g LEFT JOIN counts c
+            ON g.week = c.week AND g.bin = c.bin),
+        totals AS (
+          SELECT week, CAST(SUM(n) AS BIGINT) AS wn FROM filled GROUP BY week),
+        obs AS (
+          SELECT f.week, f.bin, f.n, {IDIV('f.n * 1000000', 't.wn')} AS ppm
+          FROM filled f JOIN totals t ON f.week = t.week),
+        base AS (
+          SELECT bin, ppm AS base_ppm FROM obs
+          WHERE week = (SELECT MIN(week) FROM totals)),
+        drift AS (
+          SELECT o.week, o.bin, o.n,
+                 ABS(o.ppm - b.base_ppm) AS d_ppm
+          FROM obs o JOIN base b ON o.bin = b.bin)
+        SELECT week,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(FLOOR(SUM(d_ppm) / CAST(2 AS DOUBLE)) AS BIGINT) AS tv_ppm,
+               CAST(MAX(d_ppm) AS BIGINT) AS max_bin_drift_ppm,
+               CAST(MAX_BY(bin, d_ppm * 16 - bin) AS BIGINT) AS top_drift_bin
+        FROM drift GROUP BY week"""
+
+
+ORACLES["ev29_weekly_value_drift"] = _ev29_oracle()
+SPARK_QUERIES["ev29_weekly_value_drift"] = weekly_value_drift

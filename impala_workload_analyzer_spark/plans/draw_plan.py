@@ -607,3 +607,91 @@ ORACLES["pt7_plan_motifs"] = with_corpus("""
         GROUP BY 1, 2, 3""")
 
 SPARK_QUERIES["pt7_plan_motifs"] = plan_motifs
+
+
+def plan_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt8 — per-query PLAN SHAPE PROFILE: the structural complexity
+    metrics of each plan tree — node count, maximum depth, edge count,
+    maximum fanout (widest operator), leaf count. pt4 fingerprints WHICH
+    plans repeat and pt7 which local shapes repeat; pt8 measures HOW BIG
+    and HOW BUSHY each plan is — the size/shape axis the reference's
+    ASCII renderer (draw_plan.py:6-37) makes a human eyeball, published
+    as numbers a workload monitor can threshold (a depth-40 or
+    fanout-12 plan is a review flag regardless of runtime).
+
+    Scale: rides pt2's mapInPandas tree walk (depth, one co-location
+    shuffle) and pt1's edge set (equi-joins on plan-local keys); both
+    rollups collapse to one row per query before the final query-keyed
+    join — never wider than the query count."""
+    paths = plan_paths(spark, sf_dir).groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.max("depth").cast("bigint").alias("depth_max"),
+    )
+    edges = plan_edges(spark, sf_dir)
+    fan = (
+        edges.groupBy("query_id", "parent_op")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_edges"),
+            F.max("c").cast("bigint").alias("max_fanout"),
+            F.count("*").cast("bigint").alias("n_parents"),
+        )
+    )
+    return paths.join(fan, "query_id", "left").select(
+        "query_id", "n_nodes", "depth_max",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(F.col("max_fanout"), F.lit(0)).cast("bigint").alias("max_fanout"),
+        (F.col("n_nodes")
+         - F.coalesce(F.col("n_parents"), F.lit(0))).cast("bigint").alias("n_leaves"),
+    )
+
+
+ORACLES["pt8_plan_shape_profile"] = with_corpus("""
+        , edges AS (
+          SELECT o.query_id, p.id AS parent_op, o.id
+          FROM iwa_operators o
+          JOIN iwa_operators p
+            ON p.query_id = o.query_id AND p.id = o.parent_id
+           AND p.fragment_id = o.fragment_id
+          UNION ALL
+          SELECT f.query_id, f.exchange_id AS parent_op, o.id
+          FROM iwa_fragments f
+          JOIN iwa_operators o
+            ON o.query_id = f.query_id AND o.fragment_id = f.id
+           AND o.parent_id IS NULL
+          WHERE f.exchange_id IS NOT NULL
+        ),
+        walk AS (
+          WITH RECURSIVE r AS (
+            SELECT o.query_id, o.id, 0 AS depth
+            FROM iwa_operators o
+            JOIN iwa_fragments f
+              ON f.query_id = o.query_id AND f.id = o.fragment_id
+             AND f.exchange_id IS NULL
+            WHERE o.parent_id IS NULL
+            UNION ALL
+            SELECT e.query_id, e.id, r.depth + 1
+            FROM r JOIN edges e
+              ON e.query_id = r.query_id AND e.parent_op = r.id
+          )
+          SELECT * FROM r
+        ),
+        prof AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(MAX(depth) AS BIGINT) AS depth_max
+          FROM walk GROUP BY query_id),
+        fan AS (
+          SELECT query_id, CAST(SUM(c) AS BIGINT) AS n_edges,
+                 CAST(MAX(c) AS BIGINT) AS max_fanout,
+                 CAST(COUNT(*) AS BIGINT) AS n_parents
+          FROM (SELECT query_id, parent_op, CAST(COUNT(*) AS BIGINT) AS c
+                FROM edges GROUP BY 1, 2) t
+          GROUP BY query_id)
+        SELECT p.query_id, p.n_nodes, p.depth_max,
+               CAST(COALESCE(f.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(COALESCE(f.max_fanout, 0) AS BIGINT) AS max_fanout,
+               CAST(p.n_nodes - COALESCE(f.n_parents, 0) AS BIGINT) AS n_leaves
+        FROM prof p LEFT JOIN fan f ON p.query_id = f.query_id""")
+
+SPARK_QUERIES["pt8_plan_shape_profile"] = plan_shape_profile

@@ -2949,3 +2949,41 @@ def test_compaction_export_conserves_rows_and_time_locality(spark, sf_dir):
         for a, b in zip(files, files[1:]):
             assert a["file_id"] < b["file_id"]
             assert a["hour_hi"] < b["hour_lo"]
+
+
+def test_plan_shape_profile_is_tree_consistent(spark, sf_dir):
+    """pt8: every profiled plan is a single rooted tree (edges = nodes
+    minus one), leaves and fanout are bounded by the node/edge counts,
+    and depth is consistent with node count (a depth-d chain needs d+1
+    nodes)."""
+    from impala_workload_analyzer_spark.plans.draw_plan import plan_shape_profile
+
+    rows = plan_shape_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_edges"] == r["n_nodes"] - 1
+        assert 1 <= r["n_leaves"] <= r["n_nodes"]
+        assert 0 < r["max_fanout"] <= r["n_edges"]
+        assert r["depth_max"] + 1 <= r["n_nodes"]
+
+
+def test_weekly_value_drift_baseline_is_zero(spark, sf_dir):
+    """ev29: the baseline (first) week drifts exactly zero against
+    itself, every TV distance is a valid ppm (0..1e6), event counts
+    conserve, and the worst bin sits inside the bin range with its gap
+    bounding the mean."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV29_BINS,
+        weekly_value_drift,
+    )
+
+    rows = sorted(weekly_value_drift(spark, sf_dir).collect(),
+                  key=lambda r: r["week"])
+    assert rows[0]["tv_ppm"] == 0 and rows[0]["max_bin_drift_ppm"] == 0
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["tv_ppm"] <= 1_000_000
+        assert r["max_bin_drift_ppm"] >= r["tv_ppm"] // _EV29_BINS
+        assert 0 <= r["top_drift_bin"] < _EV29_BINS

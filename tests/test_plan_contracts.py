@@ -566,3 +566,21 @@ def test_snk6_broadcasts_the_chunk_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "snk6_compaction_export")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 1, plan
+
+
+def test_ev29_bins_before_the_shuffle(spark, sf_dir):
+    # the global min/max attach via broadcast so bin ids exist map-side,
+    # and the checkpointed (week, bin) count frame feeds all four
+    # consumers — the events table is never rescanned downstream
+    plan = _plan(spark, sf_dir, "ev29_weekly_value_drift")
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan
+    # remaining week-keyed exchanges move only weeks x bins rows
+    assert plan.count("hashpartitioning(week") <= 6, plan
+
+
+def test_pt8_rides_the_tree_walk_and_edge_joins(spark, sf_dir):
+    # shape metrics must come from pt2's co-located walk and pt1's
+    # equi-joined edges — no cartesian anywhere in the profile
+    plan = _plan(spark, sf_dir, "pt8_plan_shape_profile")
+    assert "CartesianProduct" not in plan
