@@ -76,6 +76,13 @@ HEADLINERS = (
     "dd17_dedup_comparison",
     "tx25_shard_manifest",
     "st15_streaming_shard_manifest",
+    # round-8/9 families: the band-shape sweep (shares the persisted
+    # exact-jaccard truth frame with dd17 in-session — the amortized
+    # production shape; its solo cost is the truth build + one sweep),
+    # the split-leakage audit, and the small-files compaction sink
+    "dd21_lsh_band_sensitivity",
+    "tx31_split_leakage_audit",
+    "snk6_compaction_export",
 )
 
 
