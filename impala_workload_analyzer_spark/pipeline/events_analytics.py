@@ -2234,6 +2234,14 @@ def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the dd8 edge-frame pattern)
         .localCheckpoint(eager=True)
     )
+    return _drift_from_counts(counts)
+
+
+def _drift_from_counts(counts: DataFrame) -> DataFrame:
+    """ev29's rollup from a materialized (week, bin, n) count frame —
+    shared with st18, whose counts arrive from the streaming state
+    store instead of the batch scan. Everything here is bounded by
+    weeks x bins."""
     grid = (
         counts.select("week").distinct()
         .select("week", F.explode(

@@ -52,13 +52,19 @@ _PRIORITY = (
     "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
     "st7_streaming_interval_join", "q1_sql_features", "w1_concurrency_sweep",
     # round-9 additions: land past the r9 window (like the r7 batch did),
-    # locally exact-gated at both scales; they lead the r10 rotation
+    # locally exact-gated at both scales; they lead the r10 rotation.
+    # ALSO due in r10 as modified: dd21 (hot-bucket cap adds the
+    # n_hot_buckets/n_hot_pairs columns — schema change) and dd17 (its
+    # jaccard3 tier now reads the shared persisted truth frame; values
+    # unchanged, plan changed), both re-gated exact-bit at both scales
+    # this round.
     "dd24_cross_source_dup_matrix", "sim24_label_confusion",
     "ev27_session_survival", "st16_streaming_session_survival",
     "tx31_split_leakage_audit", "ev28_return_gaps",
     "sim25_centroid_margin", "a34_operator_lift",
     "st17_streaming_return_gaps", "snk6_compaction_export",
     "pt8_plan_shape_profile", "ev29_weekly_value_drift",
+    "st18_streaming_value_drift",
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",

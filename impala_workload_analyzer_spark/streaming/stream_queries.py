@@ -1316,3 +1316,60 @@ ORACLES["st17_streaming_return_gaps"] = f"""
         GROUP BY t.thr_hours"""
 
 SPARK_QUERIES["st17_streaming_return_gaps"] = streaming_return_gaps
+
+
+def streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st18 — ev29's weekly value-drift monitor with the (week, bin)
+    histogram maintained as STREAMING state: each micro-batch folds its
+    events into at most weeks x 10 count cells (complete mode emits the
+    finished table at end-of-stream, identical to the batch build —
+    that equality is the oracle, the st8/CMS witness pattern). This is
+    how a drift alarm actually runs against a live firehose: the state
+    store holds the bounded histogram, never the events; the TV-ppm
+    rollup is ev29's own arithmetic over the emitted cells. Bin edges
+    come from a batch pass over the reference corpus (edges are
+    baseline METADATA — a production monitor pins them when the
+    baseline is frozen, precisely so live data cannot move its own
+    goalposts), attached to the stream as a stream-static broadcast
+    join before any state update."""
+    from ..io import load_table  # noqa: PLC0415
+    from ..pipeline.events_analytics import (  # noqa: PLC0415
+        _EV29_BINS,
+        _drift_from_counts,
+    )
+
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min(F.col("value").cast("double")).alias("vmin"),
+        F.max(F.col("value").cast("double")).alias("vmax"),
+    )
+    ev = _stream_events(spark, sf_dir).select(
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week"),
+        F.col("value").cast("double").alias("v"),
+    )
+    agg = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"CAST(LEAST({_EV29_BINS - 1}, GREATEST(0,"
+                f" FLOOR((v - vmin) * {_EV29_BINS} / (vmax - vmin)))) AS BIGINT)"
+            ),
+        )
+        .groupBy("week", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    _run_to_memory(agg, "st18_out", "complete")
+    counts = spark.table("st18_out").select(
+        F.col("week").cast("bigint").alias("week"),
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return _drift_from_counts(counts)
+
+
+# complete-mode drain of the finite source equals the batch build, so
+# st18's oracle IS ev29's.
+from ..pipeline.events_analytics import ORACLES as _EV_ORACLES  # noqa: E402
+
+ORACLES["st18_streaming_value_drift"] = _EV_ORACLES["ev29_weekly_value_drift"]
+SPARK_QUERIES["st18_streaming_value_drift"] = streaming_value_drift

@@ -2987,3 +2987,26 @@ def test_weekly_value_drift_baseline_is_zero(spark, sf_dir):
         assert 0 <= r["tv_ppm"] <= 1_000_000
         assert r["max_bin_drift_ppm"] >= r["tv_ppm"] // _EV29_BINS
         assert 0 <= r["top_drift_bin"] < _EV29_BINS
+
+
+def test_streaming_value_drift_equals_batch(spark, sf_dir):
+    """st18: the complete-mode streaming histogram drained over the
+    finite source must reproduce ev29's batch drift table row for row —
+    the sketch-equals-batch witness (st8's CMS pattern) applied to the
+    drift monitor."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        weekly_value_drift,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_value_drift,
+    )
+
+    batch = sorted(
+        (r["week"], r["n_events"], r["tv_ppm"], r["max_bin_drift_ppm"],
+         r["top_drift_bin"])
+        for r in weekly_value_drift(spark, sf_dir).collect())
+    live = sorted(
+        (r["week"], r["n_events"], r["tv_ppm"], r["max_bin_drift_ppm"],
+         r["top_drift_bin"])
+        for r in streaming_value_drift(spark, sf_dir).collect())
+    assert live == batch
