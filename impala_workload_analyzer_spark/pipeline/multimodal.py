@@ -525,3 +525,125 @@ SPARK_QUERIES = {
     "mm5_modality_mixture": modality_mixture,
     "mm6_frame_fp_neardup": frame_fp_neardup,
 }
+
+
+_MM7_BUDGET = 500  # frames per source per training epoch
+
+
+def frame_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm7 — FRAME-BUDGET APPORTIONMENT: a VLM training run affords
+    ``_MM7_BUDGET`` decoded frames per source per epoch; mm7 splits each
+    source's budget across its videos proportional to their frame
+    counts using Hamilton's largest-remainder method — quota =
+    floor(B * f_i / F_total), then the B - sum(quota) leftover frames
+    go to the largest fractional remainders (ties to the lower
+    media_id) — and caps every allocation at the video's actual frame
+    count. mm2 samples frames uniformly per video; mm7 decides HOW MANY
+    each video deserves under a hard decode budget — the allocator that
+    runs before the sampler. Published per source: media/frame totals,
+    the allocated sum, how many videos hit their cap, the min/max
+    grant, and the realized budget fill in exact ppm (fill < 1e6 means
+    the caps bound — the source has fewer frames than budget).
+
+    Exactness: quotas, remainders (integer modulo), ranks, and caps are
+    all BIGINT arithmetic; Hamilton extras = the sum of fractional
+    parts < n_media, so the +1 rank test is always well-defined.
+
+    Scale: one shuffle keyed on source (the groupBy and the
+    remainder-rank window share it); per-source totals broadcast back;
+    output is one row per source. The apportionment never materializes
+    anything wider than the media table."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (1 + F.col("n_chars") % 30).cast("bigint").alias("n_frames"),
+    )
+    tot = docs.groupBy("source").agg(
+        F.sum("n_frames").cast("bigint").alias("f_tot"),
+        F.count("*").cast("bigint").alias("n_media"),
+    )
+    j = (
+        docs.join(F.broadcast(tot), "source")
+        .withColumn("num", F.lit(_MM7_BUDGET) * F.col("n_frames"))
+        .withColumn("q0", F.expr(IDIV("num", "f_tot")))
+        .withColumn("rem", F.col("num") % F.col("f_tot"))
+    )
+    floors = j.groupBy("source").agg(F.sum("q0").cast("bigint").alias("q0_sum"))
+    w = Window.partitionBy("source").orderBy(F.desc("rem"), F.asc("doc_id"))
+    alloc = (
+        j.join(F.broadcast(floors), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "alloc_raw",
+            F.col("q0")
+            + F.when(F.col("rk") <= F.lit(_MM7_BUDGET) - F.col("q0_sum"), 1)
+            .otherwise(0),
+        )
+        .withColumn("alloc", F.least(F.col("alloc_raw"), F.col("n_frames")))
+        .withColumn(
+            "capped", (F.col("alloc_raw") > F.col("n_frames")).cast("bigint")
+        )
+    )
+    return alloc.groupBy("source").agg(
+        F.max("n_media").alias("n_media"),
+        F.max("f_tot").alias("total_frames"),
+        F.lit(_MM7_BUDGET).cast("bigint").alias("budget"),
+        F.sum("alloc").cast("bigint").alias("n_alloc"),
+        F.sum("capped").cast("bigint").alias("n_capped_media"),
+        F.max("alloc").cast("bigint").alias("max_alloc"),
+        F.min("alloc").cast("bigint").alias("min_alloc"),
+    ).withColumn(
+        "fill_ppm", F.expr(IDIV("n_alloc * 1000000", _MM7_BUDGET))
+    )
+
+
+def _mm7_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    b = _MM7_BUDGET
+    return f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(1 + (n_chars % 30) AS BIGINT) AS n_frames
+          FROM documents),
+        tot AS (
+          SELECT source, CAST(SUM(n_frames) AS BIGINT) AS f_tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_media
+          FROM d GROUP BY source),
+        j AS (
+          SELECT d.*, t.f_tot, t.n_media,
+                 CAST({b} * d.n_frames AS BIGINT) AS num,
+                 {IDIV(f'{b} * d.n_frames', 't.f_tot')} AS q0,
+                 CAST(({b} * d.n_frames) % t.f_tot AS BIGINT) AS rem
+          FROM d JOIN tot t ON d.source = t.source),
+        floors AS (
+          SELECT source, CAST(SUM(q0) AS BIGINT) AS q0_sum
+          FROM j GROUP BY source),
+        alloc AS (
+          SELECT j.source, j.n_media, j.f_tot, j.n_frames,
+                 CASE WHEN ROW_NUMBER() OVER (PARTITION BY j.source
+                                              ORDER BY j.rem DESC,
+                                                       j.doc_id ASC)
+                        <= {b} - f.q0_sum
+                      THEN j.q0 + 1 ELSE j.q0 END AS alloc_raw
+          FROM j JOIN floors f ON j.source = f.source),
+        final AS (
+          SELECT source, n_media, f_tot,
+                 LEAST(alloc_raw, n_frames) AS alloc,
+                 CASE WHEN alloc_raw > n_frames THEN 1 ELSE 0 END AS capped
+          FROM alloc)
+        SELECT source,
+               MAX(n_media) AS n_media,
+               MAX(f_tot) AS total_frames,
+               CAST({b} AS BIGINT) AS budget,
+               CAST(SUM(alloc) AS BIGINT) AS n_alloc,
+               CAST(SUM(capped) AS BIGINT) AS n_capped_media,
+               CAST(MAX(alloc) AS BIGINT) AS max_alloc,
+               CAST(MIN(alloc) AS BIGINT) AS min_alloc,
+               {IDIV('SUM(alloc) * 1000000', b)} AS fill_ppm
+        FROM final GROUP BY source"""
+
+
+ORACLES["mm7_frame_budget"] = _mm7_oracle()
+SPARK_QUERIES["mm7_frame_budget"] = frame_budget

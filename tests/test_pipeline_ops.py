@@ -3010,3 +3010,26 @@ def test_streaming_value_drift_equals_batch(spark, sf_dir):
          r["top_drift_bin"])
         for r in streaming_value_drift(spark, sf_dir).collect())
     assert live == batch
+
+
+def test_frame_budget_is_exact_hamilton_apportionment(spark, sf_dir):
+    """mm7: every source's allocation exhausts the budget exactly unless
+    its caps bind (then fill < budget and at least one video is capped);
+    grants are bounded by per-video frame counts; the ppm fill is the
+    exact floor of the published counts."""
+    from impala_workload_analyzer_spark.pipeline.multimodal import (
+        _MM7_BUDGET,
+        frame_budget,
+    )
+
+    rows = frame_budget(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["budget"] == _MM7_BUDGET
+        assert 0 < r["min_alloc"] <= r["max_alloc"] <= 30
+        assert r["n_alloc"] <= min(r["budget"], r["total_frames"])
+        if r["n_alloc"] < min(r["budget"], r["total_frames"]):
+            assert r["n_capped_media"] > 0
+        if r["total_frames"] >= r["budget"] and r["n_capped_media"] == 0:
+            assert r["n_alloc"] == r["budget"]
+        assert r["fill_ppm"] == r["n_alloc"] * 1_000_000 // r["budget"]
