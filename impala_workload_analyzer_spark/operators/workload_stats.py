@@ -1814,3 +1814,63 @@ ORACLES["a34_operator_lift"] = with_corpus(f"""
         JOIN marg mb ON p.name_b = mb.name
         CROSS JOIN tot t""")
 SPARK_QUERIES["a34_operator_lift"] = operator_lift
+
+
+def scan_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a35 — SCAN SELECTIVITY AUDIT: per scanned table, how much of it
+    queries actually read. Each SCAN HDFS node's row count is ratioed
+    (exact ppm) against the table's largest observed scan — the
+    unfiltered-scan proxy, since the widest read bounds the table's
+    live cardinality from below — giving the selectivity distribution
+    the predicate-pushdown advisory reads: a table whose minimum
+    selectivity sits near 1e6 is NEVER filtered (partitioning or
+    clustering it buys nothing; a31's co-location advice is where its
+    wins are), while a low-min high-count table is the next bucketing
+    candidate. Extends a4's table census (profile_analyzer.py:305 reads
+    the per-query table list) from "which tables" to "how selectively".
+
+    Exactness: row counts are corpus BIGINTs (< 2^17, far inside the
+    IDIV envelope); every ratio is an integer floor-division ppm.
+
+    Scale: one filter off the operators scan, one bounded groupBy for
+    the per-table maxima (broadcast back — the table vocabulary is
+    tiny), one table-keyed rollup. Output is one row per table."""
+    ops = corpus_operators(spark, sf_dir)
+    scans = ops.filter(F.col("name") == "SCAN HDFS").select(
+        "table_name", F.col("num_rows").cast("bigint").alias("nr")
+    )
+    mx = scans.groupBy("table_name").agg(
+        F.max("nr").cast("bigint").alias("max_rows")
+    )
+    sel = scans.join(F.broadcast(mx), "table_name").withColumn(
+        "sel_ppm", F.expr(IDIV("nr * 1000000", "max_rows"))
+    )
+    return sel.groupBy("table_name").agg(
+        F.count("*").cast("bigint").alias("n_scans"),
+        F.max("max_rows").alias("max_rows"),
+        F.min("sel_ppm").alias("min_sel_ppm"),
+        F.expr(IDIV("SUM(sel_ppm)", "COUNT(*)")).alias("mean_sel_ppm"),
+        F.sum((F.col("sel_ppm") == 1_000_000).cast("bigint")).alias("n_full_scans"),
+    )
+
+
+ORACLES["a35_scan_selectivity"] = with_corpus(f"""
+        , scans AS (
+          SELECT table_name, CAST(num_rows AS BIGINT) AS nr
+          FROM iwa_operators WHERE name = 'SCAN HDFS'),
+        mx AS (
+          SELECT table_name, CAST(MAX(nr) AS BIGINT) AS max_rows
+          FROM scans GROUP BY table_name),
+        sel AS (
+          SELECT s.table_name, s.nr, m.max_rows,
+                 {IDIV('s.nr * 1000000', 'm.max_rows')} AS sel_ppm
+          FROM scans s JOIN mx m ON s.table_name = m.table_name)
+        SELECT table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_scans,
+               CAST(MAX(max_rows) AS BIGINT) AS max_rows,
+               CAST(MIN(sel_ppm) AS BIGINT) AS min_sel_ppm,
+               {IDIV('SUM(sel_ppm)', 'COUNT(*)')} AS mean_sel_ppm,
+               CAST(SUM(CASE WHEN sel_ppm = 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full_scans
+        FROM sel GROUP BY table_name""")
+SPARK_QUERIES["a35_scan_selectivity"] = scan_selectivity

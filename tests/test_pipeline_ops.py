@@ -3033,3 +3033,27 @@ def test_frame_budget_is_exact_hamilton_apportionment(spark, sf_dir):
         if r["total_frames"] >= r["budget"] and r["n_capped_media"] == 0:
             assert r["n_alloc"] == r["budget"]
         assert r["fill_ppm"] == r["n_alloc"] * 1_000_000 // r["budget"]
+
+
+def test_scan_selectivity_is_anchored_to_each_tables_widest_scan(spark, sf_dir):
+    """a35: every table's widest scan reads ppm exactly 1e6 (so
+    n_full_scans >= 1 and max selectivity anchors the ratio), bounds
+    hold (min <= mean <= 1e6), and the table set equals a4's census."""
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        scan_selectivity,
+    )
+    from pyspark.sql import functions as F
+
+    rows = scan_selectivity(spark, sf_dir).collect()
+    tables = {
+        r["table_name"]
+        for r in corpus_operators(spark, sf_dir)
+        .filter(F.col("name") == "SCAN HDFS")
+        .select("table_name").distinct().collect()
+    }
+    assert {r["table_name"] for r in rows} == tables
+    for r in rows:
+        assert r["n_full_scans"] >= 1
+        assert 0 < r["min_sel_ppm"] <= r["mean_sel_ppm"] <= 1_000_000
+        assert r["n_scans"] >= r["n_full_scans"]
