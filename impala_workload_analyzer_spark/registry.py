@@ -65,7 +65,7 @@ _PRIORITY = (
     "st17_streaming_return_gaps", "snk6_compaction_export",
     "pt8_plan_shape_profile", "ev29_weekly_value_drift",
     "st18_streaming_value_drift", "mm7_frame_budget",
-    "a35_scan_selectivity",
+    "a35_scan_selectivity", "snk7_streaming_exactly_once",
     "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",
     "sim19_hard_negatives", "tx23_training_manifest",

@@ -1373,3 +1373,73 @@ from ..pipeline.events_analytics import ORACLES as _EV_ORACLES  # noqa: E402
 
 ORACLES["st18_streaming_value_drift"] = _EV_ORACLES["ev29_weekly_value_drift"]
 SPARK_QUERIES["st18_streaming_value_drift"] = streaming_value_drift
+
+
+_SNK7_CKSUM_MOD = 1_000_000_007
+
+
+def streaming_exactly_once_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk7 — EXACTLY-ONCE STREAMING EXPORT via ``foreachBatch``: the
+    one delivery pattern the other sinks don't exercise. Each
+    micro-batch lands as parquet under its own ``batch_id=N``
+    directory with overwrite mode — so a REPLAYED batch (failure
+    recovery re-delivers the same batch_id with the same data)
+    overwrites its own directory instead of duplicating rows, which is
+    precisely the idempotent-writer contract Structured Streaming's
+    at-least-once foreachBatch delivery needs to become exactly-once.
+    After the ``availableNow`` drain, the export is read BACK and
+    re-counted/re-checksummed per event_type — the published row is
+    readback truth, and the oracle pins it to the batch table (so a
+    duplicated or dropped batch can never go green). The behavior test
+    replays the whole export and asserts byte-identical results.
+
+    Scale: the batch writer is one partitioned append per micro-batch
+    (no shuffle beyond the source read); the readback is one
+    aggregation. The export root is cleared per run so the readback
+    reflects exactly this drain — at 100 TB the same role is played by
+    batch-id-keyed object-store prefixes and a manifest commit."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    base = os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out = os.path.join(base, "stream_batches")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    chk = tempfile.mkdtemp(prefix="snk7_chk_", dir=base)
+
+    ev = _stream_events(spark, sf_dir).select("event_id", "event_type")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        # idempotent by construction: a replay of batch_id rewrites
+        # exactly its own directory
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    back = spark.read.option("basePath", out).parquet(out)
+    return back.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("event_id") % _SNK7_CKSUM_MOD).cast("bigint").alias("checksum"),
+    )
+
+
+ORACLES["snk7_streaming_exactly_once"] = f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id % {_SNK7_CKSUM_MOD}) AS BIGINT) AS checksum
+        FROM events GROUP BY event_type"""
+SPARK_QUERIES["snk7_streaming_exactly_once"] = streaming_exactly_once_export

@@ -3057,3 +3057,18 @@ def test_scan_selectivity_is_anchored_to_each_tables_widest_scan(spark, sf_dir):
         assert r["n_full_scans"] >= 1
         assert 0 < r["min_sel_ppm"] <= r["mean_sel_ppm"] <= 1_000_000
         assert r["n_scans"] >= r["n_full_scans"]
+
+
+def test_streaming_exactly_once_export_is_replay_idempotent(spark, sf_dir):
+    """snk7: a full replay of the export (the failure-recovery path —
+    same batches, same data, rewritten) produces byte-identical
+    readback rows, and the export loses nothing vs the batch table."""
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_exactly_once_export,
+    )
+
+    first = sorted(map(tuple, streaming_exactly_once_export(spark, sf_dir).collect()))
+    replay = sorted(map(tuple, streaming_exactly_once_export(spark, sf_dir).collect()))
+    assert first == replay
+    assert sum(r[1] for r in first) == load_table(spark, sf_dir, "events").count()
