@@ -280,6 +280,22 @@ def _shared_jaccard3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd8's near-dup component labels persisted once per (session,
+    corpus) — one tiny (doc_id, component_id) row per document, built by
+    the family's second most expensive pipeline (dd3's banded LSH +
+    exact verify + the label-propagation fixpoint). Six downstream
+    analytics consume the labels (dd13/dd18/dd19/dd20/dd22/tx23);
+    before this frame each recomputed the whole pipeline per query.
+    dd8 itself keeps the live, contract-pinned computation."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "cc_labels",
+        lambda: neardup_components(spark, sf_dir),
+    )
+
+
 _CC_MAX_ITERS = 25
 
 
@@ -602,7 +618,7 @@ def component_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE ranking so cross-engine ties cannot diverge."""
     from .text import quality_score  # noqa: PLC0415
 
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     q = quality_score(spark, sf_dir).select(
         "doc_id", F.round("type_token_ratio", 9).alias("quality")
     )
@@ -809,7 +825,7 @@ def effective_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-per-component pass is needed); token counts fuse into the
     document scan and one source-keyed agg finishes — the expensive part
     is dd8 itself, reused as-is."""
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source",
         F.size(F.expr(_words(True))).cast("bigint").alias("n_tokens"),
@@ -852,7 +868,7 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized join back — the weight table is corpus-row-count but
     the size rollup shuffles only component-cardinality rows. Weight is
     1.0/size — an exact IEEE division both engines compute identically."""
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("bigint").alias("comp_size")
     )
@@ -884,7 +900,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: dd8's components reused as-is (the expensive part); the rest
     is one doc-keyed broadcast-sized join and a (split, source) agg."""
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("bigint").alias("comp_size")
     )
@@ -1569,7 +1585,7 @@ def component_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two keyed aggregations over doc-cardinality rows (component
     sizes, then the size histogram — bounded by max component size);
     the corpus total is a one-row broadcast."""
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("bigint").alias("comp_size")
     )
@@ -1849,7 +1865,7 @@ def dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
     from .text import quality_score  # noqa: PLC0415
 
-    comp = neardup_components(spark, sf_dir)
+    comp = _shared_components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("dup_count"))
     q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "keep")
     bucket = (
