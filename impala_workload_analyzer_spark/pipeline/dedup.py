@@ -280,6 +280,20 @@ def _shared_jaccard3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3's verified MinHash-LSH near-dup pair set persisted once per
+    (session, corpus) — one row per verified pair, built by the banded
+    signature join + exact verify. Consumed by dd17's minhash tier,
+    dd24's source matrix, and tx31's fuzzy leakage tier; dd3 itself
+    keeps the live, contract-pinned pipeline."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "minhash_pairs",
+        lambda: _minhash_pairs_of(_shared_shingles(spark, sf_dir)),
+    )
+
+
 def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd8's near-dup component labels persisted once per (session,
     corpus) — one tiny (doc_id, component_id) row per document, built by
@@ -764,7 +778,7 @@ def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = (
         ("exact", exact_pairs),
         ("jaccard3", _shared_jaccard3(spark, sf_dir)),
-        ("minhash", _minhash_pairs_of(sh)),
+        ("minhash", _shared_minhash_pairs(spark, sf_dir)),
         ("simhash", simhash_neardup_pairs(spark, sf_dir)),
     )
     pairs = None
@@ -1996,7 +2010,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|^2-bounded. At 100 TB the same plan rides the persisted
     shingle frame and a broadcast source dim."""
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = _minhash_pairs_of(_shingles_df(spark, sf_dir))
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     joined = (
         pairs.join(
             src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
@@ -2112,7 +2126,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("exact").alias("method"), "r.*")
     )
 
-    mh_pairs = _minhash_pairs_of(_shingles_df(spark, sf_dir)).select(
+    mh_pairs = _shared_minhash_pairs(spark, sf_dir).select(
         F.expr(_SPLIT_EXPR.format(h=_SPARK_H.format(x="CAST(doc_a AS STRING)")))
         .alias("sp_a"),
         F.expr(_SPLIT_EXPR.format(h=_SPARK_H.format(x="CAST(doc_b AS STRING)")))
