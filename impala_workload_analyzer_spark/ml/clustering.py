@@ -408,12 +408,16 @@ def kmeans_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(*dists).alias("d_min"),
         *[arr[i].alias(f"s{i}") for i in range(n_dim)],
     )
+    # Materialize the 10-row rollup eagerly (it is the only consumer of
+    # the full-width pred scan) so the cached feature frame can be
+    # unpersisted before returning the lazy result — ADVICE r9: an
+    # unpersist before the driver collects rebuilt the assembled frame.
     per_cluster = pred.groupBy("cluster").agg(
         F.count("*").alias("n_k"),
         F.min(F.col("d_own") <= F.col("d_min") + F.lit(1e-9))
         .alias("nearest_centroid_ok"),
         *[F.avg(f"s{i}").alias(f"m{i}") for i in range(n_dim)],
-    )
+    ).localCheckpoint(eager=True)
     centers_df = spark.createDataFrame(
         [(j, *centers[j]) for j in range(len(centers))],
         ["cluster", *[f"c{i}" for i in range(n_dim)]],

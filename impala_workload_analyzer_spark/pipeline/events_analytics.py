@@ -2191,6 +2191,17 @@ SPARK_QUERIES["snk6_compaction_export"] = compaction_export
 
 _EV29_BINS = 10
 
+# One identical bin-assignment tree for ev29's Spark path, st18's
+# streaming path, and the DuckDB oracle. The vmax = vmin branch guards
+# the degenerate all-equal-values range (ADVICE r9): without it the
+# expression goes through 0/0 = NaN and the result would depend on both
+# engines' NaN semantics in GREATEST/LEAST agreeing.
+_EV29_BIN_SQL = (
+    f"CAST(CASE WHEN vmax = vmin THEN 0 ELSE"
+    f" LEAST({_EV29_BINS - 1}, GREATEST(0,"
+    f" FLOOR((v - vmin) * {_EV29_BINS} / (vmax - vmin)))) END AS BIGINT)"
+)
+
 
 def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev29 — WEEKLY VALUE-DISTRIBUTION DRIFT: the monitoring table a
@@ -2220,13 +2231,7 @@ def weekly_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
     counts = (
         ev.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "bin",
-            F.expr(
-                f"CAST(LEAST({_EV29_BINS - 1}, GREATEST(0,"
-                f" FLOOR((v - vmin) * {_EV29_BINS} / (vmax - vmin)))) AS BIGINT)"
-            ),
-        )
+        .withColumn("bin", F.expr(_EV29_BIN_SQL))
         .groupBy("week", "bin")
         .agg(F.count("*").cast("bigint").alias("n"))
         # weeks x bins rows feed four consumers (grid, totals, baseline,
@@ -2282,7 +2287,6 @@ def _drift_from_counts(counts: DataFrame) -> DataFrame:
 def _ev29_oracle() -> str:
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
 
-    b = _EV29_BINS
     return f"""
         WITH ev AS (
           SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week,
@@ -2291,15 +2295,14 @@ def _ev29_oracle() -> str:
         bounds AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM ev),
         counts AS (
           SELECT week,
-                 CAST(LEAST({b - 1}, GREATEST(0,
-                      FLOOR((v - vmin) * {b} / (vmax - vmin)))) AS BIGINT) AS bin,
+                 {_EV29_BIN_SQL} AS bin,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM ev CROSS JOIN bounds
           GROUP BY 1, 2),
         grid AS (
           SELECT w.week, CAST(b.bin AS BIGINT) AS bin
           FROM (SELECT DISTINCT week FROM counts) w
-          CROSS JOIN (SELECT unnest(range(0, {b})) AS bin) b),
+          CROSS JOIN (SELECT unnest(range(0, {_EV29_BINS})) AS bin) b),
         filled AS (
           SELECT g.week, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
           FROM grid g LEFT JOIN counts c

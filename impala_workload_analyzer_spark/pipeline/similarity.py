@@ -2383,14 +2383,17 @@ def label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units (floor(sim * 1e6), sim already rounded to 9 in
     the shared scorer) so sums are order-independent cross-engine.
 
-    Scale: rides sim1's plan (fixed _QUERY_K batch broadcast against
-    the corpus, one top-k shuffle); the label attach is one broadcast
+    Scale: joins the session-persisted exact top-k frame
+    (_exact_topk_shared — K queries x k rows; ADVICE r9: a direct
+    brute_force_topk call re-paid the corpus scan per consumer); the
+    registered sim1 query keeps its live lineage. The label attach is
+    one broadcast
     join for the 100-row query side and one keyed join for neighbors;
     the rollup output is |labels|^2-bounded."""
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
 
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    topk = brute_force_topk(spark, sf_dir)
+    topk = _exact_topk_shared(spark, sf_dir)
     joined = (
         topk.join(
             F.broadcast(

@@ -1334,7 +1334,7 @@ def streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     join before any state update."""
     from ..io import load_table  # noqa: PLC0415
     from ..pipeline.events_analytics import (  # noqa: PLC0415
-        _EV29_BINS,
+        _EV29_BIN_SQL,
         _drift_from_counts,
     )
 
@@ -1348,13 +1348,9 @@ def streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         ev.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "bin",
-            F.expr(
-                f"CAST(LEAST({_EV29_BINS - 1}, GREATEST(0,"
-                f" FLOOR((v - vmin) * {_EV29_BINS} / (vmax - vmin)))) AS BIGINT)"
-            ),
-        )
+        # the shared guarded bin tree (degenerate vmax = vmin range ->
+        # bin 0, ADVICE r9), identical to ev29's and the oracle's
+        .withColumn("bin", F.expr(_EV29_BIN_SQL))
         .groupBy("week", "bin")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -1402,18 +1398,47 @@ def streaming_exactly_once_export(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    from ..io import _REPO_ROOT  # noqa: PLC0415
-
-    base = os.path.join(
-        _REPO_ROOT, ".export_cache",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    out = os.path.join(base, "stream_batches")
+    base = _snk7_base(sf_dir)
+    out = _snk7_out(sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     chk = tempfile.mkdtemp(prefix="snk7_chk_", dir=base)
 
     ev = _stream_events(spark, sf_dir).select("event_id", "event_type")
+
+    q = (
+        ev.writeStream.foreachBatch(_snk7_write_batch(out))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    return _snk7_readback(spark, out)
+
+
+def _snk7_base(sf_dir: str) -> str:
+    import os  # noqa: PLC0415
+
+    from ..io import _REPO_ROOT  # noqa: PLC0415
+
+    return os.path.join(
+        _REPO_ROOT, ".export_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _snk7_out(sf_dir: str) -> str:
+    import os  # noqa: PLC0415
+
+    return os.path.join(_snk7_base(sf_dir), "stream_batches")
+
+
+def _snk7_write_batch(out: str):
+    """snk7's foreachBatch writer, exposed so the replay test can
+    re-deliver a batch_id over the EXISTING export directory — the real
+    failure-recovery path — instead of only comparing two clean runs."""
+    import os  # noqa: PLC0415
 
     def write_batch(batch_df, batch_id: int) -> None:
         # idempotent by construction: a replay of batch_id rewrites
@@ -1422,14 +1447,10 @@ def streaming_exactly_once_export(spark: SparkSession, sf_dir: str) -> DataFrame
             os.path.join(out, f"batch_id={batch_id}")
         )
 
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(chk, ignore_errors=True)
+    return write_batch
+
+
+def _snk7_readback(spark: SparkSession, out: str) -> DataFrame:
     back = spark.read.option("basePath", out).parquet(out)
     return back.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
         F.count("*").cast("bigint").alias("n_rows"),

@@ -3026,7 +3026,12 @@ def test_frame_budget_is_exact_hamilton_apportionment(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["budget"] == _MM7_BUDGET
-        assert 0 < r["min_alloc"] <= r["max_alloc"] <= 30
+        # min_alloc == 0 is a legitimate Hamilton outcome (floor quota 0
+        # and the remainder misses the extras cutoff) — ADVICE r9: the
+        # old `> 0` assert encoded a fixture coincidence, not the
+        # contract. The contract is: grants are non-negative and bounded
+        # by the per-video frame count (<= 30 by fixture construction).
+        assert 0 <= r["min_alloc"] <= r["max_alloc"] <= 30
         assert r["n_alloc"] <= min(r["budget"], r["total_frames"])
         if r["n_alloc"] < min(r["budget"], r["total_frames"]):
             assert r["n_capped_media"] > 0
@@ -3060,15 +3065,37 @@ def test_scan_selectivity_is_anchored_to_each_tables_widest_scan(spark, sf_dir):
 
 
 def test_streaming_exactly_once_export_is_replay_idempotent(spark, sf_dir):
-    """snk7: a full replay of the export (the failure-recovery path —
-    same batches, same data, rewritten) produces byte-identical
-    readback rows, and the export loses nothing vs the batch table."""
+    """snk7: re-delivering a batch_id over the EXISTING export directory
+    (the failure-recovery path — foreachBatch is at-least-once, so a
+    crash between the write and the checkpoint commit re-runs the same
+    batch over its own prior output) leaves the readback byte-identical,
+    and the export loses nothing vs the batch table. ADVICE r9: the old
+    test re-ran the whole export with a cleared output, which only
+    verified determinism of two independent runs."""
+    import os
+
     from impala_workload_analyzer_spark.io import load_table
     from impala_workload_analyzer_spark.streaming.stream_queries import (
+        _snk7_out,
+        _snk7_readback,
+        _snk7_write_batch,
         streaming_exactly_once_export,
     )
 
     first = sorted(map(tuple, streaming_exactly_once_export(spark, sf_dir).collect()))
-    replay = sorted(map(tuple, streaming_exactly_once_export(spark, sf_dir).collect()))
-    assert first == replay
     assert sum(r[1] for r in first) == load_table(spark, sf_dir, "events").count()
+
+    # true replay: re-deliver every landed batch_id, one at a time, over
+    # the pre-existing output (a streaming replay re-reads the same
+    # source offsets, so the re-delivered rows equal the landed ones —
+    # materialize them first so the overwrite never reads its own target)
+    out = _snk7_out(sf_dir)
+    batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert batch_dirs
+    for d in batch_dirs:
+        bid = int(d.split("=", 1)[1])
+        landed = spark.read.parquet(os.path.join(out, d))
+        redelivered = spark.createDataFrame(landed.collect(), landed.schema)
+        _snk7_write_batch(out)(redelivered, bid)
+        replay = sorted(map(tuple, _snk7_readback(spark, out).collect()))
+        assert replay == first
