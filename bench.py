@@ -3,7 +3,7 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
-"sf"}.
+"one_time_builds": {frame: cold-build sec}, "sf"}.
 
 Timing protocol: one shared SparkSession (JVM warm-up excluded via a
 throwaway count), then each query is planned + executed + fully drained
@@ -83,6 +83,31 @@ HEADLINERS = (
     "dd21_lsh_band_sensitivity",
     "tx31_split_leakage_audit",
     "snk6_compaction_export",
+    # round-10 addition (r9 verdict): the plan family's heaviest op —
+    # recursive tree walk + edge joins had no bench representative
+    "pt8_plan_shape_profile",
+)
+
+# The session-persisted shared frames (the feature-store pattern: ground
+# truth / component labels / verified pairs materialized once per corpus
+# snapshot). Their one-time build cost used to hide in the first
+# consumer's untimed warm-up rep (r9 verdict #2) — now each build is
+# TIMED COLD here and published as "one_time_builds" in the bench JSON,
+# so the headline warm-marginal numbers can never silently absorb more
+# work. Order matters: each entry is timed after its upstream frame is
+# already warm, so the numbers decompose (jaccard3/minhash_pairs are
+# marginal on top of shingles).
+ONE_TIME_BUILDS = (
+    ("_shared_shingles",
+     "impala_workload_analyzer_spark.pipeline.dedup", "_shared_shingles"),
+    ("_shared_jaccard3",
+     "impala_workload_analyzer_spark.pipeline.dedup", "_shared_jaccard3"),
+    ("_shared_minhash_pairs",
+     "impala_workload_analyzer_spark.pipeline.dedup", "_shared_minhash_pairs"),
+    ("_shared_components",
+     "impala_workload_analyzer_spark.pipeline.dedup", "_shared_components"),
+    ("_exact_topk_shared",
+     "impala_workload_analyzer_spark.pipeline.similarity", "_exact_topk_shared"),
 )
 
 
@@ -133,6 +158,17 @@ def main() -> int:
     if extra:
         print(f"WARN missing headliners: {extra}", file=sys.stderr)
 
+    # cold-build the shared frames, timed and published (they persist in
+    # the session, so the headliner timings below stay warm-marginal —
+    # the amortized production shape — while the build cost is visible)
+    import importlib
+    one_time_builds: dict[str, float] = {}
+    for bname, mod, attr in ONE_TIME_BUILDS:
+        fn = getattr(importlib.import_module(mod), attr)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        one_time_builds[bname] = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for name in names:
         # one untimed warm-up execution per query: janino codegen compile +
@@ -155,6 +191,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "one_time_builds": one_time_builds,
         "sf": sf,
     }))
     return 0

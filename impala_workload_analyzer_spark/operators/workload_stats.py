@@ -1874,3 +1874,67 @@ ORACLES["a35_scan_selectivity"] = with_corpus(f"""
                     AS BIGINT) AS n_full_scans
         FROM sel GROUP BY table_name""")
 SPARK_QUERIES["a35_scan_selectivity"] = scan_selectivity
+
+
+def straggler_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a36 — STRAGGLER CENSUS by operator type: p5 flags individual
+    straggling operator instances (diff_time = max - avg instance time,
+    thresholded at 1% of query runtime — stats.py:43-46); this rolls
+    the same predicate up per operator NAME into the capacity-planning
+    view — which operator TYPES produce stragglers, how often (exact
+    ppm of that type's population), how many queries they touch, and
+    how much absolute straggle time they carry. The a13/a14 pattern
+    (per-type rollup over a per-instance filter) applied to skew: a
+    type with high straggler_ppm is where repartitioning/salting
+    effort pays; one with high max but low ppm was one bad plan.
+
+    Exactness: diff_time sums are exact BIGINT ns; the straggler
+    predicate reuses p5's ROUND(..., 9) >= 0.01 tree verbatim so both
+    engines flag identical instances; the rate is floor-division ppm.
+
+    Scale: one join keyed by query_id (runtime attach), one groupBy
+    over the bounded operator-name vocabulary. No new shuffles beyond
+    p5's own shape."""
+    q = _filtered_queries(spark, sf_dir).select("query_id", "runtime")
+    ops = corpus_operators(spark, sf_dir)
+    j = (
+        ops.join(q, "query_id")
+        .withColumn("diff_time", (F.col("max_time") - F.col("avg_time")).cast("bigint"))
+        .withColumn(
+            "is_strag",
+            F.round(F.col("diff_time") / F.col("runtime").cast("double"), 9) >= 0.01,
+        )
+    )
+    return j.groupBy("name").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum(F.col("is_strag").cast("bigint")).cast("bigint").alias("n_stragglers"),
+        F.countDistinct(F.when(F.col("is_strag"), F.col("query_id")))
+        .cast("bigint").alias("n_queries_affected"),
+        F.expr(IDIV("SUM(CAST(is_strag AS BIGINT)) * 1000000", "COUNT(*)"))
+        .alias("straggler_ppm"),
+        F.sum(F.when(F.col("is_strag"), F.col("diff_time")).otherwise(F.lit(0)))
+        .cast("bigint").alias("straggler_diff_time"),
+        F.max("diff_time").cast("bigint").alias("max_diff_time"),
+    )
+
+
+ORACLES["a36_straggler_census"] = with_corpus(f"""
+        , j AS (
+          SELECT o.name, o.query_id,
+                 CAST(o.max_time - o.avg_time AS BIGINT) AS diff_time,
+                 ROUND((o.max_time - o.avg_time)
+                       / CAST(q.runtime AS DOUBLE), 9) >= 0.01 AS is_strag
+          FROM iwa_operators o JOIN ({_FQ}) q ON o.query_id = q.query_id)
+        SELECT name,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(SUM(CASE WHEN is_strag THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_stragglers,
+               CAST(COUNT(DISTINCT CASE WHEN is_strag THEN query_id END)
+                 AS BIGINT) AS n_queries_affected,
+               {IDIV('SUM(CASE WHEN is_strag THEN 1 ELSE 0 END) * 1000000',
+                     'COUNT(*)')} AS straggler_ppm,
+               CAST(SUM(CASE WHEN is_strag THEN diff_time ELSE 0 END)
+                 AS BIGINT) AS straggler_diff_time,
+               CAST(MAX(diff_time) AS BIGINT) AS max_diff_time
+        FROM j GROUP BY name""")
+SPARK_QUERIES["a36_straggler_census"] = straggler_census

@@ -2603,3 +2603,82 @@ def _sim25_oracle() -> str:
 
 ORACLES["sim25_centroid_margin"] = _sim25_oracle()
 SPARK_QUERIES["sim25_centroid_margin"] = centroid_margin
+
+
+def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd25 — TEXT-vs-EMBEDDING near-dup AGREEMENT: the pair sets of the
+    two fuzzy dedup signals — dd3's MinHash-LSH verified text pairs and
+    dd5's embedding-cosine pairs — compared over the shared id space
+    (the fixture's embeddings table carries one vector per document,
+    vec_id = doc_id), rolled up into one row per agreement tier:
+    ``both`` / ``text_only`` / ``embed_only``. This is the table read
+    before deciding whether the cheap text tier can gate the expensive
+    embedding tier at 100 TB (a large ``embed_only`` mass means text
+    shingles miss semantic dups — paraphrases; a large ``text_only``
+    mass means the embedding space under-rates verbatim overlap).
+    Similarity mass is published in exact integer micro-units
+    (floor(score * 1e6), scores already rounded to 9 by both builders)
+    so sums are order-independent cross-engine; a tier with no pairs is
+    an absent row in both engines.
+
+    Scale: the text side joins the session-persisted verified pair
+    frame (_shared_minhash_pairs — one row per verified pair); the
+    embedding side is dd5's banded-LSH + exact-verify pipeline (its
+    candidate volume is corpus^2 / 2^planes per band, never all
+    pairs). The agreement join is keyed on the canonical (lo, hi) pair
+    — both inputs are pair-sized, orders of magnitude below the
+    corpus, and the output is <= 3 rows."""
+    from .dedup import _shared_minhash_pairs  # noqa: PLC0415
+
+    t = _shared_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"),
+        F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("jaccard_micro"),
+        F.lit(1).alias("in_text"),
+    )
+    e = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("lo"), F.col("vec_b").alias("hi"),
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_micro"),
+        F.lit(1).alias("in_embed"),
+    )
+    j = t.join(e, ["lo", "hi"], "full")
+    tier = (
+        F.when(F.col("in_text").isNotNull() & F.col("in_embed").isNotNull(), "both")
+        .when(F.col("in_text").isNotNull(), "text_only")
+        .otherwise("embed_only")
+    )
+    return (
+        j.groupBy(tier.alias("tier"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("jaccard_micro").cast("bigint").alias("sum_jaccard_micro"),
+            F.sum("cosine_micro").cast("bigint").alias("sum_cosine_micro"),
+        )
+    )
+
+
+def _dd25_oracle() -> str:
+    from .dedup import ORACLES as _DD_ORACLES  # noqa: PLC0415
+
+    return f"""
+        WITH t AS (
+          SELECT doc_a AS lo, doc_b AS hi,
+                 CAST(FLOOR(jaccard * 1e6) AS BIGINT) AS jaccard_micro
+          FROM ({_DD_ORACLES["dd3_minhash_lsh_pairs"]})),
+        e AS (
+          SELECT vec_a AS lo, vec_b AS hi,
+                 CAST(FLOOR(cosine * 1e6) AS BIGINT) AS cosine_micro
+          FROM ({ORACLES["dd5_embedding_neardup"]})),
+        j AS (
+          SELECT CASE WHEN t.lo IS NOT NULL AND e.lo IS NOT NULL THEN 'both'
+                      WHEN t.lo IS NOT NULL THEN 'text_only'
+                      ELSE 'embed_only' END AS tier,
+                 t.jaccard_micro, e.cosine_micro
+          FROM t FULL OUTER JOIN e ON t.lo = e.lo AND t.hi = e.hi)
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(jaccard_micro) AS BIGINT) AS sum_jaccard_micro,
+               CAST(SUM(cosine_micro) AS BIGINT) AS sum_cosine_micro
+        FROM j GROUP BY tier"""
+
+
+ORACLES["dd25_text_embedding_agreement"] = _dd25_oracle()
+SPARK_QUERIES["dd25_text_embedding_agreement"] = text_embedding_dup_agreement

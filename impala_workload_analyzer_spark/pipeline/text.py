@@ -2198,3 +2198,65 @@ ORACLES["snk5_jsonl_export"] = f"""
         FROM d GROUP BY CAST(h % {_N_SHARDS} AS BIGINT)"""
 
 SPARK_QUERIES["snk5_jsonl_export"] = jsonl_export
+
+
+def decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx32 — DECONTAMINATION IMPACT REPORT: tx8's per-document
+    contamination verdicts rolled up per SOURCE into the table a
+    training run signs off on before dropping flagged documents — how
+    many train docs each source loses, how many tokens go with them,
+    and the exact retention in ppm. A source whose removal ppm is an
+    outlier is either genuinely benchmark-derived or the contamination
+    tau is wrong for its register; either way this is the review table.
+    All columns are exact integers (token counts, floor-division ppm)
+    so the cross-engine hash is bit-stable.
+
+    Scale: rides tx8's plan (broadcast test-shingle set, one doc-keyed
+    shuffle); the source attach is one join keyed by doc_id against the
+    documents scan projected to three columns, and the rollup output is
+    bounded by |sources|."""
+    per_doc = benchmark_contamination(spark, sf_dir).select("doc_id", "flagged")
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.size("words").cast("bigint").alias("n_tokens")
+    )
+    agg = (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_docs"),
+            F.sum(F.col("flagged").cast("bigint")).cast("bigint").alias("n_flagged"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("flagged"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint").alias("tokens_removed"),
+        )
+    )
+    return agg.select(
+        "source", "n_train_docs", "n_flagged", "tokens_total", "tokens_removed",
+        F.expr(IDIV("n_flagged * 1000000", "n_train_docs")).alias("flagged_ppm"),
+        F.expr(IDIV("(tokens_total - tokens_removed) * 1000000", "tokens_total"))
+        .alias("token_retention_ppm"),
+    )
+
+
+ORACLES["tx32_decontamination_impact"] = f"""
+        WITH per_doc AS ({ORACLES["tx8_benchmark_contamination"]}),
+        d AS (SELECT doc_id, source,
+                     CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+              FROM documents),
+        agg AS (
+          SELECT d.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+                 CAST(SUM(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+                 CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_total,
+                 CAST(SUM(CASE WHEN p.flagged THEN d.n_tokens ELSE 0 END)
+                   AS BIGINT) AS tokens_removed
+          FROM per_doc p JOIN d ON p.doc_id = d.doc_id
+          GROUP BY d.source)
+        SELECT source, n_train_docs, n_flagged, tokens_total, tokens_removed,
+               {IDIV('n_flagged * 1000000', 'n_train_docs')} AS flagged_ppm,
+               {IDIV('(tokens_total - tokens_removed) * 1000000', 'tokens_total')}
+                 AS token_retention_ppm
+        FROM agg"""
+
+SPARK_QUERIES["tx32_decontamination_impact"] = decontamination_impact

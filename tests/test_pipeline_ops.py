@@ -3099,3 +3099,77 @@ def test_streaming_exactly_once_export_is_replay_idempotent(spark, sf_dir):
         _snk7_write_batch(out)(redelivered, bid)
         replay = sorted(map(tuple, _snk7_readback(spark, out).collect()))
         assert replay == first
+
+
+def test_text_embedding_agreement_partitions_both_pair_sets(spark, sf_dir):
+    """dd25: the tier rows partition the union of dd3's text pairs and
+    dd5's embedding pairs — both + text_only = |dd3|, both + embed_only
+    = |dd5| — and each score-mass column exists exactly where its side
+    does (NULL cosine mass on text_only, NULL jaccard mass on
+    embed_only)."""
+    from impala_workload_analyzer_spark.pipeline.dedup import minhash_lsh_pairs
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        embedding_neardup_pairs,
+        text_embedding_dup_agreement,
+    )
+
+    rows = {r["tier"]: r for r in
+            text_embedding_dup_agreement(spark, sf_dir).collect()}
+    assert rows
+    n = lambda t: rows[t]["n_pairs"] if t in rows else 0  # noqa: E731
+    assert n("both") + n("text_only") == minhash_lsh_pairs(spark, sf_dir).count()
+    assert n("both") + n("embed_only") == embedding_neardup_pairs(spark, sf_dir).count()
+    if "text_only" in rows:
+        assert rows["text_only"]["sum_cosine_micro"] is None
+        assert rows["text_only"]["sum_jaccard_micro"] is not None
+    if "embed_only" in rows:
+        assert rows["embed_only"]["sum_jaccard_micro"] is None
+        assert rows["embed_only"]["sum_cosine_micro"] is not None
+    if "both" in rows:
+        assert rows["both"]["sum_jaccard_micro"] is not None
+        assert rows["both"]["sum_cosine_micro"] is not None
+
+
+def test_decontamination_impact_is_exact_rollup_of_tx8(spark, sf_dir):
+    """tx32: the per-source report conserves tx8's train-doc census, its
+    flagged counts never exceed the doc counts, removed tokens never
+    exceed the totals, and both ppm columns are the exact floors of the
+    published integer columns."""
+    from impala_workload_analyzer_spark.pipeline.text import (
+        benchmark_contamination,
+        decontamination_impact,
+    )
+
+    rows = decontamination_impact(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_train_docs"] for r in rows) == \
+        benchmark_contamination(spark, sf_dir).count()
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_train_docs"]
+        assert 0 <= r["tokens_removed"] <= r["tokens_total"]
+        assert r["flagged_ppm"] == r["n_flagged"] * 1_000_000 // r["n_train_docs"]
+        assert r["token_retention_ppm"] == (
+            (r["tokens_total"] - r["tokens_removed"]) * 1_000_000
+            // r["tokens_total"]
+        )
+
+
+def test_straggler_census_conserves_p5_population(spark, sf_dir):
+    """a36: summed per-type straggler counts equal p5's per-instance row
+    count (same predicate, same filtered queries), affected-query counts
+    are bounded by straggler counts, and the rate is the exact floor
+    ppm."""
+    from impala_workload_analyzer_spark.operators.workload_stats import (
+        operator_skew,
+        straggler_census,
+    )
+
+    rows = straggler_census(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_stragglers"] for r in rows) == \
+        operator_skew(spark, sf_dir).count()
+    for r in rows:
+        assert 0 <= r["n_stragglers"] <= r["n_ops"]
+        assert r["n_queries_affected"] <= r["n_stragglers"]
+        assert r["straggler_ppm"] == r["n_stragglers"] * 1_000_000 // r["n_ops"]
+        assert r["straggler_diff_time"] <= r["n_stragglers"] * r["max_diff_time"]

@@ -584,3 +584,31 @@ def test_pt8_rides_the_tree_walk_and_edge_joins(spark, sf_dir):
     # equi-joined edges — no cartesian anywhere in the profile
     plan = _plan(spark, sf_dir, "pt8_plan_shape_profile")
     assert "CartesianProduct" not in plan
+
+
+def test_dd25_joins_pair_frames_only(spark, sf_dir):
+    # both inputs are verified PAIR sets (banded LSH + exact verify on
+    # each side); the agreement join is keyed on the canonical pair —
+    # never a cartesian, and never a corpus x corpus product
+    plan = _plan(spark, sf_dir, "dd25_text_embedding_agreement")
+    assert "CartesianProduct" not in plan
+
+
+def test_tx32_broadcasts_the_test_shingle_set(spark, sf_dir):
+    # tx8's contract carries over: the test split's distinct shingles
+    # broadcast; the rollup adds one doc_id-keyed join, no new
+    # data-sized shuffle family
+    plan = _plan(spark, sf_dir, "tx32_decontamination_impact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_a36_is_one_rollup_over_p5s_join(spark, sf_dir):
+    # the census is p5's query_id-keyed runtime attach plus the
+    # operator-name rollup — no pair joins, no per-type rescans. The
+    # COUNT(DISTINCT affected query) needs the standard two-phase
+    # distinct aggregate, so exactly two name-keyed exchanges, both
+    # moving only (name x query)-bounded partially-aggregated rows
+    plan = _plan(spark, sf_dir, "a36_straggler_census")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(name") <= 2, plan
