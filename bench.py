@@ -96,7 +96,10 @@ HEADLINERS = (
 # so the headline warm-marginal numbers can never silently absorb more
 # work. Order matters: each entry is timed after its upstream frame is
 # already warm, so the numbers decompose (jaccard3/minhash_pairs are
-# marginal on top of shingles).
+# marginal on top of shingles). Disclosed side effect (BASELINE.md
+# round-10): CacheManager substitutes cached plan subtrees, so the two
+# headliners whose live lineage equals a build plan (dd3, sim1) read
+# warm-marginal below — their cold costs are these build lines.
 ONE_TIME_BUILDS = (
     ("_shared_shingles",
      "impala_workload_analyzer_spark.pipeline.dedup", "_shared_shingles"),

@@ -2619,7 +2619,10 @@ def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Similarity mass is published in exact integer micro-units
     (floor(score * 1e6), scores already rounded to 9 by both builders)
     so sums are order-independent cross-engine; a tier with no pairs is
-    an absent row in both engines.
+    an absent row in both engines. (On the synthetic fixture the two
+    signals are disjoint — the embeddings are generated independently
+    of the text, so ``both`` is empty and the audit reports exactly
+    that; the full-outer join is still exercised in both directions.)
 
     Scale: the text side joins the session-persisted verified pair
     frame (_shared_minhash_pairs — one row per verified pair); the
