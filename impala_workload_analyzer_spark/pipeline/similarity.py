@@ -2633,12 +2633,22 @@ def text_embedding_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and the output is <= 3 rows."""
     from .dedup import _shared_minhash_pairs  # noqa: PLC0415
 
-    t = _shared_minhash_pairs(spark, sf_dir).select(
+    return _agreement_of(
+        _shared_minhash_pairs(spark, sf_dir),
+        embedding_neardup_pairs(spark, sf_dir),
+    )
+
+
+def _agreement_of(text_pairs: DataFrame, embed_pairs: DataFrame) -> DataFrame:
+    """dd25's tier rollup over explicit pair frames — separated so the
+    ``both`` tier (empty on the fixture, whose embeddings are generated
+    independently of the text) is unit-testable with injected pairs."""
+    t = text_pairs.select(
         F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"),
         F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("jaccard_micro"),
         F.lit(1).alias("in_text"),
     )
-    e = embedding_neardup_pairs(spark, sf_dir).select(
+    e = embed_pairs.select(
         F.col("vec_a").alias("lo"), F.col("vec_b").alias("hi"),
         F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_micro"),
         F.lit(1).alias("in_embed"),

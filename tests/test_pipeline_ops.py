@@ -3173,3 +3173,56 @@ def test_straggler_census_conserves_p5_population(spark, sf_dir):
         assert r["n_queries_affected"] <= r["n_stragglers"]
         assert r["straggler_ppm"] == r["n_stragglers"] * 1_000_000 // r["n_ops"]
         assert r["straggler_diff_time"] <= r["n_stragglers"] * r["max_diff_time"]
+
+
+def test_dd25_both_tier_fires_on_injected_pairs(spark, sf_dir):
+    """dd25's three-way tier logic on constructed pair frames — the
+    fixture's signals are disjoint, so the 'both' tier (the headline
+    cell) only gets exercised here: overlapping, text-only, and
+    embed-only pairs land in the right tiers with the right exact
+    micro-mass."""
+    from impala_workload_analyzer_spark.pipeline.similarity import _agreement_of
+
+    text = spark.createDataFrame(
+        [(1, 2, 0.75), (3, 4, 0.5), (5, 6, 0.999999999)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    embed = spark.createDataFrame(
+        [(1, 2, 0.5), (7, 8, 0.25)],
+        "vec_a long, vec_b long, cosine double",
+    )
+    rows = {r["tier"]: r for r in _agreement_of(text, embed).collect()}
+    assert set(rows) == {"both", "text_only", "embed_only"}
+    assert rows["both"]["n_pairs"] == 1
+    assert rows["both"]["sum_jaccard_micro"] == 750_000
+    assert rows["both"]["sum_cosine_micro"] == 500_000
+    assert rows["text_only"]["n_pairs"] == 2
+    assert rows["text_only"]["sum_jaccard_micro"] == 500_000 + 999_999
+    assert rows["text_only"]["sum_cosine_micro"] is None
+    assert rows["embed_only"]["n_pairs"] == 1
+    assert rows["embed_only"]["sum_cosine_micro"] == 250_000
+    assert rows["embed_only"]["sum_jaccard_micro"] is None
+
+
+def test_ev29_bin_guard_handles_constant_values(spark, sf_dir):
+    """The degenerate vmax = vmin range (every event value identical)
+    must bin to 0 — not NaN — in the shared expression, and the drift
+    rollup over such a corpus is exactly zero for every week."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV29_BIN_SQL,
+        _drift_from_counts,
+    )
+
+    const = spark.createDataFrame(
+        [(w, 5.0, 5.0, 5.0) for w in (100, 200)] * 3,
+        "week long, v double, vmin double, vmax double",
+    )
+    binned = const.withColumn("bin", F.expr(_EV29_BIN_SQL))
+    assert {r["bin"] for r in binned.collect()} == {0}
+    counts = binned.groupBy("week", "bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    for r in _drift_from_counts(counts).collect():
+        assert r["tv_ppm"] == 0 and r["max_bin_drift_ppm"] == 0
