@@ -96,10 +96,11 @@ HEADLINERS = (
 # so the headline warm-marginal numbers can never silently absorb more
 # work. Order matters: each entry is timed after its upstream frame is
 # already warm, so the numbers decompose (jaccard3/minhash_pairs are
-# marginal on top of shingles). Disclosed side effect (BASELINE.md
-# round-10): CacheManager substitutes cached plan subtrees, so the two
-# headliners whose live lineage equals a build plan (dd3, sim1) read
-# warm-marginal below — their cold costs are these build lines.
+# marginal on top of shingles). CacheManager substitutes cached plan
+# subtrees into any matching plan, so the two headliners whose live
+# lineage equals a build plan (dd3, sim1) are benched BEFORE this phase
+# (see main) — otherwise they read warm-marginal and stop measuring
+# their own cold cost.
 ONE_TIME_BUILDS = (
     ("_shared_shingles",
      "impala_workload_analyzer_spark.pipeline.dedup", "_shared_shingles"),
@@ -161,24 +162,11 @@ def main() -> int:
     if extra:
         print(f"WARN missing headliners: {extra}", file=sys.stderr)
 
-    # cold-build the shared frames, timed and published (they persist in
-    # the session, so the headliner timings below stay warm-marginal —
-    # the amortized production shape — while the build cost is visible)
-    import importlib
-    one_time_builds: dict[str, float] = {}
-    for bname, mod, attr in ONE_TIME_BUILDS:
-        fn = getattr(importlib.import_module(mod), attr)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        one_time_builds[bname] = round(time.perf_counter() - t0, 4)
-
     timings: dict[str, float] = {}
-    for name in names:
-        # one untimed warm-up execution per query: janino codegen compile +
-        # JIT of large generated classes is a one-time cost (dd3's first
-        # run is ~5x its steady state) and was landing in the first timed
-        # rep unevenly across runs; the timed best-of-reps then measures
-        # steady-state throughput
+
+    def bench_one(name: str) -> None:
+        # one untimed warm-up execution per query (janino codegen/JIT is
+        # a one-time cost), then best-of-reps — see the loop below
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(reps):
@@ -187,6 +175,33 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+
+    # dd3/sim1 run BEFORE the shared-frame builds: their live lineages
+    # EQUAL two build plans, and CacheManager substitutes cached
+    # subtrees into any matching plan — benched after the builds they'd
+    # read warm-marginal and stop measuring their own cold cost
+    # (observed 1.65 -> 0.54 / 0.65 -> 0.17 when ordered wrong).
+    # Benching them first keeps every headline row meaningful: these two
+    # cold, the multi-tier consumers warm-marginal, builds visible below.
+    prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk")
+                if n in qs]
+    for name in prebuild:
+        bench_one(name)
+
+    # cold-build the shared frames, timed and published (they persist in
+    # the session, so the consumer timings below stay warm-marginal —
+    # the amortized production shape — while the build cost is visible)
+    import importlib
+    one_time_builds: dict[str, float] = {}
+    for bname, mod, attr in ONE_TIME_BUILDS:
+        fn = getattr(importlib.import_module(mod), attr)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        one_time_builds[bname] = round(time.perf_counter() - t0, 4)
+    for name in names:
+        if name in timings:  # dd3/sim1 already benched pre-build
+            continue
+        bench_one(name)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
