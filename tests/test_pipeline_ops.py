@@ -3226,3 +3226,51 @@ def test_ev29_bin_guard_handles_constant_values(spark, sf_dir):
     )
     for r in _drift_from_counts(counts).collect():
         assert r["tv_ppm"] == 0 and r["max_bin_drift_ppm"] == 0
+
+
+def test_ev29_bin_expression_cross_engine_exact(spark, sf_dir):
+    """The ONE float expression in ev29/st18 (bin assignment) evaluated
+    over 5000 seeded random (v, vmin, vmax) triples — including
+    degenerate vmax = vmin, v pinned to either bound, and near-boundary
+    values — must agree bin-for-bin between Spark and DuckDB. This is
+    the a25 bug class (cross-engine last-bit float disagreement) tested
+    at the expression level instead of waiting for a corpus to hit the
+    edge."""
+    import duckdb
+    import numpy as np
+
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV29_BIN_SQL,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    lo = rng.uniform(-1e6, 1e6, 5000)
+    span = rng.uniform(0, 1e6, 5000)
+    frac = rng.uniform(-0.1, 1.1, 5000)  # includes out-of-range clamps
+    rows = []
+    for i in range(5000):
+        vmin, vmax = float(lo[i]), float(lo[i] + span[i])
+        v = float(vmin + frac[i] * (vmax - vmin))
+        if i % 50 == 0:
+            vmax = vmin  # degenerate range
+            v = vmin
+        elif i % 50 == 1:
+            v = vmax  # exact upper bound -> LEAST clamp
+        elif i % 50 == 2:
+            v = vmin  # exact lower bound -> bin 0
+        rows.append((i, v, vmin, vmax))
+
+    sdf = spark.createDataFrame(rows, "i long, v double, vmin double, vmax double")
+    got_spark = {
+        r["i"]: r["bin"]
+        for r in sdf.withColumn("bin", F.expr(_EV29_BIN_SQL)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (i BIGINT, v DOUBLE, vmin DOUBLE, vmax DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    got_duck = dict(con.execute(f"SELECT i, {_EV29_BIN_SQL} FROM t").fetchall())
+    assert got_spark == got_duck
+    assert all(0 <= b <= 9 for b in got_spark.values())
