@@ -184,7 +184,7 @@ def main() -> int:
     # Benching them first keeps every headline row meaningful: these two
     # cold, the multi-tier consumers warm-marginal, builds visible below.
     prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk")
-                if n in qs]
+                if n in names]
     for name in prebuild:
         bench_one(name)
 

@@ -29,8 +29,15 @@ def witness_map() -> dict[str, tuple[int, str]]:
     """name -> (last witnessed round, verdict at that witness)."""
     last: dict[str, tuple[int, str]] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+    paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    # sort by PARSED round, not filename: lexicographic order breaks the
+    # moment padding changes (r10 vs r2), and last-write-wins below
+    # depends on round order
+    by_round = sorted(
+        (int("".join(c for c in os.path.basename(p) if c.isdigit())), p)
+        for p in paths
+    )
+    for rnd, path in by_round:
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") is True:
                 verdict = "green"
@@ -46,13 +53,15 @@ def main() -> int:
     import __spark_entry__ as entrymod  # noqa: PLC0415
 
     order = list(entrymod.queries())
+    order_set = set(order)
+    pos_of = {n: i for i, n in enumerate(order)}
     last = witness_map()
     summary_only = "--summary" in sys.argv
 
     never = [n for n in order if n not in last]
     stale = sorted(
-        ((r, n) for n, (r, v) in last.items() if n in set(order)),
-        key=lambda t: (t[0], order.index(t[1])),
+        ((r, n) for n, (r, v) in last.items() if n in order_set),
+        key=lambda t: (t[0], pos_of[t[1]]),
     )
     if not summary_only:
         for i, name in enumerate(order):
@@ -65,16 +74,18 @@ def main() -> int:
     in_window = set(order[:WINDOW])
     print(f"registered: {len(order)}  witnessed ever: "
           f"{sum(1 for n in order if n in last)}  never: {len(never)}")
-    reds = [n for n, (r, v) in last.items() if v == "RED" and n in set(order)]
+    reds = [n for n, (r, v) in last.items() if v == "RED" and n in order_set]
     print(f"red at last witness: {reds if reds else 'none'}")
     print(f"never witnessed (rotation category a): "
           f"{[n for n in never if n not in in_window] or 'all in current window'}")
     oldest = [n for r, n in stale if n not in in_window][:WINDOW]
-    rounds = sorted({r for r, n in stale if n in set(oldest)})
+    oldest_set = set(oldest)
+    head_set = set(oldest[:15])
+    rounds = sorted({r for r, n in stale if n in oldest_set})
     print(f"oldest-witnessed past-window block (category c, next {len(oldest)}): "
           f"rounds {rounds}")
     for r, n in stale:
-        if n in set(oldest[:15]):
+        if n in head_set:
             print(f"  r{r} {n}")
     return 0
 
