@@ -3166,10 +3166,21 @@ def test_straggler_census_conserves_p5_population(spark, sf_dir):
 
     rows = straggler_census(spark, sf_dir).collect()
     assert rows
-    assert sum(r["n_stragglers"] for r in rows) == \
-        operator_skew(spark, sf_dir).count()
+    # exact per-type cross-check against p5's per-instance rows: counts
+    # AND summed diff_time must match a direct recomputation, so a sum
+    # that wrongly includes non-straggler diff_time can't hide behind
+    # the loose n * max bound (r10 ADVICE)
+    skew = operator_skew(spark, sf_dir).collect()
+    by_name_n: dict[str, int] = {}
+    by_name_sum: dict[str, int] = {}
+    for s in skew:
+        by_name_n[s["name"]] = by_name_n.get(s["name"], 0) + 1
+        by_name_sum[s["name"]] = by_name_sum.get(s["name"], 0) + s["diff_time"]
+    assert sum(r["n_stragglers"] for r in rows) == len(skew)
     for r in rows:
         assert 0 <= r["n_stragglers"] <= r["n_ops"]
+        assert r["n_stragglers"] == by_name_n.get(r["name"], 0)
+        assert r["straggler_diff_time"] == by_name_sum.get(r["name"], 0)
         assert r["n_queries_affected"] <= r["n_stragglers"]
         assert r["straggler_ppm"] == r["n_stragglers"] * 1_000_000 // r["n_ops"]
         assert r["straggler_diff_time"] <= r["n_stragglers"] * r["max_diff_time"]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,11 +33,14 @@ def witness_map() -> dict[str, tuple[int, str]]:
     paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     # sort by PARSED round, not filename: lexicographic order breaks the
     # moment padding changes (r10 vs r2), and last-write-wins below
-    # depends on round order
-    by_round = sorted(
-        (int("".join(c for c in os.path.basename(p) if c.isdigit())), p)
-        for p in paths
-    )
+    # depends on round order. Anchored regex so a name with stray digits
+    # (CORRECTNESS_r10_sf0.01.json) is skipped, not misparsed as r10001.
+    by_round = []
+    for p in paths:
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            by_round.append((int(m.group(1)), p))
+    by_round.sort()
     for rnd, path in by_round:
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") is True:
@@ -80,7 +84,8 @@ def main() -> int:
           f"{[n for n in never if n not in in_window] or 'all in current window'}")
     oldest = [n for r, n in stale if n not in in_window][:WINDOW]
     oldest_set = set(oldest)
-    head_set = set(oldest[:15])
+    full = "--full" in sys.argv
+    head_set = oldest_set if full else set(oldest[:15])
     rounds = sorted({r for r, n in stale if n in oldest_set})
     print(f"oldest-witnessed past-window block (category c, next {len(oldest)}): "
           f"rounds {rounds}")
