@@ -2217,3 +2217,154 @@ def _tx31_oracle() -> str:
 
 ORACLES["tx31_split_leakage_audit"] = _tx31_oracle()
 SPARK_QUERIES["tx31_split_leakage_audit"] = split_leakage_audit
+
+
+_DD26_K = 10  # seed window width in tokens (the paper's knob; 50 in prod)
+
+
+def repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd26 — VARIABLE-LENGTH repeated-substring census, the true
+    exact-substring dedup primitive (Lee et al. 2022; the reference
+    family's spans twin dd15 fixes the width at one shingle — this one
+    does not): every maximal token span whose every position is covered
+    by a >=``_DD26_K``-token window occurring MORE THAN ONCE in the
+    corpus. Duplicated windows are found with a suffix-style sorted key
+    join (md5 of the k-token window, grouped corpus-wide), then
+    per-document runs of window starts merge through a gaps-and-islands
+    window (break when the gap exceeds k, i.e. when the covered token
+    intervals stop touching) — so span lengths are variable and the
+    summed coverage is an exact disjoint-interval union, never a
+    double count. Rolled up per source: how much text an
+    exact-substring deduper would cut from each feed, in exact integer
+    tokens and floor-ppm.
+
+    Scale: the window table is linear in corpus tokens and
+    embarrassingly parallel to produce; the only corpus-wide exchange
+    is one md5-keyed groupBy (map-side partial count) plus one hash
+    join of the occurrence table against the duplicated-key set —
+    never all-pairs. The island pass is a doc_id-partitioned window
+    (each doc's starts sort locally after one doc-keyed shuffle), and
+    the final rollup is |sources|-bounded. At 100 TB the knob is k:
+    the paper's k=50 shrinks both the duplicated-key set and the hit
+    table without changing the plan."""
+    return _repeated_substrings_of(load_table(spark, sf_dir, "documents"))
+
+
+def _repeated_substrings_of(docs: DataFrame, k: int = _DD26_K) -> DataFrame:
+    """dd26 core over any (doc_id, source, text) frame — see
+    ``repeated_substrings`` for semantics; split out so tests can drive
+    it on constructed corpora with known repeated spans."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    words = docs.select("doc_id", "source", F.expr(_words(True)).alias("w")).filter(
+        F.size("w") >= k
+    )
+    occ = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k} + 1),"
+                f" i -> named_struct('pos', i,"
+                f"   'g', md5(concat_ws(' ', slice(w, i, {k})))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("g")
+    )
+    hits = occ.join(dup, "g").select("doc_id", "source", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) > k, 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "source", "grp").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("bigint").alias("span_tokens")
+    )
+    base = words.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
+    )
+    per_src = spans.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_spanned"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("covered_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    )
+    cov = F.coalesce("covered_tokens", F.lit(0)).cast("bigint")
+    return base.join(per_src, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_docs_spanned", F.lit(0)).cast("bigint").alias("n_docs_spanned"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        cov.alias("covered_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("bigint").alias("max_span_tokens"),
+        "total_tokens",
+        F.expr(IDIV("COALESCE(covered_tokens, 0) * 1000000", "total_tokens"))
+        .alias("covered_ppm"),
+    )
+
+
+def _dd26_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    k = _DD26_K
+    return f"""
+        WITH wrds AS (
+          SELECT doc_id, source, {_words(False)} AS w FROM documents),
+        eligible AS (
+          SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n_tokens
+          FROM wrds WHERE len(w) >= {k}),
+        occ AS (
+          SELECT doc_id, source, s['pos'] AS pos, s['g'] AS g FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(w) - {k} + 2),
+                     i -> struct_pack(pos := i,
+                            g := md5(array_to_string(w[i:i+{k - 1}], ' '))))) AS s
+            FROM eligible)),
+        dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+        hits AS (SELECT doc_id, source, pos FROM occ JOIN dup USING (g)),
+        isl AS (
+          SELECT doc_id, source, pos,
+                 SUM(CASE WHEN prev IS NOT NULL AND pos - prev > {k}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+          FROM (SELECT doc_id, source, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM hits)),
+        spans AS (
+          SELECT doc_id, source, grp,
+                 CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens
+          FROM isl GROUP BY doc_id, source, grp),
+        base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM eligible GROUP BY source),
+        per_src AS (
+          SELECT source,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_spanned,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(span_tokens) AS BIGINT) AS covered_tokens,
+                 CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+          FROM spans GROUP BY source)
+        SELECT b.source, b.n_docs,
+               COALESCE(p.n_docs_spanned, 0) AS n_docs_spanned,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(p.covered_tokens, 0) AS covered_tokens,
+               COALESCE(p.max_span_tokens, 0) AS max_span_tokens,
+               b.total_tokens,
+               {IDIV('COALESCE(p.covered_tokens, 0) * 1000000',
+                     'b.total_tokens')} AS covered_ppm
+        FROM base b LEFT JOIN per_src p USING (source)"""
+
+
+ORACLES["dd26_repeated_substrings"] = _dd26_oracle()
+SPARK_QUERIES["dd26_repeated_substrings"] = repeated_substrings

@@ -3285,3 +3285,87 @@ def test_ev29_bin_expression_cross_engine_exact(spark, sf_dir):
     got_duck = dict(con.execute(f"SELECT i, {_EV29_BIN_SQL} FROM t").fetchall())
     assert got_spark == got_duck
     assert all(0 <= b <= 9 for b in got_spark.values())
+
+
+def test_dd26_variable_length_spans_on_constructed_corpus(spark):
+    """dd26's maximal-span semantics on a corpus with known repeats: a
+    shared 12-token run yields ONE 12-token span on each side (variable
+    length — not 10, not a double-counted 30); two shared runs separated
+    by a gap > k stay two spans; within-doc self-repetition counts; docs
+    shorter than k are excluded from the population entirely."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _repeated_substrings_of,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"v{i}" for i in range(10))
+    filler = " ".join(f"x{i}" for i in range(15))
+    self_rep = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            # two spans in one doc: shared run, >k gap of filler, other run
+            (1, "a", f"{shared} {filler} {other}"),
+            (2, "b", f"{shared}"),
+            (3, "b", f"{other}"),
+            # within-doc repetition: the same 10 tokens twice back-to-back
+            # merge into one covered 20-token span (windows touch)
+            (4, "c", f"{self_rep} {self_rep}"),
+            # below k: never in the population
+            (5, "d", "too short to window"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in _repeated_substrings_of(docs, 10).collect()}
+    assert set(rows) == {"a", "b", "c"}  # source d has no eligible docs
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a["n_spans"], a["covered_tokens"], a["max_span_tokens"]) == (2, 22, 12)
+    assert a["n_docs_spanned"] == 1 and a["n_docs"] == 1
+    assert a["total_tokens"] == 37
+    assert a["covered_ppm"] == 22 * 1_000_000 // 37
+    # doc 2 is fully covered (12/12); doc 3 fully covered (10/10)
+    assert (b["n_spans"], b["covered_tokens"], b["max_span_tokens"]) == (2, 22, 12)
+    assert b["n_docs_spanned"] == 2 and b["total_tokens"] == 22
+    assert b["covered_ppm"] == 1_000_000
+    # self-repetition: all 11 window starts duplicated?  No — only the
+    # repeated alignment: windows at positions 1 and 11 are the identical
+    # s0..s9 run; positions in between are distinct rotations occurring
+    # once.  Starts {1, 11} gap 10 = k -> touch -> ONE span covering
+    # tokens 1..20.
+    assert (c["n_spans"], c["covered_tokens"], c["max_span_tokens"]) == (1, 20, 20)
+    assert c["covered_ppm"] == 1_000_000
+
+
+def test_dd26_rollup_is_conserved_on_fixture(spark, sf_dir):
+    """dd26 on the real fixture: per-source invariants — coverage never
+    exceeds the token population, span counts bound spanned docs, ppm is
+    the exact floor, and the eligible-doc population matches a direct
+    recount."""
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _DD26_K,
+        _words,
+        repeated_substrings,
+    )
+
+    rows = repeated_substrings(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    pop = {
+        r["source"]: (r["n"], r["t"])
+        for r in docs.select("source", F.expr(_words(True)).alias("w"))
+        .filter(F.size("w") >= _DD26_K)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.size("w")).alias("t"))
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(pop)
+    for r in rows:
+        assert (r["n_docs"], r["total_tokens"]) == pop[r["source"]]
+        assert 0 <= r["n_docs_spanned"] <= r["n_docs"]
+        assert r["n_docs_spanned"] <= r["n_spans"]
+        assert r["covered_tokens"] <= r["total_tokens"]
+        assert r["max_span_tokens"] >= _DD26_K or r["n_spans"] == 0
+        assert r["covered_tokens"] >= r["n_spans"] * _DD26_K
+        assert r["covered_ppm"] == r["covered_tokens"] * 1_000_000 // r["total_tokens"]

@@ -612,3 +612,14 @@ def test_a36_is_one_rollup_over_p5s_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "a36_straggler_census")
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(name") <= 2, plan
+
+
+def test_dd26_keyed_gram_join_single_doc_exchange(spark, sf_dir):
+    # the duplicated-window detection is a gram-hash-KEYED join (broadcast
+    # at test scale, SMJ on g at 100 TB) — never an all-pairs product; the
+    # lag + running-sum island windows share ONE doc_id exchange; the
+    # gram-count scan prunes to the text column only
+    plan = _plan(spark, sf_dir, "dd26_repeated_substrings")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(doc_id") <= 1, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
