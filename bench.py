@@ -220,6 +220,31 @@ def main() -> int:
                   file=sys.stderr)
         bench_one(name)
 
+    # The streaming one-time setup, kept as honest as the batch builds:
+    # st-family queries read a multi-file scan-cache landing directory
+    # (streaming/stream_queries.py:_stream_events/_stream_docs) that
+    # ensure_scan_cache materialized in the untimed warm-up above, so its
+    # cost was invisible in the artifact. Time a COLD rebuild of the two
+    # streamed tables' layouts into a throwaway root (same _build_cache
+    # path, real shuffle-free repartition write), then discard — the real
+    # cache is untouched and stays warm for reproducibility.
+    import shutil
+    import tempfile
+    from impala_workload_analyzer_spark.io import _build_cache
+    stream_setup = 0.0
+    tmp_root = tempfile.mkdtemp(prefix="bench_stream_setup_")
+    try:
+        for table in ("events", "documents"):
+            src = os.path.join(sf_dir, f"{table}.parquet")
+            if not os.path.exists(src):
+                continue
+            root = os.path.join(tmp_root, table)
+            t0 = time.perf_counter()
+            _build_cache(spark, src, root, os.path.join(root, "v0"))
+            stream_setup += time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -227,6 +252,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "one_time_builds": one_time_builds,
+        "stream_setup_sec": round(stream_setup, 4),
         "sf": sf,
     }))
     return 0
