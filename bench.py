@@ -86,6 +86,12 @@ HEADLINERS = (
     # round-10 addition (r9 verdict): the plan family's heaviest op —
     # recursive tree walk + edge joins had no bench representative
     "pt8_plan_shape_profile",
+    # round-11 additions: the variable-length exact-substring dedup
+    # census (first representative of the duplicated-window join shape)
+    # and the within-session type-affinity census (first association-rule
+    # shape — session self-join + broadcast marginals)
+    "dd26_repeated_substrings",
+    "ev30_session_type_affinity",
 )
 
 # The session-persisted shared frames (the feature-store pattern: ground

@@ -2329,3 +2329,179 @@ def _ev29_oracle() -> str:
 
 ORACLES["ev29_weekly_value_drift"] = _ev29_oracle()
 SPARK_QUERIES["ev29_weekly_value_drift"] = weekly_value_drift
+
+
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev30 — WITHIN-SESSION EVENT-TYPE AFFINITY: the association-rule
+    census over ev3's sessions — for every unordered pair of event types
+    that ever co-occur inside one session, how many sessions contain
+    each type (n_a / n_b), how many contain both (n_both), and two
+    exact-integer association scores: LIFT in micro-units
+    (floor(n_both * n_sessions * 1e6 / (n_a * n_b)) — >1e6 means the
+    pair co-occurs more than independence predicts) and session-set
+    JACCARD in ppm. This is the market-basket view of product events
+    (which behaviors travel together within a visit) and, pipeline-side,
+    the signal behind composite session-quality gates (e.g. error+click
+    affinity isolating rage-click sessions).
+
+    Exactness: every figure is an integer COUNT or an integer floor
+    division. Lift's numerator (n_both * n_sessions * 1e6) outgrows the
+    2^53 double window the repo's IDIV helper assumes well inside the
+    sf1 sweep, so BOTH engines floor-divide in wide integers instead:
+    Spark in DECIMAL(38,0) with the DIV operator (returns BIGINT,
+    truncation-exact), DuckDB in HUGEINT with `//` — no double
+    round-trip anywhere.
+
+    Scale: one user-keyed shuffle for the gaps-and-islands window (the
+    ev3 plan), then distinct (user, session, type) — bounded by the
+    event count — and a (user, session)-keyed self-join whose
+    per-session fanout is capped at C(|type vocab|, 2), never a
+    cartesian. Marginals and totals are broadcast 1-row/|vocab|-row
+    frames; the final rollup is |vocab|^2-bounded."""
+    return _session_type_affinity_of(load_table(spark, sf_dir, "events"))
+
+
+def _session_type_affinity_of(events: DataFrame) -> DataFrame:
+    """ev30 core over any events frame — see ``session_type_affinity``
+    for semantics; split out (the dd26 pattern) so tests can drive it on
+    constructed corpora with known session structure."""
+    ev = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "t", F.unix_micros("ts")
+    )
+    order = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(order).isNull()
+            | (F.col("t") - F.lag("t").over(order) > _GAP_MIN * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run)
+    ).select("user_id", "session_id", "event_type")
+    return _affinity_of_session_types(st)
+
+
+def _affinity_of_session_types(session_types: DataFrame) -> DataFrame:
+    """The affinity rollup from any (user_id, session_id, event_type)
+    frame (rows may repeat within a session — deduped here). Shared
+    with st19, whose session tags arrive from watermark-finalized
+    ``session_window`` rows instead of the batch island windows."""
+    st = (
+        session_types.distinct()
+        # feeds three consumers (total, marginals, pair join): materialize
+        # the session-tagged distinct frame once (the ev29 counts pattern)
+        .localCheckpoint(eager=True)
+    )
+    n_sessions = (
+        st.select("user_id", "session_id").distinct()
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_type")
+    )
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_type").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_type").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_sessions",
+        F.expr(
+            "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 * n_sessions"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("lift_micro"),
+        F.expr(
+            "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) + n_b - n_both) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+def _ev30_oracle() -> str:
+    # same gaps-and-islands CTEs as ev3's oracle, carrying event_type
+    # through (ev3's own CTE chain drops it, so it can't be embedded
+    # whole the way ev27/ev28 do)
+    return f"""
+        WITH t AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+                           OR t - LAG(t) OVER w > {_GAP_MIN} * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        sess AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged),
+        s AS (
+          SELECT DISTINCT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 event_type
+          FROM sess),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM (SELECT DISTINCT user_id, session_id FROM s)),
+        marg AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+          FROM s GROUP BY event_type),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM s a JOIN s b
+            ON a.user_id = b.user_id AND a.session_id = b.session_id
+           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b,
+               ma.n_type AS n_a, mb.n_type AS n_b, p.n_both, t.n_sessions,
+               CAST((CAST(p.n_both AS HUGEINT) * 1000000 * t.n_sessions)
+                    // (CAST(ma.n_type AS HUGEINT) * mb.n_type) AS BIGINT)
+                 AS lift_micro,
+               CAST((CAST(p.n_both AS HUGEINT) * 1000000)
+                    // (CAST(ma.n_type AS HUGEINT) + mb.n_type - p.n_both)
+                 AS BIGINT) AS jaccard_ppm
+        FROM pairs p
+        JOIN marg ma ON p.type_a = ma.event_type
+        JOIN marg mb ON p.type_b = mb.event_type
+        CROSS JOIN tot t"""
+
+
+ORACLES["ev30_session_type_affinity"] = _ev30_oracle()
+SPARK_QUERIES["ev30_session_type_affinity"] = session_type_affinity

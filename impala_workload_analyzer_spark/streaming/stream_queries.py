@@ -1464,3 +1464,86 @@ ORACLES["snk7_streaming_exactly_once"] = f"""
                CAST(SUM(event_id % {_SNK7_CKSUM_MOD}) AS BIGINT) AS checksum
         FROM events GROUP BY event_type"""
 SPARK_QUERIES["snk7_streaming_exactly_once"] = streaming_exactly_once_export
+
+
+def streaming_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st19 — ev30's within-session event-type affinity census over the
+    STREAMING session set: the engine-native ``session_window`` keeps a
+    ``collect_set(event_type)`` per open session (state bounded by open
+    sessions x the type vocabulary), append mode emits only
+    watermark-finalized sessions, and the finalized rows feed the SAME
+    affinity rollup ev30 uses (`_affinity_of_session_types`). This is
+    the live market-basket view a dashboard can publish mid-stream with
+    no partial-session bias; the DuckDB oracle states the finalized-set
+    predicate (session end + gap < max ts - watermark delay) over ev3's
+    batch sessionization and the identical wide-integer arithmetic.
+
+    Scale: the streaming agg state is |open sessions| rows each holding
+    at most |type vocab| elements; the rollup downstream of the memory
+    sink is ev30's — session-keyed pair join bounded by C(|vocab|, 2)
+    per session, broadcast marginals."""
+    from ..pipeline.events_analytics import _affinity_of_session_types  # noqa: PLC0415
+
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+    )
+    _run_to_memory(agg, "st19_out", "append")
+    st = spark.table("st19_out").select(
+        "user_id",
+        # the finalized window start is unique per (user, session): it IS
+        # the session id for the rollup
+        F.unix_micros(F.col("w.start")).alias("session_id"),
+        F.explode("types").alias("event_type"),
+    )
+    return _affinity_of_session_types(st)
+
+
+ORACLES["st19_streaming_type_affinity"] = f"""
+    WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+                       OR t - LAG(t) OVER w > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    wm AS (SELECT MAX(epoch_us(ts)) - 10 * 60 * 1000000 AS watermark_us FROM events),
+    fin AS (
+      SELECT user_id, session_id
+      FROM sess GROUP BY user_id, session_id
+      HAVING MAX(t) + 30 * 60 * 1000000 < (SELECT watermark_us FROM wm)),
+    s AS (
+      SELECT DISTINCT e.user_id, CAST(e.session_id AS BIGINT) AS session_id,
+             e.event_type
+      FROM sess e JOIN fin USING (user_id, session_id)),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_id FROM s)),
+    marg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM s GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           ma.n_type AS n_a, mb.n_type AS n_b, p.n_both, t.n_sessions,
+           CAST((CAST(p.n_both AS HUGEINT) * 1000000 * t.n_sessions)
+                // (CAST(ma.n_type AS HUGEINT) * mb.n_type) AS BIGINT)
+             AS lift_micro,
+           CAST((CAST(p.n_both AS HUGEINT) * 1000000)
+                // (CAST(ma.n_type AS HUGEINT) + mb.n_type - p.n_both)
+             AS BIGINT) AS jaccard_ppm
+    FROM pairs p
+    JOIN marg ma ON p.type_a = ma.event_type
+    JOIN marg mb ON p.type_b = mb.event_type
+    CROSS JOIN tot t"""
+SPARK_QUERIES["st19_streaming_type_affinity"] = streaming_type_affinity

@@ -3369,3 +3369,95 @@ def test_dd26_rollup_is_conserved_on_fixture(spark, sf_dir):
         assert r["max_span_tokens"] >= _DD26_K or r["n_spans"] == 0
         assert r["covered_tokens"] >= r["n_spans"] * _DD26_K
         assert r["covered_ppm"] == r["covered_tokens"] * 1_000_000 // r["total_tokens"]
+
+
+def test_ev30_affinity_on_constructed_sessions(spark):
+    """ev30's association arithmetic on a corpus with known sessions:
+    three users, gaps chosen so the session structure is {AB}, {AB},
+    {A}, {BC} -> n_sessions=4, n_A=3, n_B=3, n_AB=2, and the published
+    lift/jaccard are the hand-computed floor divisions. Types never
+    co-occurring (A,C) produce NO row."""
+    import datetime as dt
+
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _GAP_MIN,
+        _session_type_affinity_of,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=_GAP_MIN + 1)
+    rows = [
+        # user 1: session 1 = {A, B}; session 2 = {A, B} (A twice: distinct)
+        (1, t0, 1, "A"), (1, t0 + dt.timedelta(minutes=1), 2, "B"),
+        (1, t0 + gap * 2, 3, "A"), (1, t0 + gap * 2 + dt.timedelta(minutes=1), 4, "A"),
+        (1, t0 + gap * 2 + dt.timedelta(minutes=2), 5, "B"),
+        # user 2: session 1 = {A}
+        (2, t0, 6, "A"),
+        # user 3: session 1 = {B, C}
+        (3, t0, 7, "B"), (3, t0 + dt.timedelta(minutes=1), 8, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {(r["type_a"], r["type_b"]): r
+           for r in _session_type_affinity_of(df).collect()}
+
+    assert set(got) == {("A", "B"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_both"], ab["n_sessions"]) == (3, 3, 2, 4)
+    assert ab["lift_micro"] == 2 * 4 * 1_000_000 // (3 * 3)
+    assert ab["jaccard_ppm"] == 2 * 1_000_000 // (3 + 3 - 2)
+    bc = got[("B", "C")]
+    assert (bc["n_a"], bc["n_b"], bc["n_both"]) == (3, 1, 1)
+    assert bc["lift_micro"] == 1 * 4 * 1_000_000 // (3 * 1)
+    assert bc["jaccard_ppm"] == 1 * 1_000_000 // 3
+
+
+def test_ev30_fixture_invariants(spark, sf_dir):
+    """ev30 on the real fixture: pairs are canonical (type_a < type_b)
+    and unique; n_both <= min(n_a, n_b) <= n_sessions; the integer
+    scores reproduce python's floor division from the published counts
+    (so the wide-decimal DIV path can't silently drift)."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        session_type_affinity,
+    )
+
+    rows = session_type_affinity(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert (r["type_a"], r["type_b"]) not in seen
+        seen.add((r["type_a"], r["type_b"]))
+        assert 1 <= r["n_both"] <= min(r["n_a"], r["n_b"]) <= r["n_sessions"]
+        assert r["lift_micro"] == (
+            r["n_both"] * r["n_sessions"] * 1_000_000 // (r["n_a"] * r["n_b"])
+        )
+        assert r["jaccard_ppm"] == (
+            r["n_both"] * 1_000_000 // (r["n_a"] + r["n_b"] - r["n_both"])
+        )
+
+
+def test_st19_is_ev30_over_the_finalized_subset(spark, sf_dir):
+    """st19 publishes ev30's affinity table restricted to
+    watermark-finalized sessions: every st19 pair exists in ev30 with
+    counts no smaller, the canonical-pair and integer-arithmetic
+    invariants hold, and n_sessions is at most the batch count."""
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        session_type_affinity,
+    )
+    from impala_workload_analyzer_spark.streaming.stream_queries import (
+        streaming_type_affinity,
+    )
+
+    batch = {(r["type_a"], r["type_b"]): r
+             for r in session_type_affinity(spark, sf_dir).collect()}
+    rows = streaming_type_affinity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 1 <= r["n_both"] <= min(r["n_a"], r["n_b"]) <= r["n_sessions"]
+        assert r["lift_micro"] == (
+            r["n_both"] * r["n_sessions"] * 1_000_000 // (r["n_a"] * r["n_b"])
+        )
+        b = batch[(r["type_a"], r["type_b"])]
+        assert r["n_both"] <= b["n_both"]
+        assert r["n_sessions"] <= b["n_sessions"]

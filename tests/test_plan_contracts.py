@@ -623,3 +623,13 @@ def test_dd26_keyed_gram_join_single_doc_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(doc_id") <= 1, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_ev30_pair_join_is_session_keyed(spark, sf_dir):
+    # the type-pair census self-joins the distinct (user, session, type)
+    # frame KEYED on (user_id, session_id) — per-session fanout bounded
+    # by the type vocab, never a cartesian; marginals and the 1-row
+    # session total attach by broadcast
+    plan = _plan(spark, sf_dir, "ev30_session_type_affinity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
