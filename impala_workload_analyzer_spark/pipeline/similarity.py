@@ -2695,3 +2695,112 @@ def _dd25_oracle() -> str:
 
 ORACLES["dd25_text_embedding_agreement"] = _dd25_oracle()
 SPARK_QUERIES["dd25_text_embedding_agreement"] = text_embedding_dup_agreement
+
+
+def metric_choice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim26 — METRIC-CHOICE AUDIT (cosine vs raw inner product): for the
+    fixed query batch, rank the corpus under BOTH metrics and publish,
+    per query label, how much the choice matters — rank-1 agreement and
+    top-k overlap in exact ppm. This is the normalize-or-not decision
+    every vector store makes up front (MIPS-native indexes and dot-
+    product training objectives skip the norm; cosine is length-
+    invariant): high agreement says the corpus norms are uniform enough
+    to serve the cheaper un-normalized path, low agreement says the two
+    metrics retrieve different neighbors and the index metric must match
+    the training objective.
+
+    Exactness: both similarity expressions are the same rounded-to-9
+    arithmetic trees in both engines (the sim1 discipline); everything
+    published is an integer count or a floor-division ppm.
+
+    Scale: rides sim1's plan — broadcast query batch, map-side scoring
+    of both metrics in one pass over the corpus, then the two rank
+    windows share ONE query_id exchange (same partitioning, two
+    in-partition sorts). The kept set is <= 2k rows per query before the
+    label rollup; the rollup is |label vocab|-bounded."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    scored = _exact_scored(spark, sf_dir).withColumn(
+        "dot", F.round(F.expr(_spark_dot("qv", "embedding")), 9)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    w_dot = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    ranked = (
+        scored.withColumn("rank_cos", F.row_number().over(w_cos))
+        .withColumn("rank_dot", F.row_number().over(w_dot))
+        .filter((F.col("rank_cos") <= _TOP_K) | (F.col("rank_dot") <= _TOP_K))
+    )
+    per_q = ranked.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            ((F.col("rank_cos") <= _TOP_K) & (F.col("rank_dot") <= _TOP_K))
+            .cast("bigint")
+        ).alias("n_overlap"),
+        F.max(F.when(F.col("rank_cos") == 1, F.col("vec_id"))).alias("top_cos"),
+        F.max(F.when(F.col("rank_dot") == 1, F.col("vec_id"))).alias("top_dot"),
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum((F.col("top_cos") == F.col("top_dot")).cast("bigint"))
+            .cast("bigint").alias("n_rank1_agree"),
+            F.sum("n_overlap").cast("bigint").alias("n_overlap_total"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_rank1_agree",
+            "n_overlap_total",
+            F.expr(IDIV("n_overlap_total * 1000000", f"n_queries * {_TOP_K}"))
+            .alias("overlap_ppm"),
+        )
+    )
+
+
+def _sim26_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+                     nrm AS qn
+              FROM e WHERE vec_id < {_QUERY_K}),
+        sim AS (
+          SELECT q.query_id, q.qlabel, e.vec_id,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')} / (q.qn * e.nrm), 9)
+                   AS sim,
+                 ROUND({_duck_dot('q.qv', 'e.embedding')}, 9) AS dot
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank_cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, vec_id ASC) AS rank_dot
+          FROM sim),
+        kept AS (
+          SELECT * FROM ranked
+          WHERE rank_cos <= {_TOP_K} OR rank_dot <= {_TOP_K}),
+        per_q AS (
+          SELECT query_id, qlabel,
+                 CAST(SUM(CASE WHEN rank_cos <= {_TOP_K}
+                                AND rank_dot <= {_TOP_K}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+                 MAX(CASE WHEN rank_cos = 1 THEN vec_id END) AS top_cos,
+                 MAX(CASE WHEN rank_dot = 1 THEN vec_id END) AS top_dot
+          FROM kept GROUP BY query_id, qlabel)
+        SELECT qlabel AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN top_cos = top_dot THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rank1_agree,
+               CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_total,
+               {IDIV('SUM(n_overlap) * 1000000', f'COUNT(*) * {_TOP_K}')}
+                 AS overlap_ppm
+        FROM per_q GROUP BY qlabel"""
+
+
+ORACLES["sim26_metric_choice_audit"] = _sim26_oracle()
+SPARK_QUERIES["sim26_metric_choice_audit"] = metric_choice_audit

@@ -6,20 +6,22 @@ registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything no driver
 round has ever witnessed, (b) everything modified since the last driver
 run, (c) the block longest unwitnessed. Round-11 window (50), executing
-what the round-10 verdict prescribed (its task #1): first the three
+what the round-10 verdict prescribed (its task #1): first the four
 round-11 additions no driver round has witnessed —
 dd26_repeated_substrings (the variable-length exact-substring dedup
 census), ev30_session_type_affinity (the within-session event-type
-association census), and st19_streaming_type_affinity (ev30's
-watermark-finalized streaming twin), each exact-bit local-gated at
-sf0.001 and sf0.01 this round; then the 47 oldest-witnessed queries,
-all last seen by the driver in rounds 5-6 while shared infrastructure
-(cache_util, session config, corpus loaders) changed underneath them —
-the tx13-tx16/a20-a22/set2 r5 block and the r6 sim/ev/dd/tx tail,
-exactly as ``tools/window_coverage.py --full`` prescribes.
-w3_top_customers_per_nation and x1_region_nation_grid (displaced by
-ev30/st19) and a1_op_time_by_name are entries #51-53: they lead the
-r12 window. Nothing in this round
+association census), st19_streaming_type_affinity (ev30's
+watermark-finalized streaming twin), and sim26_metric_choice_audit
+(the cosine-vs-inner-product ranking agreement table), each exact-bit
+local-gated at sf0.001 and sf0.01 this round; then the 46
+oldest-witnessed queries, all last seen by the driver in rounds 5-6
+while shared infrastructure (cache_util, session config, corpus
+loaders) changed underneath them — the tx13-tx16/a20-a22/set2 r5
+block and the r6 sim/ev/dd/tx tail, exactly as
+``tools/window_coverage.py --full`` prescribes. The three displaced
+tail entries (w2b_nation_revenue_share, w3_top_customers_per_nation,
+x1_region_nation_grid) and a1_op_time_by_name are entries #51-54:
+they lead the r12 window. Nothing in this round
 modified an already-witnessed query plan (the a36 change was
 test-only), so category (b) is empty. Everything after the front block is ordered
 oldest-witness-first (ties keep the prior rotation's relative order),
@@ -38,8 +40,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
     "dd26_repeated_substrings", "ev30_session_type_affinity",
-    "st19_streaming_type_affinity", "tx13_boilerplate_stats",
-    "tx14_vocab_coverage",
+    "st19_streaming_type_affinity", "sim26_metric_choice_audit",
+    "tx13_boilerplate_stats", "tx14_vocab_coverage",
     "tx15_pipeline_funnel", "tx16_bigram_logprob", "a20_workload_cube",
     "a21_runtime_deciles", "a22_operator_cooccurrence", "set2_party_nation_overlap",
     "tpch_q14", "sim1_brute_force_topk", "sim2_lsh_topk",

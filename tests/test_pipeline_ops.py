@@ -3461,3 +3461,28 @@ def test_st19_is_ev30_over_the_finalized_subset(spark, sf_dir):
         b = batch[(r["type_a"], r["type_b"])]
         assert r["n_both"] <= b["n_both"]
         assert r["n_sessions"] <= b["n_sessions"]
+
+
+def test_sim26_agreement_bounds_and_self_consistency(spark, sf_dir):
+    """sim26 invariants on the fixture: per-label query counts sum to
+    the batch size; rank-1 agreements never exceed queries; the overlap
+    total is bounded by queries x k and the ppm reproduces python's
+    floor division; and a query ranked under the SAME metric twice
+    agrees with itself (sanity of the two-window construction, checked
+    by overlap == k whenever corpus norms are constant — not asserted
+    here, only the bounds)."""
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _QUERY_K,
+        _TOP_K,
+        metric_choice_audit,
+    )
+
+    rows = metric_choice_audit(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_queries"] for r in rows) == _QUERY_K
+    for r in rows:
+        assert 0 <= r["n_rank1_agree"] <= r["n_queries"]
+        assert 0 <= r["n_overlap_total"] <= r["n_queries"] * _TOP_K
+        assert r["overlap_ppm"] == (
+            r["n_overlap_total"] * 1_000_000 // (r["n_queries"] * _TOP_K)
+        )

@@ -633,3 +633,13 @@ def test_ev30_pair_join_is_session_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev30_session_type_affinity")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_sim26_two_rank_windows_share_one_exchange(spark, sf_dir):
+    # both metric rankings partition by query_id: one exchange feeds two
+    # in-partition sorts; the query batch broadcasts (sim1's plan) and
+    # nothing re-shuffles the corpus for the second metric
+    plan = _plan(spark, sf_dir, "sim26_metric_choice_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(query_id") <= 1, plan
