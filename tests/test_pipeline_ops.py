@@ -3486,3 +3486,152 @@ def test_sim26_agreement_bounds_and_self_consistency(spark, sf_dir):
         assert r["overlap_ppm"] == (
             r["n_overlap_total"] * 1_000_000 // (r["n_queries"] * _TOP_K)
         )
+
+
+def _dd26_python_reference(corpus, k):
+    """Pure-python dd26 over [(doc_id, source, text)] — the semantics
+    spelled out independently of Spark: corpus-wide duplicated k-token
+    windows, per-doc islands of touching window starts (gap <= k),
+    exact disjoint-interval coverage, per-source integer rollup."""
+    from collections import Counter, defaultdict
+
+    words = {d: t.lower().split() for d, _, t in corpus}
+    eligible = {d for d, w in words.items() if len(w) >= k}
+    occ = defaultdict(list)  # doc -> [pos]
+    counts = Counter()
+    keys = {}
+    for d in eligible:
+        w = words[d]
+        for i in range(len(w) - k + 1):
+            key = tuple(w[i:i + k])
+            counts[key] += 1
+            keys[(d, i + 1)] = key
+    for (d, pos), key in keys.items():
+        if counts[key] >= 2:
+            occ[d].append(pos)
+    spans = defaultdict(list)  # doc -> [span_tokens]
+    for d, positions in occ.items():
+        positions.sort()
+        start = prev = positions[0]
+        for p in positions[1:]:
+            if p - prev > k:
+                spans[d].append(prev - start + k)
+                start = p
+            prev = p
+        spans[d].append(prev - start + k)
+    out = {}
+    srcs = {s for _, s, _ in corpus}
+    by_src = {s: [d for d, s2, _ in corpus if s2 == s and d in eligible]
+              for s in srcs}
+    for s, docs in by_src.items():
+        if not docs:
+            continue
+        n_spans = sum(len(spans[d]) for d in docs)
+        covered = sum(sum(spans[d]) for d in docs)
+        total = sum(len(words[d]) for d in docs)
+        out[s] = {
+            "n_docs": len(docs),
+            "n_docs_spanned": sum(1 for d in docs if spans[d]),
+            "n_spans": n_spans,
+            "covered_tokens": covered,
+            "max_span_tokens": max(
+                (x for d in docs for x in spans[d]), default=0
+            ),
+            "total_tokens": total,
+            "covered_ppm": covered * 1_000_000 // total,
+        }
+    return out
+
+
+def test_dd26_matches_python_reference_on_random_corpora(spark):
+    """dd26 against an independently-written python reference on seeded
+    random corpora drawn from a 6-word vocabulary (dense repeats: the
+    adversarial case for island/coverage arithmetic), k=3."""
+    import numpy as np
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _repeated_substrings_of,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    for trial in range(3):
+        corpus = []
+        for d in range(12):
+            n = int(rng.integers(2, 30))  # includes below-k docs
+            text = " ".join(vocab[i] for i in rng.integers(0, 6, n))
+            corpus.append((d, f"s{d % 3}", text))
+        docs = spark.createDataFrame(
+            corpus, "doc_id long, source string, text string"
+        )
+        got = {r["source"]: r.asDict()
+               for r in _repeated_substrings_of(docs, 3).collect()}
+        want = _dd26_python_reference(corpus, 3)
+        assert set(got) == set(want), f"trial {trial}"
+        for s, w in want.items():
+            g = got[s]
+            for col, val in w.items():
+                assert g[col] == val, f"trial {trial} {s} {col}: {g[col]} != {val}"
+
+
+def test_ev30_matches_python_reference_on_random_events(spark):
+    """ev30 against an independently-written python reference on seeded
+    random event streams (5 users, 4 types, gaps straddling the session
+    threshold)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import numpy as np
+
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _GAP_MIN,
+        _session_type_affinity_of,
+    )
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 0
+        for _ in range(int(rng.integers(5, 25))):
+            t += int(rng.integers(1, 3 * _GAP_MIN)) * 60  # minutes -> s
+            eid += 1
+            rows.append((u, t0 + dt.timedelta(seconds=t), eid,
+                         f"T{int(rng.integers(0, 4))}"))
+    # python reference: sessionize by gap, distinct types per session
+    sess_types = defaultdict(set)
+    by_user = defaultdict(list)
+    for u, ts, e, ty in rows:
+        by_user[u].append((ts, e, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, e, ty in evs:
+            if prev is None or (ts - prev).total_seconds() > _GAP_MIN * 60:
+                sid += 1
+            sess_types[(u, sid)].add(ty)
+            prev = ts
+    n_sessions = len(sess_types)
+    marg = defaultdict(int)
+    pair = defaultdict(int)
+    for types in sess_types.values():
+        for ty in types:
+            marg[ty] += 1
+        ts_sorted = sorted(types)
+        for i in range(len(ts_sorted)):
+            for j in range(i + 1, len(ts_sorted)):
+                pair[(ts_sorted[i], ts_sorted[j])] += 1
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {(r["type_a"], r["type_b"]): r
+           for r in _session_type_affinity_of(df).collect()}
+    assert set(got) == set(pair)
+    for (a, b), n_both in pair.items():
+        r = got[(a, b)]
+        assert (r["n_a"], r["n_b"], r["n_both"], r["n_sessions"]) == (
+            marg[a], marg[b], n_both, n_sessions)
+        assert r["lift_micro"] == n_both * n_sessions * 1_000_000 // (
+            marg[a] * marg[b])
+        assert r["jaccard_ppm"] == n_both * 1_000_000 // (
+            marg[a] + marg[b] - n_both)
