@@ -6,7 +6,7 @@ row count, sorted column names, and order-insensitive values
 (floats rounded to 9 significant-ish decimals before comparison —
 stricter than needed, so driver hash mismatches surface here first).
 
-Usage: python tools/check.py [sf_dir] [name ...]
+Usage: python tools/check.py [--slice i/n] [sf_dir] [name ...]
 """
 
 from __future__ import annotations
@@ -88,8 +88,21 @@ def _canon_duck(dtype: str) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --slice i/n splits the registry (registration order) into n
+    # contiguous chunks and runs chunk i (1-based) — for harnesses with a
+    # per-process wall clock shorter than a full sf0.1 pass (the r11
+    # close-out ran 4 chunks by hand; this flag makes that reproducible).
+    slice_i = slice_n = None
+    for a in list(args):
+        if a.startswith("--slice"):
+            spec = a.split("=", 1)[1] if "=" in a else args[args.index(a) + 1]
+            slice_i, slice_n = (int(x) for x in spec.split("/"))
+            args.remove(a)
+            if spec in args:
+                args.remove(spec)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from impala_workload_analyzer_spark.session import get_spark
@@ -102,6 +115,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = entrymod.queries()
+    if slice_n:
+        names = list(qs)
+        per = -(-len(names) // slice_n)  # ceil
+        keep = set(names[(slice_i - 1) * per : slice_i * per])
+        qs = {n: f for n, f in qs.items() if n in keep}
+        print(f"slice {slice_i}/{slice_n}: {len(qs)} queries")
     oracles = entrymod.oracle_sql()
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
