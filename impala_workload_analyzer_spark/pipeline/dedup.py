@@ -2368,3 +2368,123 @@ def _dd26_oracle() -> str:
 
 ORACLES["dd26_repeated_substrings"] = _dd26_oracle()
 SPARK_QUERIES["dd26_repeated_substrings"] = repeated_substrings
+
+
+# dd27: every (bands x rows) split of dd3's 16-hash budget — the grid the
+# S-curve advisor prices, a superset of dd21's three MEASURED configs.
+_DD27_GRID = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_sql(e: str, n: int) -> str:
+    """x^n for a power-of-two n as an explicit squaring chain — ONE text,
+    one association order, run verbatim on both engines, so the float
+    result is bit-identical (pow()'s libm could differ in the last bit;
+    a fixed multiplication tree cannot)."""
+    if n == 1:
+        return e
+    h = _pow_sql(e, n // 2)
+    return f"(({h})*({h}))"
+
+
+def _scurve_p_sql(b: int, r: int) -> str:
+    """P(candidate | jaccard s) = 1 - (1 - s^r)^b, rounded to 9dp —
+    the MinHash-LSH collision S-curve (MMDS ch. 3) as a portable
+    multiplication-only SQL expression over the ``jaccard`` column."""
+    sr = _pow_sql("jaccard", r)
+    return f"ROUND(1 - {_pow_sql(f'(1 - {sr})', b)}, 9)"
+
+
+def lsh_curve_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd27 — ANALYTIC LSH DESIGN TABLE: for every (bands x rows) split
+    of dd3's 16-minhash budget, the EXPECTED recall over the corpus's
+    measured true-pair similarity spectrum (the persisted exact-jaccard
+    frame), plus the weakest pair's catch probability — the S-curve
+    formula priced on real data instead of a textbook similarity. dd21
+    answers the banding question empirically for three configs by
+    running them; dd27 predicts ALL five splits from one 1-row
+    aggregate, including the configs you did not pay to run — the table
+    an operator reads FIRST, then spot-checks with dd21's sweep.
+
+    Exactness: the S-curve is evaluated as a fixed squaring chain (one
+    SQL text on both engines — no libm pow), rounded to 9dp per pair;
+    per-config sums accumulate as DECIMAL(38,9) (exact, commutative);
+    every published figure is FLOOR-scaled integer micro/ppm, with
+    recall_ppm derived by integer division from the published
+    hits_micro (floor(floor(x)/n) = floor(x/n)).
+
+    Scale: one pass over the persisted truth-pair frame (|pairs| rows —
+    never the corpus), one partial-agg'd reduction to a single row,
+    exploded to the |grid|-row table. Pairs with jaccard below dd2's
+    0.5 threshold are not in the frame and contribute p <= the curve at
+    0.5 — the advisor prices RECALL on verified true pairs, the
+    candidate-volume side of the trade is dd21's measured column."""
+    return _lsh_curve_of(_shared_jaccard3(spark, sf_dir))
+
+
+def _lsh_curve_of(pairs: DataFrame) -> DataFrame:
+    """dd27 core over any (doc_a, doc_b, jaccard) frame — split out so
+    tests can drive it on constructed similarity spectra."""
+    aggs = []
+    for b, r in _DD27_GRID:
+        p = _scurve_p_sql(b, r)
+        aggs.append(
+            F.expr(f"SUM(CAST({p} AS DECIMAL(38,9)))").alias(f"s_{b}_{r}")
+        )
+        aggs.append(F.expr(f"MIN({p})").alias(f"m_{b}_{r}"))
+    g = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.col("n_pairs").alias("n_pairs"),
+                F.expr(f"CAST(FLOOR(s_{b}_{r} * 1000000) AS BIGINT)").alias(
+                    "expected_hits_micro"
+                ),
+                F.expr(f"CAST(FLOOR(m_{b}_{r} * 1000000) AS BIGINT)").alias(
+                    "weakest_pair_hit_micro"
+                ),
+            )
+            for b, r in _DD27_GRID
+        ]
+    )
+    return (
+        g.select(F.explode(rows).alias("c"))
+        .select("c.*")
+        .withColumn(
+            "expected_recall_ppm",
+            F.expr("expected_hits_micro DIV n_pairs"),
+        )
+    )
+
+
+def _dd27_oracle() -> str:
+    branches = []
+    for b, r in _DD27_GRID:
+        p = _scurve_p_sql(b, r)
+        branches.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               n_pairs,
+               CAST(FLOOR(s_{b}_{r} * 1000000) AS BIGINT) AS expected_hits_micro,
+               CAST(FLOOR(m_{b}_{r} * 1000000) AS BIGINT) AS weakest_pair_hit_micro,
+               CAST(FLOOR(s_{b}_{r} * 1000000) AS BIGINT) // n_pairs
+                 AS expected_recall_ppm
+            FROM agg"""
+        )
+        # per-config aggregates assembled below
+    cols = ", ".join(
+        f"SUM(CAST({_scurve_p_sql(b, r)} AS DECIMAL(38,9))) AS s_{b}_{r},"
+        f" MIN({_scurve_p_sql(b, r)}) AS m_{b}_{r}"
+        for b, r in _DD27_GRID
+    )
+    union = "\n UNION ALL\n ".join(branches)
+    return f"""
+        WITH t AS ({ORACLES["dd2_ngram_jaccard_pairs"]}),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, {cols} FROM t)
+        {union}"""
+
+
+ORACLES["dd27_lsh_curve_advisor"] = _dd27_oracle()
+SPARK_QUERIES["dd27_lsh_curve_advisor"] = lsh_curve_advisor

@@ -20,8 +20,11 @@ loaders) changed underneath them — the tx13-tx16/a20-a22/set2 r5
 block and the r6 sim/ev/dd/tx tail, exactly as
 ``tools/window_coverage.py --full`` prescribes. The three displaced
 tail entries (w2b_nation_revenue_share, w3_top_customers_per_nation,
-x1_region_nation_grid) and a1_op_time_by_name are entries #51-54:
-they lead the r12 window. Nothing in this round
+x1_region_nation_grid) and a1_op_time_by_name are entries #51-54.
+dd27_lsh_curve_advisor, a post-validation round-11 addition, is
+deliberately NOT in _PRIORITY: it appends past-window (module order)
+at zero cost to the r11 freshness rotation, and leads the r12 window
+as rotation category (a) alongside the displaced tail. Nothing in this round
 modified an already-witnessed query plan (the a36 change was
 test-only), so category (b) is empty. Everything after the front block is ordered
 oldest-witness-first (ties keep the prior rotation's relative order),

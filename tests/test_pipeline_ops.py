@@ -3635,3 +3635,73 @@ def test_ev30_matches_python_reference_on_random_events(spark):
             marg[a] * marg[b])
         assert r["jaccard_ppm"] == n_both * 1_000_000 // (
             marg[a] + marg[b] - n_both)
+
+
+def test_dd27_scurve_on_constructed_spectrum(spark):
+    """dd27's S-curve arithmetic on a hand-checkable spectrum: exact
+    duplicates (s=1) are caught with probability 1 under EVERY banding;
+    a threshold pair (s=0.5) follows the closed-form 1-(1-s^r)^b
+    computed with the same squaring chain; expected recall is monotone
+    non-increasing as rows-per-band grow (the S-curve steepens); and
+    the published ppm reproduces integer division from hits_micro."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _DD27_GRID,
+        _lsh_curve_of,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 0.5), (5, 6, 0.75)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in _lsh_curve_of(pairs).collect()}
+    assert set(rows) == set(_DD27_GRID)
+
+    def chain_pow(x, n):
+        if n == 1:
+            return x
+        h = chain_pow(x, n // 2)
+        return h * h
+
+    import math
+
+    for (b, r), row in rows.items():
+        assert row["n_pairs"] == 3
+        expected = 0.0
+        weakest = 1.0
+        for s in (1.0, 0.5, 0.75):
+            p = round(1 - chain_pow(1 - chain_pow(s, r), b), 9)
+            expected += p
+            weakest = min(weakest, p)
+        assert row["expected_hits_micro"] == math.floor(expected * 1_000_000)
+        assert row["weakest_pair_hit_micro"] == math.floor(weakest * 1_000_000)
+        assert row["expected_recall_ppm"] == row["expected_hits_micro"] // 3
+    # the s=1 pair alone guarantees every config catches at least one
+    # pair surely; and recall decays with r over this spectrum
+    recalls = [rows[(b, r)]["expected_recall_ppm"] for b, r in _DD27_GRID]
+    assert all(a >= c for a, c in zip(recalls, recalls[1:]))
+    assert rows[(16, 1)]["weakest_pair_hit_micro"] >= 999_984  # 1-(1-.5)^16
+
+
+def test_dd27_fixture_bounds(spark, sf_dir):
+    """dd27 on the real truth frame: 5 grid rows, probabilities bounded,
+    (8,2) — dd3's production config — catches at least as much as any
+    steeper config, and every config's expected recall is positive
+    (the frame only holds pairs at jaccard >= 0.5)."""
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _DD27_GRID,
+        lsh_curve_advisor,
+    )
+
+    rows = {(r["bands"], r["rows_per_band"]): r
+            for r in lsh_curve_advisor(spark, sf_dir).collect()}
+    assert set(rows) == set(_DD27_GRID)
+    n = next(iter(rows.values()))["n_pairs"]
+    assert n >= 1
+    for row in rows.values():
+        assert row["n_pairs"] == n
+        assert 0 < row["expected_hits_micro"] <= n * 1_000_000
+        assert 0 <= row["weakest_pair_hit_micro"] <= 1_000_000
+        assert row["expected_recall_ppm"] == row["expected_hits_micro"] // n
+    assert (rows[(8, 2)]["expected_recall_ppm"]
+            >= rows[(4, 4)]["expected_recall_ppm"])

@@ -643,3 +643,11 @@ def test_sim26_two_rank_windows_share_one_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert plan.count("hashpartitioning(query_id") <= 1, plan
+
+
+def test_dd27_is_one_pass_over_the_pair_frame(spark, sf_dir):
+    # the advisor aggregates the truth-pair frame to ONE row and
+    # explodes the constant grid — no corpus rescans beyond the shared
+    # truth build, no cartesian anywhere
+    plan = _plan(spark, sf_dir, "dd27_lsh_curve_advisor")
+    assert "CartesianProduct" not in plan
