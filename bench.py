@@ -232,7 +232,8 @@ def main() -> int:
     # ensure_scan_cache materialized in the untimed warm-up above, so its
     # cost was invisible in the artifact. Time a COLD rebuild of the two
     # streamed tables' layouts into a throwaway root (same _build_cache
-    # path, real shuffle-free repartition write), then discard — the real
+    # path, a round-robin repartition(n) write — a full shuffle), then
+    # discard — the real
     # cache is untouched and stays warm for reproducibility.
     import shutil
     import tempfile

@@ -96,8 +96,24 @@ def main() -> int:
     slice_i = slice_n = None
     for a in list(args):
         if a.startswith("--slice"):
-            spec = a.split("=", 1)[1] if "=" in a else args[args.index(a) + 1]
-            slice_i, slice_n = (int(x) for x in spec.split("/"))
+            if "=" in a:
+                spec = a.split("=", 1)[1]
+            elif args.index(a) + 1 < len(args):
+                spec = args[args.index(a) + 1]
+            else:
+                print("error: --slice requires a value (i/n)", file=sys.stderr)
+                return 2
+            try:
+                slice_i, slice_n = (int(x) for x in spec.split("/"))
+            except ValueError:
+                print(f"error: bad --slice spec {spec!r} (want i/n)", file=sys.stderr)
+                return 2
+            if not 1 <= slice_i <= slice_n:
+                print(
+                    f"error: --slice {spec} out of range (need 1 <= i <= n)",
+                    file=sys.stderr,
+                )
+                return 2
             args.remove(a)
             if spec in args:
                 args.remove(spec)
@@ -121,6 +137,10 @@ def main() -> int:
         keep = set(names[(slice_i - 1) * per : slice_i * per])
         qs = {n: f for n, f in qs.items() if n in keep}
         print(f"slice {slice_i}/{slice_n}: {len(qs)} queries")
+        if not qs:
+            # an empty chunk passing vacuously would silently skip the gate
+            print("error: selected slice is empty", file=sys.stderr)
+            return 2
     oracles = entrymod.oracle_sql()
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
