@@ -2250,15 +2250,16 @@ def repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _repeated_substrings_of(load_table(spark, sf_dir, "documents"))
 
 
-def _repeated_substrings_of(docs: DataFrame, k: int = _DD26_K) -> DataFrame:
-    """dd26 core over any (doc_id, source, text) frame — see
-    ``repeated_substrings`` for semantics; split out so tests can drive
-    it on constructed corpora with known repeated spans."""
-    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+def _dup_spans_of(words: DataFrame, k: int) -> DataFrame:
+    """dd26's census core over any (doc_id, source, w) frame: the maximal
+    token spans (doc_id, source, grp, span_tokens) whose every position is
+    covered by a >=k-token window occurring >= 2x across the frame.
+    Shared by dd26's per-source rollup and tx33's substring-cut funnel
+    stage so the span semantics can never drift between them.
 
-    words = docs.select("doc_id", "source", F.expr(_words(True)).alias("w")).filter(
-        F.size("w") >= k
-    )
+    Scale: one md5-keyed groupBy (map-side partial) + one hash join of
+    the occurrence stream against the duplicated-key set, then a
+    doc_id-partitioned gaps-and-islands window — never all-pairs."""
     occ = words.select(
         "doc_id",
         "source",
@@ -2285,9 +2286,21 @@ def _repeated_substrings_of(docs: DataFrame, k: int = _DD26_K) -> DataFrame:
         "grp",
         F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = isl.groupBy("doc_id", "source", "grp").agg(
+    return isl.groupBy("doc_id", "source", "grp").agg(
         (F.max("pos") - F.min("pos") + F.lit(k)).cast("bigint").alias("span_tokens")
     )
+
+
+def _repeated_substrings_of(docs: DataFrame, k: int = _DD26_K) -> DataFrame:
+    """dd26 core over any (doc_id, source, text) frame — see
+    ``repeated_substrings`` for semantics; split out so tests can drive
+    it on constructed corpora with known repeated spans."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    words = docs.select("doc_id", "source", F.expr(_words(True)).alias("w")).filter(
+        F.size("w") >= k
+    )
+    spans = _dup_spans_of(words, k)
     base = words.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
@@ -2423,7 +2436,13 @@ def lsh_curve_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_curve_of(pairs: DataFrame) -> DataFrame:
     """dd27 core over any (doc_a, doc_b, jaccard) frame — split out so
-    tests can drive it on constructed similarity spectra."""
+    tests can drive it on constructed similarity spectra.
+
+    An EMPTY truth frame (possible at tiny scale factors where no pair
+    clears dd2's 0.5 threshold) yields n_pairs=0 with NULL sums; rather
+    than publish an all-NULL design table, the n_pairs=0 row is filtered
+    so the advisor returns an empty table — same guard in the oracle —
+    and the fixture test asserts non-emptiness at every gated sf."""
     aggs = []
     for b, r in _DD27_GRID:
         p = _scurve_p_sql(b, r)
@@ -2431,7 +2450,9 @@ def _lsh_curve_of(pairs: DataFrame) -> DataFrame:
             F.expr(f"SUM(CAST({p} AS DECIMAL(38,9)))").alias(f"s_{b}_{r}")
         )
         aggs.append(F.expr(f"MIN({p})").alias(f"m_{b}_{r}"))
-    g = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"), *aggs)
+    g = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"), *aggs).filter(
+        F.col("n_pairs") > 0
+    )
     rows = F.array(
         *[
             F.struct(
@@ -2470,7 +2491,7 @@ def _dd27_oracle() -> str:
                CAST(FLOOR(m_{b}_{r} * 1000000) AS BIGINT) AS weakest_pair_hit_micro,
                CAST(FLOOR(s_{b}_{r} * 1000000) AS BIGINT) // n_pairs
                  AS expected_recall_ppm
-            FROM agg"""
+            FROM agg WHERE n_pairs > 0"""
         )
         # per-config aggregates assembled below
     cols = ", ".join(

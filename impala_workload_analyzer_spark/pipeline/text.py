@@ -2260,3 +2260,357 @@ ORACLES["tx32_decontamination_impact"] = f"""
         FROM agg"""
 
 SPARK_QUERIES["tx32_decontamination_impact"] = decontamination_impact
+
+
+# tx33's substring-cut window width. MUST equal dedup._DD26_K (pinned by
+# test_tx33_k_matches_dd26) — a literal rather than an import because
+# dedup's module-level oracle builders import THIS module, so importing
+# back at text's load time would be circular.
+_FUNNEL_K = 10
+
+# tx33 funnel stage names in pipeline order; stage 8 (sequence_packing)
+# switches the unit from documents to packed training sequences.
+_FUNNEL_STAGES = (
+    "raw", "exact_dedup", "substring_cut", "decontamination",
+    "blocklist_policy", "quality_gate", "mixture_sample",
+)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx33 — THE END-TO-END CURATION FUNNEL: the single report a data
+    team reads first, chaining every pipeline stage the repo ships as a
+    standalone query — raw -> exact dedup (dd1's canonical keep) ->
+    substring cut (dd26's duplicated-span removal, token-level) ->
+    benchmark decontamination (tx8's shingle overlap vs the fixed test
+    split, docs at/over tau dropped — including the benchmark split
+    itself) -> blocklist policy (tx10) -> quality gate (tx2) -> mixture
+    sampling (tx12) -> sequence packing (tx9). One row per stage with
+    the surviving unit count and EXACT token accounting: integer tokens,
+    wide-decimal floor ppm vs raw and vs the previous stage (the ev30
+    DIV pattern — token totals * 1e6 outgrow IDIV's 2^53 double window
+    at production scale).
+
+    Semantics: each stage filters the previous stage's survivors; stage
+    predicates evaluate on the original document content while token
+    accounting from the substring cut onward uses EFFECTIVE tokens
+    (n_tokens minus the doc's duplicated-span coverage, dd26's exact
+    disjoint-interval union computed over the deduped corpus). A doc
+    whose every token is span-covered drops at stage 3. Decontamination
+    measures each survivor's distinct-3-gram overlap against the RAW
+    corpus's test-split shingle set (the benchmark is external and
+    fixed); docs with no shingles are unmeasurable and kept; the tau
+    compare is cross-multiplied in integers (2*hits >= shingles) —
+    exactly tx8's double compare for any feasible shingle count, with
+    no float anywhere. The packing row reports packed sequences and
+    their content tokens (oversize docs truncate to one full bin, tx9's
+    rule).
+
+    Scale: every scan is pruned to (doc_id, text[, source]) — the two
+    aggregate sub-pipelines (dd26's span census over survivors, tx8's
+    contamination rollup) reuse those operators' banded/broadcast plans
+    and re-read only that projection; the funnel itself is ONE
+    conditional aggregate over the joined flag stream plus a shard-local
+    packing window over the final survivors. No all-pairs, no cartesian
+    (the two 1-row stage aggregates attach by broadcast), nothing keyed
+    finer than doc_id; four doc_id exchanges total (span rollup,
+    contamination rollup, the flag join, the packing shard window)."""
+    from .dedup import _dup_spans_of  # noqa: PLC0415
+
+    k = _FUNNEL_K
+    docs = _with_norm(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "source", "text", "norm", "words",
+        F.size("words").cast("bigint").alias("n_tokens"),
+    )
+    wd = Window.partitionBy(F.md5("text"))
+    f2 = base.withColumn(
+        "p_dedup", F.col("doc_id") == F.min("doc_id").over(wd)
+    )
+
+    # dd26's span census over stage-2 SURVIVORS (dup detection on the
+    # deduped corpus — exact copies must not count as repeats)
+    words2 = (
+        f2.filter("p_dedup")
+        .filter(F.size("words") >= k)
+        .select("doc_id", "source", F.col("words").alias("w"))
+    )
+    cov = (
+        _dup_spans_of(words2, k)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("bigint").alias("covered"))
+    )
+
+    # tx8's benchmark shingle set, fixed on the RAW corpus
+    sh = base.filter(F.size("words") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(words) - 2),"
+                    " i -> concat_ws(' ', slice(words, i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    test_set = (
+        sh.filter(
+            F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100 >= 90
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contam = (
+        sh.join(F.broadcast(test_set), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sh"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+
+    n_banned = sum(
+        (F.array_contains("words", t).cast("int") for t in _BLOCKLIST),
+        F.lit(0),
+    )
+    rate = F.lit(_MIX_DEFAULT)
+    for src, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    mix_bucket = (
+        F.expr(_SPARK_H.format(x="concat('mix:', CAST(doc_id AS STRING))"))
+        % 10000
+    )
+    eff = (F.col("n_tokens") - F.coalesce("covered", F.lit(0))).cast("bigint")
+    scored = (
+        f2.join(cov, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            eff.alias("eff_tokens"),
+            "p_dedup",
+            (eff > 0).alias("p_sub"),
+            (F.col("n_sh").isNull() | (F.col("n_hit") * 2 < F.col("n_sh")))
+            .alias("p_decon"),
+            (n_banned == 0).alias("p_policy"),
+            (
+                (F.size("words") >= 10)
+                & (
+                    F.length(F.regexp_replace("norm", "[a-z0-9 ]", ""))
+                    / F.length("norm").cast("double") <= 0.2
+                )
+                & (
+                    F.size(F.array_distinct("words"))
+                    / F.size("words").cast("double") >= 0.2
+                )
+            ).alias("p_quality"),
+            (mix_bucket < (rate * 10000).cast("bigint")).alias("p_mix"),
+        )
+    )
+    conds = [F.lit(True), F.col("p_dedup")]
+    for flag in ("p_sub", "p_decon", "p_policy", "p_quality", "p_mix"):
+        conds.append(conds[-1] & F.col(flag))
+    toks = [F.col("n_tokens"), F.col("n_tokens")] + [F.col("eff_tokens")] * 5
+    agg = scored.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"d{i+1}")
+            for i, c in enumerate(conds)
+        ],
+        *[
+            F.sum(F.when(c, t).otherwise(0)).cast("bigint").alias(f"t{i+1}")
+            for i, (c, t) in enumerate(zip(conds, toks))
+        ],
+    )
+
+    surv = scored.filter(conds[-1]).select(
+        "doc_id",
+        F.least(F.col("eff_tokens"), F.lit(_PACK_BUDGET)).alias("nt"),
+        (F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % _PACK_SHARDS)
+        .alias("shard"),
+    )
+    wp = Window.partitionBy("shard").orderBy(
+        F.desc("nt"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins = (
+        surv.withColumn("cum", F.sum("nt").over(wp))
+        .withColumn("bin", ((F.col("cum") - 1) / F.lit(_PACK_BUDGET)).cast("bigint"))
+        .groupBy("shard", "bin")
+        .agg(F.sum("nt").cast("bigint").alias("bt"))
+    )
+    pagg = bins.agg(
+        F.count("*").cast("bigint").alias("d8"),
+        F.coalesce(F.sum("bt"), F.lit(0)).cast("bigint").alias("t8"),
+    )
+
+    one = agg.crossJoin(F.broadcast(pagg))
+    names = list(_FUNNEL_STAGES) + ["sequence_packing"]
+    units = ["docs"] * 7 + ["sequences"]
+
+    def _ppm(num: str, den: str) -> str:
+        return (
+            f"CAST(CAST({num} AS DECIMAL(38,0)) * 1000000"
+            f" DIV GREATEST({den}, 1) AS BIGINT)"
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.lit(un).alias("unit"),
+                F.col(f"d{i}").alias("n_units"),
+                F.col(f"t{i}").alias("n_tokens"),
+                F.expr(_ppm(f"t{i}", "t1")).alias("tokens_ppm_of_raw"),
+                F.expr(_ppm(f"t{i}", f"t{max(i - 1, 1)}"))
+                .alias("tokens_ppm_of_prev"),
+            )
+            for i, (nm, un) in enumerate(zip(names, units), start=1)
+        ]
+    )
+    return one.select(F.explode(rows).alias("c")).select("c.*")
+
+
+def _tx33_oracle() -> str:
+    k = _FUNNEL_K
+    h_doc = _DUCK_H.format(x="CAST(doc_id AS VARCHAR)")
+    h_mix = _DUCK_H.format(x="'mix:' || CAST(f2.doc_id AS VARCHAR)")
+
+    def ppm(num: str, den: str) -> str:
+        return (
+            f"CAST(CAST({num} AS HUGEINT) * 1000000"
+            f" // GREATEST({den}, 1) AS BIGINT)"
+        )
+
+    branches = []
+    names = list(_FUNNEL_STAGES) + ["sequence_packing"]
+    units = ["docs"] * 7 + ["sequences"]
+    for i, (nm, un) in enumerate(zip(names, units), start=1):
+        branches.append(
+            f"""SELECT CAST({i} AS BIGINT) AS stage, '{nm}' AS stage_name,
+               '{un}' AS unit, d{i} AS n_units, t{i} AS n_tokens,
+               {ppm(f"t{i}", "t1")} AS tokens_ppm_of_raw,
+               {ppm(f"t{i}", f"t{max(i - 1, 1)}")} AS tokens_ppm_of_prev
+            FROM onerow"""
+        )
+    cum_docs = []
+    cum_toks = []
+    cond = "TRUE"
+    for i, flag in enumerate(
+        ("p_dedup", "p_sub", "p_decon", "p_policy", "p_quality", "p_mix"),
+        start=2,
+    ):
+        cond = f"{cond} AND {flag}"
+        tok = "n_tokens" if i == 2 else "eff_tokens"
+        cum_docs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}"
+        )
+        cum_toks.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN {tok} ELSE 0 END) AS BIGINT)"
+            f" AS t{i}"
+        )
+    union = "\n UNION ALL\n ".join(branches)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, source, text, {_DUCK_NORM} AS norm,
+                 {_DUCK_WORDS} AS words
+          FROM documents),
+        base AS (
+          SELECT doc_id, source, text, norm, words,
+                 CAST(len(words) AS BIGINT) AS n_tokens
+          FROM d),
+        f2 AS (
+          SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                 AS p_dedup
+          FROM base),
+        w2 AS (
+          SELECT doc_id, words AS w FROM f2
+          WHERE p_dedup AND len(words) >= {k}),
+        occ AS (
+          SELECT doc_id, s['pos'] AS pos, s['g'] AS g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - {k} + 2),
+                     i -> struct_pack(pos := i,
+                            g := md5(array_to_string(w[i:i+{k - 1}], ' ')))))
+                   AS s
+            FROM w2)),
+        dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM occ JOIN dup USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NOT NULL AND pos - prev > {k}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+          FROM (SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+                FROM hits)),
+        cov AS (
+          SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS covered FROM (
+            SELECT doc_id, grp,
+                   CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, grp)
+          GROUP BY doc_id),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(words) - 1),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+          FROM base WHERE len(words) >= 3),
+        test_set AS (
+          SELECT DISTINCT shingle FROM sh WHERE {h_doc} % 100 >= 90),
+        contam AS (
+          SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                 CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit
+          FROM sh s LEFT JOIN test_set t ON s.shingle = t.shingle
+          GROUP BY s.doc_id),
+        scored AS (
+          SELECT f2.doc_id, f2.n_tokens,
+                 f2.n_tokens - COALESCE(cov.covered, 0) AS eff_tokens,
+                 f2.p_dedup,
+                 (f2.n_tokens - COALESCE(cov.covered, 0)) > 0 AS p_sub,
+                 (contam.n_sh IS NULL OR contam.n_hit * 2 < contam.n_sh)
+                   AS p_decon,
+                 ({_BLOCK_SUM}) = 0 AS p_policy,
+                 (len(words) >= 10
+                  AND length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+                      / CAST(length(norm) AS DOUBLE) <= 0.2
+                  AND len(list_distinct(words))
+                      / CAST(len(words) AS DOUBLE) >= 0.2) AS p_quality,
+                 ({h_mix} % 10000)
+                   < CAST(CAST({_MIX_CASE} AS DOUBLE) * 10000 AS BIGINT)
+                   AS p_mix
+          FROM f2 LEFT JOIN cov ON f2.doc_id = cov.doc_id
+                  LEFT JOIN contam ON f2.doc_id = contam.doc_id),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS d1,
+                 CAST(SUM(n_tokens) AS BIGINT) AS t1,
+                 {", ".join(cum_docs)},
+                 {", ".join(cum_toks)}
+          FROM scored),
+        surv AS (
+          SELECT doc_id, LEAST(eff_tokens, {_PACK_BUDGET}) AS nt,
+                 {h_doc} % {_PACK_SHARDS} AS shard
+          FROM scored
+          WHERE p_dedup AND p_sub AND p_decon AND p_policy
+                AND p_quality AND p_mix),
+        packedc AS (
+          SELECT shard, doc_id, nt,
+                 SUM(nt) OVER (PARTITION BY shard
+                   ORDER BY nt DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM surv),
+        bins AS (
+          SELECT shard, CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin,
+                 CAST(SUM(nt) AS BIGINT) AS bt
+          FROM packedc GROUP BY 1, 2),
+        pagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS d8,
+                 CAST(COALESCE(SUM(bt), 0) AS BIGINT) AS t8
+          FROM bins),
+        onerow AS (SELECT * FROM agg CROSS JOIN pagg)
+        {union}"""
+
+
+ORACLES["tx33_curation_funnel"] = _tx33_oracle()
+SPARK_QUERIES["tx33_curation_funnel"] = curation_funnel

@@ -3683,6 +3683,18 @@ def test_dd27_scurve_on_constructed_spectrum(spark):
     assert rows[(16, 1)]["weakest_pair_hit_micro"] >= 999_984  # 1-(1-.5)^16
 
 
+def test_dd27_empty_truth_frame_yields_empty_table(spark):
+    """An empty truth-pair frame (possible at tiny sf where no pair
+    clears dd2's 0.5 threshold) must return an EMPTY design table, not
+    five all-NULL rows from n_pairs=0 aggregates — the guard exists so
+    the driver gate surfaces the condition instead of hash-comparing
+    NULLs (round-11 ADVICE)."""
+    from impala_workload_analyzer_spark.pipeline.dedup import _lsh_curve_of
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    assert _lsh_curve_of(empty).count() == 0
+
+
 def test_dd27_fixture_bounds(spark, sf_dir):
     """dd27 on the real truth frame: 5 grid rows, probabilities bounded,
     (8,2) — dd3's production config — catches at least as much as any
@@ -3705,3 +3717,85 @@ def test_dd27_fixture_bounds(spark, sf_dir):
         assert row["expected_recall_ppm"] == row["expected_hits_micro"] // n
     assert (rows[(8, 2)]["expected_recall_ppm"]
             >= rows[(4, 4)]["expected_recall_ppm"])
+
+
+def test_tx33_k_matches_dd26():
+    """tx33's substring-cut window width is a literal (text.py cannot
+    import dedup at load time — dedup's oracle builders import text);
+    this pin is what keeps the two stages the same operator."""
+    from impala_workload_analyzer_spark.pipeline.dedup import _DD26_K
+    from impala_workload_analyzer_spark.pipeline.text import _FUNNEL_K
+
+    assert _FUNNEL_K == _DD26_K
+
+
+def test_dd26_span_merge_is_k_independent_on_constructed_corpus(spark):
+    """The production knob is k (Lee et al. use 50; the repo gates at
+    10): for a duplicated block of L tokens embedded in unique filler,
+    the merged span must be EXACTLY the L-token block for every k <= L —
+    larger k shrinks the duplicated-window key set but never changes the
+    span-merge semantics. Pins the claim the SCALE.md k-sweep measures."""
+    from impala_workload_analyzer_spark.pipeline.dedup import _dup_spans_of
+    from pyspark.sql import functions as F
+
+    block = " ".join(f"d{i}" for i in range(60))
+    doc1 = " ".join(f"a{i}" for i in range(55)) + f" {block} " + " ".join(
+        f"b{i}" for i in range(55))
+    doc2 = " ".join(f"c{i}" for i in range(55)) + f" {block} " + " ".join(
+        f"e{i}" for i in range(55))
+    docs = spark.createDataFrame(
+        [(1, "s", doc1), (2, "s", doc2)], "doc_id long, source string, text string"
+    )
+    words = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    for k in (10, 25, 50):
+        spans = _dup_spans_of(words, k).collect()
+        assert len(spans) == 2, k
+        assert all(r["span_tokens"] == 60 for r in spans), (k, spans)
+
+
+def test_tx33_funnel_invariants_on_fixture(spark, sf_dir):
+    """tx33 on the real fixture: 8 stages in pipeline order, unit counts
+    and token totals monotone non-increasing through the doc stages, ppm
+    columns reproduce exact wide-integer floor division, the raw row
+    matches a direct corpus recount, and the packing row conserves the
+    final survivors' (budget-truncated) tokens in >= ceil(t/budget)
+    bins."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _FUNNEL_STAGES,
+        _PACK_BUDGET,
+        curation_funnel,
+        _with_norm,
+    )
+
+    rows = sorted(
+        curation_funnel(spark, sf_dir).collect(), key=lambda r: r["stage"]
+    )
+    assert [r["stage_name"] for r in rows] == list(_FUNNEL_STAGES) + [
+        "sequence_packing"
+    ]
+    assert [r["unit"] for r in rows] == ["docs"] * 7 + ["sequences"]
+    raw = _with_norm(load_table(spark, sf_dir, "documents")).agg(
+        F.count("*").alias("d"), F.sum(F.size("words")).alias("t")
+    ).collect()[0]
+    assert rows[0]["n_units"] == raw["d"] and rows[0]["n_tokens"] == raw["t"]
+    for prev, cur in zip(rows[:6], rows[1:7]):
+        assert cur["n_units"] <= prev["n_units"]
+        assert cur["n_tokens"] <= prev["n_tokens"]
+    t1 = rows[0]["n_tokens"]
+    for i, r in enumerate(rows):
+        tprev = rows[max(i - 1, 0)]["n_tokens"]
+        assert r["tokens_ppm_of_raw"] == r["n_tokens"] * 1_000_000 // max(t1, 1)
+        assert (r["tokens_ppm_of_prev"]
+                == r["n_tokens"] * 1_000_000 // max(tprev, 1))
+    pack = rows[7]
+    # packing truncates oversize docs, so t8 <= t7; bins hold at most
+    # _PACK_BUDGET tokens each, so n_bins >= ceil(t8 / budget)
+    assert pack["n_tokens"] <= rows[6]["n_tokens"]
+    assert pack["n_units"] >= math.ceil(pack["n_tokens"] / _PACK_BUDGET)

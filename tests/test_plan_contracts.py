@@ -651,3 +651,17 @@ def test_dd27_is_one_pass_over_the_pair_frame(spark, sf_dir):
     # truth build, no cartesian anywhere
     plan = _plan(spark, sf_dir, "dd27_lsh_curve_advisor")
     assert "CartesianProduct" not in plan
+
+
+def test_tx33_funnel_no_cartesian_bounded_exchanges(spark, sf_dir):
+    # the chained funnel rides its stages' plans: the span census and
+    # contamination rollup are keyed sub-pipelines, the benchmark
+    # shingle set broadcasts, the two 1-row stage aggregates attach by
+    # broadcast (a BNLJ over single-row sides, never CartesianProduct),
+    # and nothing exchanges finer than doc_id — at most four doc_id
+    # exchanges (span rollup, contamination rollup, flag join, and the
+    # survivors' re-read), every scan pruned to doc_id/text/source
+    plan = _plan(spark, sf_dir, "tx33_curation_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(doc_id") <= 4, plan
