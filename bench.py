@@ -92,6 +92,10 @@ HEADLINERS = (
     # shape — session self-join + broadcast marginals)
     "dd26_repeated_substrings",
     "ev30_session_type_affinity",
+    # round-12 addition: the end-to-end curation funnel (chains the
+    # dd1/dd26/tx8/tx10/tx2/tx12/tx9 stages into one survival report —
+    # the composed-pipeline shape had no bench representative)
+    "tx33_curation_funnel",
 )
 
 # The session-persisted shared frames (the feature-store pattern: ground
