@@ -137,6 +137,9 @@ def main() -> int:
         keep = set(names[(slice_i - 1) * per : slice_i * per])
         qs = {n: f for n, f in qs.items() if n in keep}
         print(f"slice {slice_i}/{slice_n}: {len(qs)} queries")
+        # the close-out commits these logs as the slice map — make each
+        # chunk's coverage auditable without re-deriving the registry order
+        print("slice members:", " ".join(qs))
         if not qs:
             # an empty chunk passing vacuously would silently skip the gate
             print("error: selected slice is empty", file=sys.stderr)
