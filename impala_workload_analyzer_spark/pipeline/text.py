@@ -2314,10 +2314,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the two 1-row stage aggregates attach by broadcast), nothing keyed
     finer than doc_id; four doc_id exchanges total (span rollup,
     contamination rollup, the flag join, the packing shard window)."""
+    return _curation_funnel_of(_with_norm(load_table(spark, sf_dir, "documents")))
+
+
+def _curation_funnel_of(docs: DataFrame) -> DataFrame:
+    """tx33 core over any (doc_id, source, text, norm, words) frame —
+    see ``curation_funnel`` for semantics; split out (the dd26/ev30
+    pattern) so tests can drive it on constructed corpora and
+    cross-check against an independent python reference."""
     from .dedup import _dup_spans_of  # noqa: PLC0415
 
     k = _FUNNEL_K
-    docs = _with_norm(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", "source", "text", "norm", "words",
         F.size("words").cast("bigint").alias("n_tokens"),

@@ -3799,3 +3799,180 @@ def test_tx33_funnel_invariants_on_fixture(spark, sf_dir):
     # _PACK_BUDGET tokens each, so n_bins >= ceil(t8 / budget)
     assert pack["n_tokens"] <= rows[6]["n_tokens"]
     assert pack["n_units"] >= math.ceil(pack["n_tokens"] / _PACK_BUDGET)
+
+
+def _tx33_python_reference(corpus):
+    """Independent pure-python implementation of the tx33 funnel over
+    [(doc_id, source, text)] — every stage recomputed from the public
+    definitions (NOT by calling the engine code), so a drift in any
+    stage's semantics breaks the comparison."""
+    import hashlib
+    import re
+
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _BLOCKLIST,
+        _FUNNEL_K,
+        _MIX_DEFAULT,
+        _MIX_RATES,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+    )
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def H(s):
+        return int(md5(s)[:15], 16)
+
+    k = _FUNNEL_K
+    docs = []
+    for doc_id, source, text in corpus:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        words = norm.split(" ")
+        docs.append({"id": doc_id, "src": source, "text": text,
+                     "norm": norm, "w": words, "n": len(words)})
+
+    # stage 2: exact dedup (min doc_id per md5 of the RAW text)
+    canon = {}
+    for d in docs:
+        dig = md5(d["text"])
+        canon[dig] = min(canon.get(dig, d["id"]), d["id"])
+    for d in docs:
+        d["p_dedup"] = canon[md5(d["text"])] == d["id"]
+
+    # stage 3: duplicated k-window span census over stage-2 survivors
+    occ = {}
+    for d in docs:
+        if d["p_dedup"] and d["n"] >= k:
+            for i in range(d["n"] - k + 1):
+                g = md5(" ".join(d["w"][i:i + k]))
+                occ[g] = occ.get(g, 0) + 1
+    for d in docs:
+        covered = 0
+        if d["p_dedup"] and d["n"] >= k:
+            hits = [i + 1 for i in range(d["n"] - k + 1)
+                    if occ[md5(" ".join(d["w"][i:i + k]))] >= 2]
+            run = []
+            for p in hits:
+                if run and p - run[-1] > k:
+                    covered += run[-1] - run[0] + k
+                    run = []
+                run.append(p)
+            if run:
+                covered += run[-1] - run[0] + k
+        d["eff"] = d["n"] - covered
+        d["p_sub"] = d["eff"] > 0
+
+    # stage 4: decontamination vs the RAW corpus's test-split shingles
+    def shingles(d):
+        return {" ".join(d["w"][i:i + 3]) for i in range(d["n"] - 2)} \
+            if d["n"] >= 3 else set()
+
+    test_set = set()
+    for d in docs:
+        if H(str(d["id"])) % 100 >= 90:
+            test_set |= shingles(d)
+    for d in docs:
+        sh = shingles(d)
+        d["p_decon"] = (not sh
+                        or 2 * len(sh & test_set) < len(sh))
+
+    for d in docs:
+        # stage 5: blocklist; stage 6: quality; stage 7: mixture
+        d["p_policy"] = not any(t in d["w"] for t in _BLOCKLIST)
+        punct = len(re.sub(r"[a-z0-9 ]", "", d["norm"])) / len(d["norm"])
+        ttr = len(set(d["w"])) / d["n"]
+        d["p_quality"] = d["n"] >= 10 and punct <= 0.2 and ttr >= 0.2
+        rate = _MIX_RATES.get(d["src"], _MIX_DEFAULT)
+        d["p_mix"] = H("mix:" + str(d["id"])) % 10000 < int(rate * 10000)
+
+    flags = ["p_dedup", "p_sub", "p_decon", "p_policy", "p_quality", "p_mix"]
+    dd, tt = [len(docs)], [sum(d["n"] for d in docs)]
+    for i in range(1, 7):
+        live = [d for d in docs if all(d[f] for f in flags[:i])]
+        dd.append(len(live))
+        tt.append(sum((d["n"] if i == 1 else d["eff"]) for d in live))
+
+    # stage 8: shard-local greedy packing of the final survivors
+    surv = [d for d in docs if all(d[f] for f in flags)]
+    bins = {}
+    shards = {}
+    for d in surv:
+        shards.setdefault(H(str(d["id"])) % _PACK_SHARDS, []).append(d)
+    t8 = 0
+    for shard, ds in shards.items():
+        cum = 0
+        for d in sorted(ds, key=lambda d: (-min(d["eff"], _PACK_BUDGET),
+                                           d["id"])):
+            nt = min(d["eff"], _PACK_BUDGET)
+            cum += nt
+            bins[(shard, (cum - 1) // _PACK_BUDGET)] = True
+            t8 += nt
+    dd.append(len(bins))
+    tt.append(t8)
+
+    names = ["raw", "exact_dedup", "substring_cut", "decontamination",
+             "blocklist_policy", "quality_gate", "mixture_sample",
+             "sequence_packing"]
+    units = ["docs"] * 7 + ["sequences"]
+    out = []
+    for i in range(8):
+        prev = tt[max(i - 1, 0)]
+        out.append({
+            "stage": i + 1, "stage_name": names[i], "unit": units[i],
+            "n_units": dd[i], "n_tokens": tt[i],
+            "tokens_ppm_of_raw": tt[i] * 1_000_000 // max(tt[0], 1),
+            "tokens_ppm_of_prev": tt[i] * 1_000_000 // max(prev, 1),
+        })
+    return out
+
+
+def test_tx33_matches_python_reference_on_random_corpora(spark):
+    """tx33 against the independent python reference on seeded random
+    corpora engineered to exercise EVERY stage: exact duplicates, shared
+    >=k-token blocks (substring cuts), a dense 10-word vocabulary (test-
+    split shingle collisions -> decontamination drops), blocklist terms,
+    short/punctuation-heavy docs (quality drops), all four mixture-rate
+    tiers, and enough survivors to pack multi-bin shards."""
+    import numpy as np
+
+    from impala_workload_analyzer_spark.pipeline.text import (
+        _curation_funnel_of,
+        _with_norm,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    for trial in range(3):
+        corpus = []
+        texts = []
+        block = " ".join(vocab[int(i)] for i in rng.integers(0, 10, 14))
+        used = set()
+        for _ in range(45):
+            doc_id = int(rng.integers(0, 1_000_000))
+            while doc_id in used:
+                doc_id = int(rng.integers(0, 1_000_000))
+            used.add(doc_id)
+            src = f"src{int(rng.integers(0, 8))}"
+            r = rng.random()
+            if r < 0.12 and texts:           # exact duplicate
+                text = texts[int(rng.integers(0, len(texts)))]
+            else:
+                n = int(rng.integers(2, 40))
+                toks = [vocab[int(i)] for i in rng.integers(0, 10, n)]
+                if r < 0.35:                  # shared >=k block
+                    toks = toks[: n // 2] + block.split(" ") + toks[n // 2:]
+                if rng.random() < 0.2:        # blocklist hit
+                    toks.append("crash")
+                text = " ".join(toks)
+                if rng.random() < 0.15:       # punctuation-heavy
+                    text += " !!!! ???? ;;;;"
+            texts.append(text)
+            corpus.append((doc_id, src, text))
+        df = _with_norm(spark.createDataFrame(
+            corpus, "doc_id long, source string, text string"))
+        got = sorted((r.asDict() for r in _curation_funnel_of(df).collect()),
+                     key=lambda r: r["stage"])
+        want = _tx33_python_reference(corpus)
+        assert got == want, f"trial {trial}"
