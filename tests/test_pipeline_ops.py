@@ -3976,3 +3976,65 @@ def test_tx33_matches_python_reference_on_random_corpora(spark):
                      key=lambda r: r["stage"])
         want = _tx33_python_reference(corpus)
         assert got == want, f"trial {trial}"
+
+
+def test_dd27_decimal_accumulation_cross_engine_on_dense_spectrum(spark):
+    """The round-11 ADVICE flagged dd27's SUM(CAST(p AS DECIMAL(38,9)))
+    as the cross-engine risk (width-38 rescaling rules differ between
+    engines). The fixture frames are ~1e2 pairs; this drives the SAME
+    fixed-squaring-chain SQL over a 20,000-pair adversarial spectrum
+    (clusters hugging 1.0, the 0.5 threshold, and the S-curve knee,
+    where 9dp roundings and carries concentrate) on BOTH engines and
+    asserts the published integer micro/ppm figures are identical."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        _DD27_GRID,
+        _lsh_curve_of,
+        _scurve_p_sql,
+    )
+
+    rng = np.random.default_rng(31)
+    vals = np.concatenate([
+        1.0 - rng.random(6000) * 1e-6,          # hugging 1.0
+        0.5 + rng.random(6000) * 1e-6,          # hugging the threshold
+        0.5 + rng.random(8000) * 0.5,           # across the knee
+    ])
+    pdf = pd.DataFrame({
+        "doc_a": np.arange(len(vals), dtype="int64"),
+        "doc_b": np.arange(len(vals), dtype="int64") + 10_000_000,
+        "jaccard": np.round(vals, 9),
+    })
+    got = {(r["bands"], r["rows_per_band"]): r
+           for r in _lsh_curve_of(spark.createDataFrame(pdf)).collect()}
+
+    cols = ", ".join(
+        f"SUM(CAST({_scurve_p_sql(b, r)} AS DECIMAL(38,9))) AS s_{b}_{r},"
+        f" MIN({_scurve_p_sql(b, r)}) AS m_{b}_{r}"
+        for b, r in _DD27_GRID
+    )
+    con = duckdb.connect()
+    con.register("pairs", pdf)
+    cur = con.execute(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, {cols}"
+        f" FROM (SELECT jaccard FROM pairs) t"
+    )
+    names = [d[0] for d in cur.description]
+    agg = dict(zip(names, cur.fetchone()))  # DECIMAL sums stay Decimal
+    n = int(agg["n_pairs"])
+    assert n == len(pdf)
+    import decimal
+    import math
+
+    for b, r in _DD27_GRID:
+        g = got[(b, r)]
+        s = agg[f"s_{b}_{r}"]
+        assert isinstance(s, decimal.Decimal)  # the width-cap path under test
+        want_hits = int((s * 1_000_000).to_integral_value(decimal.ROUND_FLOOR))
+        want_weak = math.floor(agg[f"m_{b}_{r}"] * 1_000_000)
+        assert g["n_pairs"] == n
+        assert g["expected_hits_micro"] == want_hits, (b, r)
+        assert g["weakest_pair_hit_micro"] == want_weak, (b, r)
+        assert g["expected_recall_ppm"] == want_hits // n, (b, r)
