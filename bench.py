@@ -3,7 +3,8 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
-"one_time_builds": {frame: cold-build sec}, "sf"}.
+"one_time_builds": {frame: cold-build sec}, "tier_timings": {multi-tier
+headliner: {tier: warm-marginal sec}}, "sf"}.
 
 Timing protocol: one shared SparkSession (JVM warm-up excluded via a
 throwaway count), then each query is planned + executed + fully drained
@@ -230,6 +231,38 @@ def main() -> int:
                   file=sys.stderr)
         bench_one(name)
 
+    # Per-tier attribution for the multi-tier comparison headliners
+    # (r12 verdict #6): sim16 and dd17 publish one number for 4-5 tiers,
+    # so a single-tier regression hides in the aggregate. Time each
+    # tier's OWN frame (same callables the host queries union — plans
+    # unchanged) warm-marginal, after the host query ran above, exactly
+    # the state the host's tiers execute in. Sub-readings are
+    # attribution, not anchors: one untimed warm-up, best-of-2.
+    def _tier_probes():
+        from impala_workload_analyzer_spark.pipeline.dedup import DD17_TIERS
+        from impala_workload_analyzer_spark.pipeline.similarity import (
+            SIM16_TIERS,
+        )
+
+        return (("sim16_ann_comparison", SIM16_TIERS),
+                ("dd17_dedup_comparison", DD17_TIERS))
+
+    tier_timings: dict[str, dict[str, float]] = {}
+    for host, tiers in _tier_probes():
+        if host not in timings:
+            continue
+        sub: dict[str, float] = {}
+        for tname, fn in tiers.items():
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            sub[tname] = round(best, 4)
+        tier_timings[host] = sub
+
     # The streaming one-time setup, kept as honest as the batch builds:
     # st-family queries read a multi-file scan-cache landing directory
     # (streaming/stream_queries.py:_stream_events/_stream_docs) that
@@ -263,6 +296,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "one_time_builds": one_time_builds,
+        "tier_timings": tier_timings,
         "stream_setup_sec": round(stream_setup, 4),
         "sf": sf,
     }))

@@ -748,6 +748,34 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_digest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17's exact tier: (canonical keeper, dropped doc) pairs by md5
+    digest — dd1's grouping restated as pairs so all four tiers share
+    one (doc_a, doc_b) axis."""
+    dg = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("dg"), "doc_id"
+    )
+    mins = dg.groupBy("dg").agg(F.min("doc_id").alias("doc_a"))
+    return (
+        dg.join(mins, "dg")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+
+
+# dd17's tier list, exposed so bench.py can time each tier's OWN pair
+# frame (per-tier sub-readings in the bench JSON — a single-tier
+# regression can't hide inside dd17's one aggregate number,
+# ADVICE/verdict r12). dedup_comparison builds its union from this same
+# dict, so the benched plans and the query's plans can never drift.
+DD17_TIERS = {
+    "exact": _exact_digest_pairs,
+    "jaccard3": lambda spark, sf_dir: _shared_jaccard3(spark, sf_dir),
+    "minhash": lambda spark, sf_dir: _shared_minhash_pairs(spark, sf_dir),
+    "simhash": lambda spark, sf_dir: simhash_neardup_pairs(spark, sf_dir),
+}
+
+
 def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd17 — the DEDUP-TIER comparison report: the four text dedup
     methods (exact digest dd1, n-gram Jaccard dd2, MinHash-LSH dd3,
@@ -767,19 +795,9 @@ def dedup_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup adds one method-keyed agg over pair lists (pairs, not corpus)
     and one doc-keyed join for dropped-token mass; totals broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    dg = docs.select(F.md5("text").alias("dg"), "doc_id")
-    mins = dg.groupBy("dg").agg(F.min("doc_id").alias("doc_a"))
-    exact_pairs = (
-        dg.join(mins, "dg")
-        .filter(F.col("doc_id") != F.col("doc_a"))
-        .select("doc_a", F.col("doc_id").alias("doc_b"))
-    )
     sh = _shared_shingles(spark, sf_dir)  # one explode serves both fuzzy tiers
-    methods = (
-        ("exact", exact_pairs),
-        ("jaccard3", _shared_jaccard3(spark, sf_dir)),
-        ("minhash", _shared_minhash_pairs(spark, sf_dir)),
-        ("simhash", simhash_neardup_pairs(spark, sf_dir)),
+    methods = tuple(
+        (name, fn(spark, sf_dir)) for name, fn in DD17_TIERS.items()
     )
     pairs = None
     for name, df in methods:

@@ -1697,6 +1697,22 @@ ORACLES = {
 }
 
 
+# sim16's tier list, exposed so bench.py can time each tier's OWN frame
+# (per-tier sub-readings in the bench JSON — a single-tier regression
+# can't hide inside sim16's one aggregate number, ADVICE/verdict r12).
+# ann_comparison builds its union from this same dict, so the benched
+# plans and the query's plans can never drift apart.
+SIM16_TIERS = {
+    "lsh": lambda spark, sf_dir: lsh_recall(spark, sf_dir),
+    "ivf": lambda spark, sf_dir: ivf_recall(spark, sf_dir),
+    "int8": lambda spark, sf_dir: quantize_recall(spark, sf_dir),
+    "adc": lambda spark, sf_dir: _recall_vs_exact(
+        spark, sf_dir, ivfpq_topk(spark, sf_dir)),
+    "rerank": lambda spark, sf_dir: _recall_vs_exact(
+        spark, sf_dir, ivfpq_rerank(spark, sf_dir)),
+}
+
+
 def ann_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim16 — the ANN-TIER comparison: every approximate search path
     (banded LSH, IVF probe, int8-quantized scoring, IVF-PQ ADC, and the
@@ -1711,12 +1727,8 @@ def ann_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each tier keeps its own search plan unchanged; the rollup
     aggregates the per-query audit rows (queries x tiers rows, tiny)."""
-    tiers = (
-        ("lsh", lsh_recall(spark, sf_dir)),
-        ("ivf", ivf_recall(spark, sf_dir)),
-        ("int8", quantize_recall(spark, sf_dir)),
-        ("adc", _recall_vs_exact(spark, sf_dir, ivfpq_topk(spark, sf_dir))),
-        ("rerank", _recall_vs_exact(spark, sf_dir, ivfpq_rerank(spark, sf_dir))),
+    tiers = tuple(
+        (name, fn(spark, sf_dir)) for name, fn in SIM16_TIERS.items()
     )
     rows = None
     for name, df in tiers:

@@ -249,7 +249,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("n_tokens"), F.asc("doc_id")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
-        "bin", ((F.col("cum") - 1) / F.lit(_PACK_BUDGET)).cast("bigint")
+        # integer DIV, not double /: exact past 2^53 cumulative tokens
+        # per shard, matching the oracle's // (ADVICE r12)
+        "bin", F.expr(f"CAST((cum - 1) DIV {_PACK_BUDGET} AS BIGINT)")
     )
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"),
@@ -2313,7 +2315,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing window over the final survivors. No all-pairs, no cartesian
     (the two 1-row stage aggregates attach by broadcast), nothing keyed
     finer than doc_id; four doc_id exchanges total (span rollup,
-    contamination rollup, the flag join, the packing shard window)."""
+    contamination rollup, the flag join, and the survivors' re-read for
+    packing — the packing window itself exchanges on shard, not doc_id).
+    The flag frame feeds BOTH the stage aggregate and the survivors
+    branch; AQE exchange reuse executes its expensive upstreams once
+    (the span census and contamination rollups come back as
+    ReusedExchange in the second branch — pinned by
+    test_tx33_funnel_reuses_expensive_exchanges)."""
     return _curation_funnel_of(_with_norm(load_table(spark, sf_dir, "documents")))
 
 
@@ -2440,7 +2448,9 @@ def _curation_funnel_of(docs: DataFrame) -> DataFrame:
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bins = (
         surv.withColumn("cum", F.sum("nt").over(wp))
-        .withColumn("bin", ((F.col("cum") - 1) / F.lit(_PACK_BUDGET)).cast("bigint"))
+        # integer DIV keeps the bin index exact past 2^53 cumulative
+        # tokens per shard, matching the oracle's // (ADVICE r12)
+        .withColumn("bin", F.expr(f"CAST((cum - 1) DIV {_PACK_BUDGET} AS BIGINT)"))
         .groupBy("shard", "bin")
         .agg(F.sum("nt").cast("bigint").alias("bt"))
     )

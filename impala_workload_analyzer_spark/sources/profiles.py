@@ -427,6 +427,15 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
         if fid is not None and fid.isdigit():
             is_averaged = avg
             curr_frag = fragments[int(fid)]
+            # TTimeSeriesCounter harvest (RuntimeProfile.thrift:50-59):
+            # instance fragment headers carry sampled counters (e.g. RAM
+            # every period_ms). The reference declares the field but no
+            # script reads it — this is its first landing column. One
+            # entry per instance, in node order (instance = list index+1).
+            if not avg and node.time_series_counters:
+                curr_frag.setdefault("ts", []).append(
+                    node.time_series_counters
+                )
             continue
         if node.name in ("CodeGen", "HdfsTableSink"):
             which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
@@ -507,6 +516,17 @@ QUERY_SCHEMA = _schema(
      ("num_hdfs_scans", _L), ("num_tables", _L), ("impala_version", _S),
      ("impala_flag", _S), ("impala_build", _S)]
 )
+# TTimeSeriesCounter landing table: one row per fragment instance, the
+# sampled counters as a map keyed "name|unit|period_ms" -> samples. A map
+# (not exploded columns) because a node may carry any number of series of
+# any length — the wire format's shape survives into the column type.
+TS_SCHEMA = _schema(
+    [("tag", _S), ("query_id", _S), ("fragment_id", _L), ("instance", _L),
+     ("time_series", T.MapType(_S, T.ArrayType(_L)))]
+)
+# TCounterType enum names (RuntimeProfile.thrift:19-27)
+_UNIT_NAME = ("UNIT", "UNIT_PER_SECOND", "CPU_TICKS", "BYTES",
+              "BYTES_PER_SECOND", "TIME_NS", "DOUBLE_VALUE")
 
 
 def _decoded_lines(spark: SparkSession, sf_dir: str,
@@ -585,6 +605,8 @@ def _parse_table(spark: SparkSession, sf_dir: str, which: str,
     if which in ("operators", "fragments"):
         # S8: replaces the unique (query_id, id) index (profile_analyzer.py:15-21)
         out = out.dropDuplicates(["query_id", "id"])
+    elif which == "time_series":
+        out = out.dropDuplicates(["query_id", "fragment_id", "instance"])
     else:
         out = out.dropDuplicates(["query_id"])
     return out
@@ -610,6 +632,15 @@ def _parse_rows(which: str, blobs, tags) -> list[tuple]:
             rows.extend(_op_row(tag, o) for o in ops)
         elif which == "fragments":
             rows.extend(_frag_row(tag, fr) for fr in frags)
+        elif which == "time_series":
+            for fr in frags:
+                for inst, tscs in enumerate(fr.get("ts", []), start=1):
+                    series = {
+                        f"{t.name}|{_UNIT_NAME[t.type]}|{t.period_ms}":
+                            list(t.values)
+                        for t in tscs
+                    }
+                    rows.append((tag, fr["query_id"], fr["id"], inst, series))
         else:
             rows.append(_query_row(query))
     return rows
@@ -654,6 +685,78 @@ def parsed_queries(spark: SparkSession, sf_dir: str,
     """ing3 — full ingest to the queries table (incl. DDL path + status
     gate). ``input_dir``/``tag`` ingest an arbitrary log directory."""
     return _parse_table(spark, sf_dir, "queries", QUERY_SCHEMA, input_dir, tag)
+
+
+def parsed_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTimeSeriesCounter harvest to a ``time_series`` MapType column —
+    the last declared wire field with no landing column anywhere
+    (RuntimeProfile.thrift:50-59 declares it; no reference script reads
+    it). One row per fragment instance; the map key is
+    "name|unit|period_ms", the value the raw sample vector, so every
+    byte of field 10 survives into the table."""
+    return _parse_table(spark, sf_dir, "time_series", TS_SCHEMA)
+
+
+def time_series_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ing6 — the harvested time series, exploded to one row per
+    (fragment instance, counter): full wire fidelity as plain columns
+    (name, unit, period_ms, samples array). The MapType landing column
+    itself is exercised here via map explosion (F12 HOF surface); ts1
+    consumes it analytically.
+
+    Scale: rides the ingest scan (one mapInPandas pass, no extra
+    shuffle beyond the S8 dedup the other ingest tables pay)."""
+    df = parsed_time_series(spark, sf_dir)
+    e = df.select(
+        "tag", "query_id", "fragment_id", "instance",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    key = F.split("series_key", "\\|")
+    return e.select(
+        "tag", "query_id", "fragment_id", "instance",
+        key.getItem(0).alias("counter_name"),
+        key.getItem(1).alias("unit"),
+        key.getItem(2).cast("bigint").alias("period_ms"),
+        "samples",
+    )
+
+
+def time_series_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts1 — memory-ramp rollup over the harvested time series: per
+    (tag, fragment id, instance slot), how many sampled series ramp up
+    vs down between first and last sample, the signed total/extreme
+    deltas, and the total sampled span in ms. Pure integer arithmetic
+    (no division), computed from the MapType column with JVM-side HOFs
+    — first/last via element_at, span from the parsed period and the
+    sample count; nothing crosses into Python.
+
+    Scale: explode fans out |series| rows per instance (bounded by the
+    wire payload), then one small groupBy — the aggregate output is
+    |tags| x |fragments| x |instances| rows regardless of corpus size."""
+    s = parsed_time_series(spark, sf_dir).select(
+        "tag", "fragment_id", "instance",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    first = F.element_at("samples", 1)
+    last = F.element_at("samples", -1)
+    period = F.split("series_key", "\\|").getItem(2).cast("bigint")
+    delta = (last - first).alias("delta")
+    return (
+        s.select(
+            "tag", "fragment_id", "instance", delta,
+            (period * (F.size("samples") - 1)).alias("span_ms"),
+        )
+        .groupBy("tag", "fragment_id", "instance")
+        .agg(
+            F.count("*").alias("n_series"),
+            F.sum((F.col("delta") > 0).cast("bigint")).alias("n_ramp_up"),
+            F.sum((F.col("delta") < 0).cast("bigint")).alias("n_ramp_down"),
+            F.sum("delta").alias("sum_delta"),
+            F.max("delta").alias("max_delta"),
+            F.min("delta").alias("min_delta"),
+            F.sum("span_ms").alias("sum_span_ms"),
+        )
+    )
 
 
 def _ingest_cache_dir(sf_dir: str) -> str:
@@ -823,6 +926,48 @@ ORACLES = {
     "ing4_delete_by_tag": with_corpus(f"""
         SELECT query_id, id, name
         FROM iwa_operators WHERE {_K} % 41 <> 0 AND {_K} % 2 = 0"""),
+    # the rendered corpus carries one MemoryUsage series per fragment
+    # instance: BYTES, period 500 ms, samples [cg % 4096, sink % 4096]
+    # (profile_render.py's _counter_nodes); the oracle re-derives both
+    # instances from the corpus fragment columns
+    "ing6_time_series": with_corpus(f"""
+        SELECT {_TAG} AS tag, query_id, id AS fragment_id,
+               CAST(1 AS BIGINT) AS instance,
+               'MemoryUsage' AS counter_name, 'BYTES' AS unit,
+               CAST(500 AS BIGINT) AS period_ms,
+               [cg_i1 % 4096, sink_i1 % 4096] AS samples
+        FROM iwa_fragments WHERE {_K} % 41 <> 0
+        UNION ALL
+        SELECT {_TAG} AS tag, query_id, id AS fragment_id,
+               CAST(2 AS BIGINT) AS instance,
+               'MemoryUsage' AS counter_name, 'BYTES' AS unit,
+               CAST(500 AS BIGINT) AS period_ms,
+               [cg_i2 % 4096, sink_i2 % 4096] AS samples
+        FROM iwa_fragments WHERE {_K} % 41 <> 0"""),
+    "ts1_memory_ramp": with_corpus(f"""
+        SELECT tag, fragment_id, instance,
+               COUNT(*) AS n_series,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ramp_up,
+               CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ramp_down,
+               CAST(SUM(delta) AS BIGINT) AS sum_delta,
+               MAX(delta) AS max_delta,
+               MIN(delta) AS min_delta,
+               CAST(SUM(span_ms) AS BIGINT) AS sum_span_ms
+        FROM (
+          SELECT {_TAG} AS tag, id AS fragment_id,
+                 CAST(1 AS BIGINT) AS instance,
+                 (sink_i1 % 4096) - (cg_i1 % 4096) AS delta,
+                 CAST(500 AS BIGINT) AS span_ms
+          FROM iwa_fragments WHERE {_K} % 41 <> 0
+          UNION ALL
+          SELECT {_TAG} AS tag, id AS fragment_id,
+                 CAST(2 AS BIGINT) AS instance,
+                 (sink_i2 % 4096) - (cg_i2 % 4096) AS delta,
+                 CAST(500 AS BIGINT) AS span_ms
+          FROM iwa_fragments WHERE {_K} % 41 <> 0
+        ) GROUP BY tag, fragment_id, instance"""),
     # the fixture corpus has no undecodable blobs, so n_bad = 0; the
     # corrupt-line quarantine path is pinned by tests/test_ingest.py
     "ing5_ingest_health": with_corpus(f"""
@@ -842,4 +987,6 @@ SPARK_QUERIES = {
     "ing3_parsed_queries": parsed_queries,
     "ing4_delete_by_tag": delete_by_tag,
     "ing5_ingest_health": ingest_health,
+    "ing6_time_series": time_series_harvest,
+    "ts1_memory_ramp": time_series_ramp,
 }

@@ -493,13 +493,18 @@ class TRuntimeProfileTree:
         ``lean=True`` is a projection decode for the ingest hot path: data
         no analytics consumer reads is skip-scanned instead of
         materialized, leaving defaults — ``info_strings_display_order``,
-        ``child_counters_map``, ``time_series_counters`` (never touched by
-        profile_analyzer.py), counters other than RowsReturned/TotalTime
-        (the only ones _op_row/_frag_row emit), event sequences other than
-        "Query Timeline", and info strings on every node but the Summary
-        (index 1, the only node whose info parse_profile reads). The
-        parsed output rows are identical to a full decode's (pinned by
-        tests/test_ingest.py)."""
+        ``child_counters_map``, counters other than
+        RowsReturned/TotalTime (the only ones _op_row/_frag_row emit),
+        event sequences other than "Query Timeline", and info strings on
+        every node but the Summary (index 1, the only node whose info
+        parse_profile reads). ``time_series_counters`` (field 10) IS
+        materialized in lean mode since round 13: the time-series harvest
+        (profiles.parsed_time_series) consumes it, and the payload is a
+        few short structs per profile — the reference's analytics never
+        read it (RuntimeProfile.thrift:50-59 declares it; no
+        profile_analyzer.py consumer), so this repo's harvest is the
+        field's first landing column. The parsed output rows are
+        identical to a full decode's (pinned by tests/test_ingest.py)."""
         try:
             return _fast_deserialize(data, lean)
         except _FastMiss:
@@ -544,7 +549,7 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
     headers inlined, fields expected in declared order with short-form
     headers. Produces objects identical to the generic reader (pinned by
     tests); raises _FastMiss on anything unexpected. ``lean`` skip-scans
-    fields 7/8/10 plus unconsumed counters / event sequences / non-Summary
+    fields 7/8 plus unconsumed counters / event sequences / non-Summary
     info strings (see ``deserialize``) without materializing.
 
     Node structs are decoded straight-line — our writer (and Impala's)
@@ -971,45 +976,33 @@ def _fast_deserialize(data: bytes, lean: bool = False) -> TRuntimeProfileTree:
                     seqs.append(TEventSequence(name, tstamps, labels))
                 out.event_sequences = seqs
             elif last == 10 and ftype == CT_LIST:
+                # materialized even in lean mode since the time-series
+                # harvest (profiles.parsed_time_series) consumes field 10;
+                # the payload is tiny (one short counter per instance node)
                 tscs = []
                 for _ in range(coll(CT_STRUCT)):
                     if data[pos] != 0x18:
                         raise _FastMiss
                     pos += 1
-                    if lean:
-                        skip_s()
-                    else:
-                        name = ri()
+                    name = ri()
                     if data[pos] != 0x15:
                         raise _FastMiss
                     pos += 1
-                    if lean:
-                        skip_v()
-                    else:
-                        ctype = rz()
+                    ctype = rz()
                     if data[pos] != 0x15:
                         raise _FastMiss
                     pos += 1
-                    if lean:
-                        skip_v()
-                    else:
-                        period = rz()
+                    period = rz()
                     if data[pos] != 0x19:
                         raise _FastMiss
                     pos += 1
-                    if lean:
-                        for _ in range(coll(CT_I64)):
-                            skip_v()
-                    else:
-                        values = [rz() for _ in range(coll(CT_I64))]
+                    values = [rz() for _ in range(coll(CT_I64))]
                     if data[pos] != CT_STOP:
                         raise _FastMiss
                     pos += 1
-                    if not lean:
-                        tscs.append(
-                            TTimeSeriesCounter(name, ctype, period, values))
-                if not lean:
-                    out.time_series_counters = tscs
+                    tscs.append(
+                        TTimeSeriesCounter(name, ctype, period, values))
+                out.time_series_counters = tscs
             else:
                 raise _FastMiss
 

@@ -217,6 +217,63 @@ def test_counter_node_walk():
     assert frag0["code_gen"] == {"TotalTime": [7]}
 
 
+def test_time_series_harvest_walk():
+    """TTimeSeriesCounter harvest (RuntimeProfile.thrift:50-59): instance
+    fragment headers contribute one ``ts`` entry per instance, in node
+    order; averaged headers are ignored; the emitted time_series row maps
+    "name|unit|period_ms" -> samples."""
+    tree = _query_tree()
+    tree.nodes.extend([
+        TC.TRuntimeProfileNode("Averaged Fragment F00"),  # no ts harvested
+        TC.TRuntimeProfileNode(
+            "Fragment F00",
+            time_series_counters=[
+                TC.TTimeSeriesCounter(
+                    "MemoryUsage", TC.TCounterType.BYTES, 500, [10, 30]),
+                TC.TTimeSeriesCounter(
+                    "ThreadUsage", TC.TCounterType.UNIT, 1000, [1, 2, 4]),
+            ],
+        ),
+        TC.TRuntimeProfileNode(
+            "Fragment F00",
+            time_series_counters=[TC.TTimeSeriesCounter(
+                "MemoryUsage", TC.TCounterType.BYTES, 500, [7, 5])],
+        ),
+    ])
+    _q, _ops, frags = P.parse_profile(tree, "t")
+    frag0 = {f["id"]: f for f in frags}[0]
+    assert len(frag0["ts"]) == 2  # two instances, averaged node skipped
+    import base64
+    import zlib
+    blob = base64.b64encode(zlib.compress(tree.serialize())).decode()
+    out = P._parse_rows("time_series", [blob], ["t"])
+    assert out == [
+        ("t", "77", 0, 1, {"MemoryUsage|BYTES|500": [10, 30],
+                           "ThreadUsage|UNIT|1000": [1, 2, 4]}),
+        ("t", "77", 0, 2, {"MemoryUsage|BYTES|500": [7, 5]}),
+    ]
+
+
+def test_time_series_survives_lean_wire_round_trip():
+    """The ingest hot path decodes lean — field 10 must be materialized
+    there (it used to be skip-scanned) or the harvest emits nothing."""
+    tree = _query_tree()
+    tree.nodes.append(TC.TRuntimeProfileNode(
+        "Fragment F00",
+        time_series_counters=[TC.TTimeSeriesCounter(
+            "MemoryUsage", TC.TCounterType.BYTES, 500, [123, -4, 0])],
+    ))
+    blob = tree.serialize()
+    lean = TC.TRuntimeProfileTree.deserialize(blob, lean=True)
+    full = TC.TRuntimeProfileTree.deserialize(blob)
+    assert lean.nodes[-1].time_series_counters == \
+        full.nodes[-1].time_series_counters == \
+        tree.nodes[-1].time_series_counters
+    _q, _ops, frags = P.parse_profile(lean, "t")
+    assert {f["id"]: f for f in frags}[0]["ts"] == [
+        tree.nodes[-1].time_series_counters]
+
+
 def test_status_gate_drops_failed_profiles():
     query, ops, frags = P.parse_profile(_query_tree(state="EXCEPTION"), "t")
     assert query is None and ops == [] and frags == []

@@ -603,6 +603,19 @@ def test_tx32_broadcasts_the_test_shingle_set(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_tx8_broadcasts_the_test_shingle_set(spark, sf_dir):
+    # the decontamination size contract (SCALE.md "Decontamination's
+    # broadcast contract"): the benchmark shingle set is a small FIXED
+    # external set in production, so it must broadcast — one map-side
+    # left join over the train shingle stream, one doc_id-keyed agg.
+    # If this pin ever needs to change (corpus-proportional benchmark),
+    # the documented fallback is dropping the hint, not a new shape.
+    plan = _plan(spark, sf_dir, "tx8_benchmark_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(doc_id") <= 1, plan
+
+
 def test_a36_is_one_rollup_over_p5s_join(spark, sf_dir):
     # the census is p5's query_id-keyed runtime attach plus the
     # operator-name rollup — no pair joins, no per-type rescans. The
@@ -665,3 +678,37 @@ def test_tx33_funnel_no_cartesian_bounded_exchanges(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert plan.count("hashpartitioning(doc_id") <= 4, plan
+
+
+def test_ing6_time_series_rides_the_ingest_dedup(spark, sf_dir):
+    # the exploded harvest adds NO shuffle beyond what every ingest table
+    # pays: the round-robin repartition of the log lines and the S8 dedup
+    # keyed (query_id, fragment_id, instance); the map explode is
+    # in-partition
+    plan = _plan(spark, sf_dir, "ing6_time_series")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_ts1_memory_ramp_partial_aggregates(spark, sf_dir):
+    # explode fans out per-series rows in-partition, then ONE keyed
+    # aggregate with a map-side partial — output is |tag| x |fragment| x
+    # |instance| rows at any corpus size
+    plan = _plan(spark, sf_dir, "ts1_memory_ramp")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 2, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_tx33_funnel_reuses_expensive_exchanges(spark, sf_dir):
+    # the flag frame feeds two branches (stage aggregate + survivors
+    # packing), so its expensive upstreams — the dd26 span census, the
+    # tx8 contamination rollup, and the dedup window exchange — would
+    # execute twice unless AQE stage reuse covers them; pin that it
+    # does: after execution the adaptive plan must attach those
+    # subtrees as ReusedExchange in the second branch (ADVICE r12)
+    df = entrymod.queries()["tx33_curation_funnel"](spark, sf_dir)
+    assert len(df.collect()) == 8
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert plan.count("ReusedExchange") >= 3, plan

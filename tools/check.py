@@ -159,6 +159,20 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            # rows-only by DESIGN, not by omission: the only two entries
+            # without oracles are the fit-dependent KMeans outputs
+            # m2b_kmeans_elbow_curve and m3_kmeans_clusters (raw
+            # fitted curve/assignments; pytest-pinned goldens plus the
+            # hash-matched certificate twins m2/m3b carry their
+            # correctness). The driver's CORRECTNESS history records
+            # them as `err: no_oracle` with spark_rows>0 — that is
+            # their EXPECTED TERMINAL STATE, not a defect (round-12
+            # verdict task #2). Locally we at least enforce the
+            # driver's weak check: the result must be non-empty.
+            if not srows:
+                failed.append((name, "rows-only query returned 0 rows"))
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                continue
             rows_only.append(name)
             print(f"ROWS-ONLY {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             continue
