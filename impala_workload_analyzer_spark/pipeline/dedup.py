@@ -2527,3 +2527,63 @@ def _dd27_oracle() -> str:
 
 ORACLES["dd27_lsh_curve_advisor"] = _dd27_oracle()
 SPARK_QUERIES["dd27_lsh_curve_advisor"] = lsh_curve_advisor
+
+
+def advisor_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd28 — ADVISOR CALIBRATION: dd27's analytically predicted recall
+    joined against dd21's measured sweep for the three configs dd21
+    actually ran — per (bands x rows) split, predicted vs realized
+    recall in integer ppm and the signed calibration gap. This is the
+    loop-closer: dd27 prices all five splits of the 16-hash budget from
+    one aggregate so an operator can skip running them; dd28 is the
+    evidence that the pricing can be trusted, and publishes the
+    candidate volume + hot-bucket skip count beside the gap so the two
+    honest reasons realized can trail predicted (sampling variance of
+    the Bernoulli collisions, and the df-cap excluding hot buckets from
+    the (16,1) pair join) are visible in the same row.
+
+    Scale: a 3x5-row broadcast join of two already-audited outputs —
+    the cost is dd21's sweep (warm-marginal on the shared persisted
+    frames), zero new shuffle families; the calibration math is integer
+    (IDIV ppm, signed bigint gap)."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    meas = lsh_band_sensitivity(spark, sf_dir).select(
+        F.col("n_bands").alias("bands"), "rows_per_band",
+        "n_candidates", "n_hot_pairs", "n_true_found", "n_true",
+    )
+    pred = lsh_curve_advisor(spark, sf_dir).select(
+        "bands", "rows_per_band", "expected_recall_ppm",
+    )
+    realized = IDIV("n_true_found * 1000000", "n_true")
+    return (
+        meas.join(F.broadcast(pred), ["bands", "rows_per_band"])
+        .select(
+            "bands", "rows_per_band", "n_true",
+            F.col("expected_recall_ppm").alias("predicted_recall_ppm"),
+            F.expr(realized).alias("realized_recall_ppm"),
+            (F.col("expected_recall_ppm") - F.expr(realized))
+            .alias("calibration_gap_ppm"),
+            "n_candidates", "n_hot_pairs",
+        )
+    )
+
+
+def _dd28_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    realized = IDIV("m.n_true_found * 1000000", "m.n_true")
+    return f"""
+        SELECT m.n_bands AS bands, m.rows_per_band, m.n_true,
+               p.expected_recall_ppm AS predicted_recall_ppm,
+               {realized} AS realized_recall_ppm,
+               p.expected_recall_ppm - {realized}
+                 AS calibration_gap_ppm,
+               m.n_candidates, m.n_hot_pairs
+        FROM ({ORACLES["dd21_lsh_band_sensitivity"]}) m
+        JOIN ({ORACLES["dd27_lsh_curve_advisor"]}) p
+          ON p.bands = m.n_bands AND p.rows_per_band = m.rows_per_band"""
+
+
+ORACLES["dd28_advisor_calibration"] = _dd28_oracle()
+SPARK_QUERIES["dd28_advisor_calibration"] = advisor_calibration

@@ -9,16 +9,19 @@ run, (c) the block longest unwitnessed. Round-13 window (50),
 executing the round-12 verdict's task #1 and completing the
 full-registry re-witness the round-11 verdict planned: category (a)
 first — ing6_time_series and ts1_memory_ramp (the round-13
-TTimeSeriesCounter harvest, verdict task #3; exact-bit gated at
-sf0.001/0.01 on addition) — then the four last pre-r8 witnesses
+TTimeSeriesCounter harvest, verdict task #3) and
+dd28_advisor_calibration (dd27's predicted recall joined against
+dd21's measured sweep — the advisor's calibration evidence), each
+exact-bit gated at sf0.001/0.01 on addition — then the four last
+pre-r8 witnesses
 (pt6_shape_runtime_drift, ev24_periodicity_acf,
 sim18_diverse_topk, a26_cardinality_qerror), followed by the entire
 r8-witnessed block (st13/w7/a27/plt1/plt2/sim19/snk3/a28/tx24/tx25/
-sim20/ev25/tx26/st14/a29/q5/...) and the oldest r9 witness (tx30) —
-``tools/window_coverage.py``'s oldest-witness-first ranking with two
-deliberate exceptions. First, the two new entries displace tpch_q2 and
-tpch_q3 (r9-witnessed) to just past the window — every registry entry
-remains witnessed at r9 or later, which is the re-witness goal.
+sim20/ev25/tx26/st14/a29/q5/...) — ``tools/window_coverage.py``'s
+oldest-witness-first ranking with two deliberate exceptions. First,
+the three new entries displace tx30, tpch_q2 and tpch_q3
+(r9-witnessed) to just past the window — every registry entry remains
+witnessed at r9 or later, which is the re-witness goal.
 Second, m2b_kmeans_elbow_curve (r8) and m3_kmeans_clusters (r9) are
 deferred behind them: they are
 rows-only by design (fit-dependent KMeans outputs; pytest-pinned
@@ -46,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
-    "ing6_time_series", "ts1_memory_ramp",
+    "ing6_time_series", "ts1_memory_ramp", "dd28_advisor_calibration",
     "pt6_shape_runtime_drift", "ev24_periodicity_acf", "sim18_diverse_topk",
     "a26_cardinality_qerror", "st13_streaming_cusum", "w7_plan_overhead_quantiles",
     "a27_host_load_balance", "plt1_metric_histograms", "plt2_metric_bars",

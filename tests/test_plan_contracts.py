@@ -666,6 +666,16 @@ def test_dd27_is_one_pass_over_the_pair_frame(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_dd28_is_a_broadcast_join_of_audited_outputs(spark, sf_dir):
+    # the calibration table joins dd21's 3-row sweep with dd27's 5-row
+    # design table on (bands, rows_per_band) — the prediction side
+    # broadcasts, and no new shuffle family appears beyond what dd21/dd27
+    # already pay on the shared persisted frames
+    plan = _plan(spark, sf_dir, "dd28_advisor_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_tx33_funnel_no_cartesian_bounded_exchanges(spark, sf_dir):
     # the chained funnel rides its stages' plans: the span census and
     # contamination rollup are keyed sub-pipelines, the benchmark
