@@ -37,7 +37,13 @@ green query (tx33 was a window row in r12). After the window the
 remainder keeps oldest-witness-first order (ties keep the prior
 rotation's relative order), so future rotations fall out of the same
 sort. Unlisted names keep module order after the prioritized block, so
-a new query is never silently dropped.
+a new query is never silently dropped. Late round-13 additions sit
+PAST the window at #55/#56 (ts2_memory_skew,
+st20_streaming_time_series — the cross-instance peak-skew analytic and
+the streaming twin of the ing6 harvest): placing them in-window would
+displace r7/r8-witnessed entries and break the re-witness completion,
+so they are exact-bit gated locally at all three scales instead and
+lead the r14 window as rotation category (a) — the dd27 convention.
 """
 
 from __future__ import annotations
@@ -67,7 +73,8 @@ _PRIORITY = (
     "w2_time_share_per_query", "a18_operator_time_quantiles", "dd5_embedding_neardup",
     "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly", "tx30_mixture_temperature_recipe",
     "tpch_q2", "tpch_q3", "m2b_kmeans_elbow_curve",
-    "m3_kmeans_clusters", "tpch_q4", "tpch_q5",
+    "m3_kmeans_clusters", "ts2_memory_skew", "st20_streaming_time_series",
+    "tpch_q4", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q13", "tpch_q15",
@@ -184,6 +191,7 @@ def _optional_modules():
         "impala_workload_analyzer_spark.streaming.stream_queries",
         "impala_workload_analyzer_spark.ml.clustering",
         "impala_workload_analyzer_spark.sources.profiles",
+        "impala_workload_analyzer_spark.sources.time_series_queries",
         "impala_workload_analyzer_spark.sql_introspect.queries",
         "impala_workload_analyzer_spark.plans.draw_plan",
     ):

@@ -1,0 +1,92 @@
+"""Analytics over the TTimeSeriesCounter harvest (round 13).
+
+The harvest itself lives in ``profiles.parsed_time_series`` (the
+``time_series`` MapType landing column; RuntimeProfile.thrift:50-59 —
+declared by the wire format, never read by any reference script, so
+these are the field's first consumers). This module holds the
+DOWNSTREAM analytics so they can evolve without invalidating the
+derived-data cache fingerprint (cache_util._SOURCES hashes profiles.py;
+analytics over its output do not shape cache content).
+
+ts1 (the ramp rollup) predates this module and lives beside the harvest
+in profiles.py; new time-series analytics land here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .profiles import _K, _TAG, parsed_time_series
+from ..corpus.corpus_sql import with_corpus
+
+
+def time_series_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts2 — CROSS-INSTANCE PEAK SKEW: per (tag, fragment id, sampled
+    counter), how unevenly the per-instance series peak — the sampled
+    high-watermark each fragment instance actually reached — splits
+    across a fragment's instances. One row per group with the fragment
+    count, how many fragments saw any imbalance, the total/extreme
+    peak spread (max instance peak minus min instance peak, exact
+    integers), and the peak mass itself — the straggler-memory readout
+    an admission controller wants from sampled counters, which the
+    point-in-time counter harvest (S7) cannot see.
+
+    Scale: rides the harvest's parse + S8 dedup, then two keyed
+    aggregates — per (query, fragment, counter) across instances
+    (cardinality = fragments x counters), then the
+    |tags| x |fragments| x |counters| rollup. The map explode is
+    in-partition and bounded by the wire payload; everything is
+    integer arithmetic (no division anywhere)."""
+    s = parsed_time_series(spark, sf_dir).select(
+        "tag", "query_id", "fragment_id",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    per_inst = s.select(
+        "tag", "query_id", "fragment_id",
+        F.split("series_key", "\\|").getItem(0).alias("counter_name"),
+        F.array_max("samples").alias("peak"),
+    )
+    per_frag = per_inst.groupBy(
+        "tag", "query_id", "fragment_id", "counter_name"
+    ).agg(F.max("peak").alias("mx"), F.min("peak").alias("mn"))
+    return (
+        per_frag.groupBy("tag", "fragment_id", "counter_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fragments"),
+            F.sum((F.col("mx") > F.col("mn")).cast("bigint"))
+            .cast("bigint").alias("n_skewed"),
+            F.sum(F.col("mx") - F.col("mn")).cast("bigint").alias("sum_skew"),
+            F.max(F.col("mx") - F.col("mn")).cast("bigint").alias("max_skew"),
+            F.sum("mx").cast("bigint").alias("sum_peak"),
+        )
+    )
+
+
+# the rendered corpus carries one MemoryUsage series per instance with
+# samples [cg % 4096, sink % 4096] (profile_render._counter_nodes), so
+# each instance's peak is GREATEST of the two and the oracle re-derives
+# both instances from the corpus fragment columns
+ORACLES = {
+    "ts2_memory_skew": with_corpus(f"""
+        SELECT tag, fragment_id, counter_name,
+               CAST(COUNT(*) AS BIGINT) AS n_fragments,
+               CAST(SUM(CASE WHEN mx > mn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_skewed,
+               CAST(SUM(mx - mn) AS BIGINT) AS sum_skew,
+               CAST(MAX(mx - mn) AS BIGINT) AS max_skew,
+               CAST(SUM(mx) AS BIGINT) AS sum_peak
+        FROM (
+          SELECT {_TAG} AS tag, id AS fragment_id,
+                 'MemoryUsage' AS counter_name,
+                 GREATEST(GREATEST(cg_i1 % 4096, sink_i1 % 4096),
+                          GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS mx,
+                 LEAST(GREATEST(cg_i1 % 4096, sink_i1 % 4096),
+                       GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS mn
+          FROM iwa_fragments WHERE {_K} % 41 <> 0
+        ) GROUP BY tag, fragment_id, counter_name"""),
+}
+
+SPARK_QUERIES = {
+    "ts2_memory_skew": time_series_skew,
+}

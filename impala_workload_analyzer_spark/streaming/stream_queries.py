@@ -211,6 +211,44 @@ def streaming_profile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st6_out")
 
 
+def streaming_time_series_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st20 — the round-13 TTimeSeriesCounter harvest as a stream: tail
+    the profile log directory with the SAME Arrow-batch worker the batch
+    harvest uses (``batch_parser("time_series", ...)``), maintain the
+    deduped per-fragment-instance table — MapType landing column
+    included — then explode the finalized sink to ing6's exact columns.
+    Batch/stream equivalence IS the check: the oracle is ing6's, so the
+    stream must reproduce the batch harvest byte for byte.
+
+    Scale: st6's deployment shape with time-series state — dedup keyed
+    (query_id, fragment_id, instance); a production run bounds the
+    state with a watermark on ingest time (finite replay here)."""
+    from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
+    from ..sources.profiles import TS_SCHEMA, batch_parser  # noqa: PLC0415
+
+    path = ensure_profiles(spark, sf_dir)
+    lines = spark.readStream.text(path).select(
+        F.split("value", " ").getItem(2).alias("blob"),
+        F.col("tag").cast("string").alias("tag"),
+    )
+    ts = lines.mapInPandas(
+        batch_parser("time_series", TS_SCHEMA), schema=TS_SCHEMA
+    ).dropDuplicates(["query_id", "fragment_id", "instance"])
+    _run_to_memory(ts, "st20_out", "append")
+    e = spark.table("st20_out").select(
+        "tag", "query_id", "fragment_id", "instance",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    key = F.split("series_key", "\\|")
+    return e.select(
+        "tag", "query_id", "fragment_id", "instance",
+        key.getItem(0).alias("counter_name"),
+        key.getItem(1).alias("unit"),
+        key.getItem(2).cast("bigint").alias("period_ms"),
+        "samples",
+    )
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st7 — watermarked stream-stream interval join: every (purchase,
     click) pair where the same user clicked in the hour before the
@@ -1071,6 +1109,8 @@ ORACLES = {
     "st9_streaming_kmv": _st9_oracle(),
     "st8_streaming_cms": _st8_oracle(),
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
+    # stream == batch on the finite log replay: same oracle as ing6
+    "st20_streaming_time_series": _ING_ORACLES["ing6_time_series"],
     "st1_streaming_tumbling": _EV1_ORACLE,
     # stream == batch on the in-order finite source: same oracle as ev19
     "st10_streaming_transitions": _EV_ORACLES["ev19_event_transitions"],
@@ -1115,6 +1155,7 @@ SPARK_QUERIES = {
     "st4_streaming_dedup": streaming_dedup,
     "st5_streaming_anomaly": streaming_anomaly,
     "st6_streaming_ingest": streaming_profile_ingest,
+    "st20_streaming_time_series": streaming_time_series_ingest,
     "st7_streaming_interval_join": streaming_interval_join,
     "st8_streaming_cms": streaming_cms,
     "st9_streaming_kmv": streaming_kmv,

@@ -701,6 +701,17 @@ def test_ing6_time_series_rides_the_ingest_dedup(spark, sf_dir):
     assert "hashpartitioning(query_id" in plan
 
 
+def test_ts2_memory_skew_two_keyed_aggregates(spark, sf_dir):
+    # cross-instance skew: explode in-partition, then the per-(query,
+    # fragment, counter) aggregate across instances and the small
+    # rollup — at most three keyed exchanges total (S8 dedup + two
+    # aggregate keys), partial aggregation everywhere, no cartesian
+    plan = _plan(spark, sf_dir, "ts2_memory_skew")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 3, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2x (partial + final)
+
+
 def test_ts1_memory_ramp_partial_aggregates(spark, sf_dir):
     # explode fans out per-series rows in-partition, then ONE keyed
     # aggregate with a map-side partial — output is |tag| x |fragment| x
