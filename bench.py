@@ -183,17 +183,21 @@ def main() -> int:
 
     timings: dict[str, float] = {}
 
-    def bench_one(name: str) -> None:
-        # one untimed warm-up execution per query (janino codegen/JIT is
-        # a one-time cost), then best-of-reps — see the loop below
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def _best_of(build, n_reps: int) -> float:
+        # the ONE timing protocol every published number uses: one
+        # untimed warm-up drain (janino codegen/JIT is a one-time
+        # cost), then best-of-n_reps timed noop-format drains
+        build().write.format("noop").mode("overwrite").save()
         best = None
-        for _ in range(reps):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            build().write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+        return round(best, 4)
+
+    def bench_one(name: str) -> None:
+        timings[name] = _best_of(lambda: qs[name](spark, sf_dir), reps)
 
     # dd3/sim1 run BEFORE the shared-frame builds: their live lineages
     # EQUAL two build plans, and CacheManager substitutes cached
@@ -251,17 +255,10 @@ def main() -> int:
     for host, tiers in _tier_probes():
         if host not in timings:
             continue
-        sub: dict[str, float] = {}
-        for tname, fn in tiers.items():
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            sub[tname] = round(best, 4)
-        tier_timings[host] = sub
+        tier_timings[host] = {
+            tname: _best_of(lambda f=fn: f(spark, sf_dir), 2)
+            for tname, fn in tiers.items()
+        }
 
     # The streaming one-time setup, kept as honest as the batch builds:
     # st-family queries read a multi-file scan-cache landing directory

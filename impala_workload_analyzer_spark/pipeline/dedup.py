@@ -770,9 +770,9 @@ def _exact_digest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dict, so the benched plans and the query's plans can never drift.
 DD17_TIERS = {
     "exact": _exact_digest_pairs,
-    "jaccard3": lambda spark, sf_dir: _shared_jaccard3(spark, sf_dir),
-    "minhash": lambda spark, sf_dir: _shared_minhash_pairs(spark, sf_dir),
-    "simhash": lambda spark, sf_dir: simhash_neardup_pairs(spark, sf_dir),
+    "jaccard3": _shared_jaccard3,
+    "minhash": _shared_minhash_pairs,
+    "simhash": simhash_neardup_pairs,
 }
 
 

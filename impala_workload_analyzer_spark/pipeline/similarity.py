@@ -1703,9 +1703,9 @@ ORACLES = {
 # ann_comparison builds its union from this same dict, so the benched
 # plans and the query's plans can never drift apart.
 SIM16_TIERS = {
-    "lsh": lambda spark, sf_dir: lsh_recall(spark, sf_dir),
-    "ivf": lambda spark, sf_dir: ivf_recall(spark, sf_dir),
-    "int8": lambda spark, sf_dir: quantize_recall(spark, sf_dir),
+    "lsh": lsh_recall,
+    "ivf": ivf_recall,
+    "int8": quantize_recall,
     "adc": lambda spark, sf_dir: _recall_vs_exact(
         spark, sf_dir, ivfpq_topk(spark, sf_dir)),
     "rerank": lambda spark, sf_dir: _recall_vs_exact(

@@ -38,7 +38,7 @@ remainder keeps oldest-witness-first order (ties keep the prior
 rotation's relative order), so future rotations fall out of the same
 sort. Unlisted names keep module order after the prioritized block, so
 a new query is never silently dropped. Late round-13 additions sit
-PAST the window at #55/#56 (ts2_memory_skew,
+PAST the window at #56/#57 (ts2_memory_skew,
 st20_streaming_time_series — the cross-instance peak-skew analytic and
 the streaming twin of the ing6 harvest): placing them in-window would
 displace r7/r8-witnessed entries and break the re-witness completion,

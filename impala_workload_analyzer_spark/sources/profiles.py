@@ -412,6 +412,7 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
     # are i64 bit patterns reinterpreted as doubles (the F4 bitcast).
     is_averaged = False
     curr_frag: dict | None = None
+    inst_seen: dict[int, int] = {}  # fragment id -> instance headers seen
     for node in tree.nodes:
         name = node.name
         # fragment headers, matched by fixed prefix (regex equivalents kept
@@ -430,12 +431,19 @@ def parse_profile(tree: TRuntimeProfileTree, tag: str):
             # TTimeSeriesCounter harvest (RuntimeProfile.thrift:50-59):
             # instance fragment headers carry sampled counters (e.g. RAM
             # every period_ms). The reference declares the field but no
-            # script reads it — this is its first landing column. One
-            # entry per instance, in node order (instance = list index+1).
-            if not avg and node.time_series_counters:
-                curr_frag.setdefault("ts", []).append(
-                    node.time_series_counters
+            # script reads it — this is its first landing column. The
+            # instance ordinal counts EVERY non-averaged header in node
+            # order, including headers with no series — so a profile
+            # whose first instance reports nothing still attributes the
+            # second instance's samples to instance 2, never 1.
+            if not avg:
+                inst = inst_seen[curr_frag["id"]] = (
+                    inst_seen.get(curr_frag["id"], 0) + 1
                 )
+                if node.time_series_counters:
+                    curr_frag.setdefault("ts", []).append(
+                        (inst, node.time_series_counters)
+                    )
             continue
         if node.name in ("CodeGen", "HdfsTableSink"):
             which = {"CodeGen": "code_gen", "HdfsTableSink": "hdfs_table_sink"}[
@@ -634,12 +642,24 @@ def _parse_rows(which: str, blobs, tags) -> list[tuple]:
             rows.extend(_frag_row(tag, fr) for fr in frags)
         elif which == "time_series":
             for fr in frags:
-                for inst, tscs in enumerate(fr.get("ts", []), start=1):
-                    series = {
-                        f"{t.name}|{_UNIT_NAME[t.type]}|{t.period_ms}":
-                            list(t.values)
-                        for t in tscs
-                    }
+                for inst, tscs in fr.get("ts", []):
+                    series: dict[str, list[int]] = {}
+                    for t in tscs:
+                        # unknown future TCounterType values land as the
+                        # raw enum number instead of crashing the batch
+                        unit = (_UNIT_NAME[t.type]
+                                if 0 <= t.type < len(_UNIT_NAME)
+                                else str(t.type))
+                        key = f"{t.name}|{unit}|{t.period_ms}"
+                        # Impala keys counters uniquely by name per node;
+                        # if a foreign writer ever repeats one, keep the
+                        # samples under a disambiguated name (documented
+                        # lossy RENAME, never a silent drop)
+                        n = 2
+                        while key in series:
+                            key = f"{t.name}#{n}|{unit}|{t.period_ms}"
+                            n += 1
+                        series[key] = list(t.values)
                     rows.append((tag, fr["query_id"], fr["id"], inst, series))
         else:
             rows.append(_query_row(query))
@@ -697,6 +717,32 @@ def parsed_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parse_table(spark, sf_dir, "time_series", TS_SCHEMA)
 
 
+def explode_time_series(df: DataFrame) -> DataFrame:
+    """Shared explode of the ``time_series`` MapType column to one row
+    per (fragment instance, counter) with plain columns. Used by BOTH
+    the batch harvest (ing6) and its streaming twin (st20) so their
+    column contract holds by construction, not by parallel edits.
+
+    The key re-parse is RIGHT-anchored — period_ms and unit are the
+    last two '|' fields, the counter name is everything before them —
+    so a counter whose own name contains '|' round-trips exactly."""
+    e = df.select(
+        "tag", "query_id", "fragment_id", "instance",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    parts = F.split("series_key", "\\|")
+    return e.select(
+        "tag", "query_id", "fragment_id", "instance",
+        F.expr(
+            "array_join(slice(split(series_key, '\\\\|'), 1,"
+            " size(split(series_key, '\\\\|')) - 2), '|')"
+        ).alias("counter_name"),
+        F.element_at(parts, -2).alias("unit"),
+        F.element_at(parts, -1).cast("bigint").alias("period_ms"),
+        "samples",
+    )
+
+
 def time_series_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ing6 — the harvested time series, exploded to one row per
     (fragment instance, counter): full wire fidelity as plain columns
@@ -706,19 +752,7 @@ def time_series_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: rides the ingest scan (one mapInPandas pass, no extra
     shuffle beyond the S8 dedup the other ingest tables pay)."""
-    df = parsed_time_series(spark, sf_dir)
-    e = df.select(
-        "tag", "query_id", "fragment_id", "instance",
-        F.explode("time_series").alias("series_key", "samples"),
-    )
-    key = F.split("series_key", "\\|")
-    return e.select(
-        "tag", "query_id", "fragment_id", "instance",
-        key.getItem(0).alias("counter_name"),
-        key.getItem(1).alias("unit"),
-        key.getItem(2).cast("bigint").alias("period_ms"),
-        "samples",
-    )
+    return explode_time_series(parsed_time_series(spark, sf_dir))
 
 
 def time_series_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +773,8 @@ def time_series_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = F.element_at("samples", 1)
     last = F.element_at("samples", -1)
-    period = F.split("series_key", "\\|").getItem(2).cast("bigint")
+    # right-anchored: period_ms is the LAST '|' field (names may contain '|')
+    period = F.element_at(F.split("series_key", "\\|"), -1).cast("bigint")
     delta = (last - first).alias("delta")
     return (
         s.select(

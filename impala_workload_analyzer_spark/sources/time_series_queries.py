@@ -44,7 +44,12 @@ def time_series_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_inst = s.select(
         "tag", "query_id", "fragment_id",
-        F.split("series_key", "\\|").getItem(0).alias("counter_name"),
+        # right-anchored name: everything before the trailing unit and
+        # period fields, so counter names containing '|' group correctly
+        F.expr(
+            "array_join(slice(split(series_key, '\\\\|'), 1,"
+            " size(split(series_key, '\\\\|')) - 2), '|')"
+        ).alias("counter_name"),
         F.array_max("samples").alias("peak"),
     )
     per_frag = per_inst.groupBy(

@@ -224,7 +224,11 @@ def streaming_time_series_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, fragment_id, instance); a production run bounds the
     state with a watermark on ingest time (finite replay here)."""
     from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
-    from ..sources.profiles import TS_SCHEMA, batch_parser  # noqa: PLC0415
+    from ..sources.profiles import (  # noqa: PLC0415
+        TS_SCHEMA,
+        batch_parser,
+        explode_time_series,
+    )
 
     path = ensure_profiles(spark, sf_dir)
     lines = spark.readStream.text(path).select(
@@ -235,18 +239,9 @@ def streaming_time_series_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_parser("time_series", TS_SCHEMA), schema=TS_SCHEMA
     ).dropDuplicates(["query_id", "fragment_id", "instance"])
     _run_to_memory(ts, "st20_out", "append")
-    e = spark.table("st20_out").select(
-        "tag", "query_id", "fragment_id", "instance",
-        F.explode("time_series").alias("series_key", "samples"),
-    )
-    key = F.split("series_key", "\\|")
-    return e.select(
-        "tag", "query_id", "fragment_id", "instance",
-        key.getItem(0).alias("counter_name"),
-        key.getItem(1).alias("unit"),
-        key.getItem(2).cast("bigint").alias("period_ms"),
-        "samples",
-    )
+    # the SAME projection ing6 publishes — shared helper, so the
+    # batch/stream column contract holds by construction
+    return explode_time_series(spark.table("st20_out"))
 
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,9 +219,9 @@ def test_counter_node_walk():
 
 def test_time_series_harvest_walk():
     """TTimeSeriesCounter harvest (RuntimeProfile.thrift:50-59): instance
-    fragment headers contribute one ``ts`` entry per instance, in node
-    order; averaged headers are ignored; the emitted time_series row maps
-    "name|unit|period_ms" -> samples."""
+    fragment headers contribute one ``ts`` entry per series-bearing
+    instance, in node order; averaged headers are ignored; the emitted
+    time_series row maps "name|unit|period_ms" -> samples."""
     tree = _query_tree()
     tree.nodes.extend([
         TC.TRuntimeProfileNode("Averaged Fragment F00"),  # no ts harvested
@@ -254,6 +254,54 @@ def test_time_series_harvest_walk():
     ]
 
 
+def test_time_series_instance_ordinal_counts_empty_headers():
+    """A profile whose FIRST instance reports no series must still land
+    the second instance's samples under instance=2 — the ordinal counts
+    every non-averaged header in node order, not just series-bearing
+    ones (review r13: list-position numbering misattributed slots)."""
+    tree = _query_tree()
+    tree.nodes.extend([
+        TC.TRuntimeProfileNode("Fragment F00"),  # instance 1, no series
+        TC.TRuntimeProfileNode(
+            "Fragment F00",
+            time_series_counters=[TC.TTimeSeriesCounter(
+                "MemoryUsage", TC.TCounterType.BYTES, 500, [9, 8])],
+        ),
+    ])
+    _q, _ops, frags = P.parse_profile(tree, "t")
+    assert {f["id"]: f for f in frags}[0]["ts"] == [
+        (2, tree.nodes[-1].time_series_counters)]
+
+
+def test_time_series_hostile_names_and_unknown_units():
+    """Wire values the rendered corpus never produces must not corrupt
+    the harvest: '|' inside a counter name survives the composite key's
+    right-anchored re-parse, an out-of-enum counter type lands as its
+    raw number instead of raising, and a (hostile) duplicate name keeps
+    its samples under a disambiguated rename — never a silent drop."""
+    import base64
+    import zlib
+    tree = _query_tree()
+    tree.nodes.append(TC.TRuntimeProfileNode(
+        "Fragment F00",
+        time_series_counters=[
+            TC.TTimeSeriesCounter("Weird|Name", TC.TCounterType.BYTES,
+                                  500, [1, 2]),
+            TC.TTimeSeriesCounter("Future", 9, 250, [3]),  # unknown enum
+            TC.TTimeSeriesCounter("Dup", TC.TCounterType.UNIT, 100, [4]),
+            TC.TTimeSeriesCounter("Dup", TC.TCounterType.UNIT, 100, [5]),
+        ],
+    ))
+    blob = base64.b64encode(zlib.compress(tree.serialize())).decode()
+    (row,) = P._parse_rows("time_series", [blob], ["t"])
+    assert row[4] == {
+        "Weird|Name|BYTES|500": [1, 2],
+        "Future|9|250": [3],
+        "Dup|UNIT|100": [4],
+        "Dup#2|UNIT|100": [5],
+    }
+
+
 def test_time_series_survives_lean_wire_round_trip():
     """The ingest hot path decodes lean — field 10 must be materialized
     there (it used to be skip-scanned) or the harvest emits nothing."""
@@ -271,7 +319,7 @@ def test_time_series_survives_lean_wire_round_trip():
         tree.nodes[-1].time_series_counters
     _q, _ops, frags = P.parse_profile(lean, "t")
     assert {f["id"]: f for f in frags}[0]["ts"] == [
-        tree.nodes[-1].time_series_counters]
+        (1, tree.nodes[-1].time_series_counters)]
 
 
 def test_status_gate_drops_failed_profiles():
