@@ -250,8 +250,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
         # integer DIV, not double /: exact past 2^53 cumulative tokens
-        # per shard, matching the oracle's // (ADVICE r12)
-        "bin", F.expr(f"CAST((cum - 1) DIV {_PACK_BUDGET} AS BIGINT)")
+        # per shard, matching the oracle's // (ADVICE r12). GREATEST
+        # clamps the cum=0 corner (a shard whose first doc has 0
+        # tokens) where Spark's trunc-DIV and DuckDB's floor-// would
+        # otherwise disagree on (0-1)/budget (ADVICE r13)
+        "bin",
+        F.expr(f"CAST(GREATEST(cum - 1, 0) DIV {_PACK_BUDGET} AS BIGINT)"),
     )
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"),
@@ -1301,7 +1305,7 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM d)
         SELECT shard,
-               CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin,
+               CAST(GREATEST(cum - 1, 0) // {_PACK_BUDGET} AS BIGINT) AS bin,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                MIN(n_tokens) AS min_tokens,
@@ -2449,8 +2453,12 @@ def _curation_funnel_of(docs: DataFrame) -> DataFrame:
     bins = (
         surv.withColumn("cum", F.sum("nt").over(wp))
         # integer DIV keeps the bin index exact past 2^53 cumulative
-        # tokens per shard, matching the oracle's // (ADVICE r12)
-        .withColumn("bin", F.expr(f"CAST((cum - 1) DIV {_PACK_BUDGET} AS BIGINT)"))
+        # tokens per shard, matching the oracle's // (ADVICE r12);
+        # GREATEST clamps the cum=0 trunc-vs-floor corner (ADVICE r13)
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(GREATEST(cum - 1, 0) DIV {_PACK_BUDGET} AS BIGINT)"),
+        )
         .groupBy("shard", "bin")
         .agg(F.sum("nt").cast("bigint").alias("bt"))
     )
@@ -2618,7 +2626,8 @@ def _tx33_oracle() -> str:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM surv),
         bins AS (
-          SELECT shard, CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS bin,
+          SELECT shard,
+                 CAST(GREATEST(cum - 1, 0) // {_PACK_BUDGET} AS BIGINT) AS bin,
                  CAST(SUM(nt) AS BIGINT) AS bt
           FROM packedc GROUP BY 1, 2),
         pagg AS (

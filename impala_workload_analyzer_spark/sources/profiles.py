@@ -725,7 +725,17 @@ def explode_time_series(df: DataFrame) -> DataFrame:
 
     The key re-parse is RIGHT-anchored — period_ms and unit are the
     last two '|' fields, the counter name is everything before them —
-    so a counter whose own name contains '|' round-trips exactly."""
+    so a counter whose own name contains '|' round-trips exactly.
+
+    Every published column is SCALAR: the sample vector lands as a
+    canonical CSV string (``samples_csv``) plus the integers
+    (n_samples, first_sample, last_sample), because the driver's
+    correctness harness canonicalizes result cells with pandas
+    ``sort_values`` and an ArrayType cell is unhashable there (the
+    round-13 ing6 red row). The raw array stays queryable on the
+    MapType landing table itself; this projection is the published,
+    driver-hashable surface. first/last use try_element_at so a
+    wire-legal zero-sample series lands as NULLs, never an error."""
     e = df.select(
         "tag", "query_id", "fragment_id", "instance",
         F.explode("time_series").alias("series_key", "samples"),
@@ -739,7 +749,11 @@ def explode_time_series(df: DataFrame) -> DataFrame:
         ).alias("counter_name"),
         F.element_at(parts, -2).alias("unit"),
         F.element_at(parts, -1).cast("bigint").alias("period_ms"),
-        "samples",
+        F.size("samples").cast("bigint").alias("n_samples"),
+        F.try_element_at("samples", F.lit(1)).alias("first_sample"),
+        F.try_element_at("samples", F.lit(-1)).alias("last_sample"),
+        F.array_join(F.col("samples").cast("array<string>"), ",")
+        .alias("samples_csv"),
     )
 
 
@@ -767,25 +781,39 @@ def time_series_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode fans out |series| rows per instance (bounded by the
     wire payload), then one small groupBy — the aggregate output is
     |tags| x |fragments| x |instances| rows regardless of corpus size."""
-    s = parsed_time_series(spark, sf_dir).select(
+    return ramp_over(parsed_time_series(spark, sf_dir))
+
+
+def ramp_over(df: DataFrame) -> DataFrame:
+    """ts1's rollup over a ``time_series``-bearing frame (split out so a
+    constructed frame can exercise wire-legal shapes the rendered corpus
+    never emits — e.g. a zero-sample series, whose span contribution
+    must clamp to 0, not -period, and whose first/last land as NULL
+    instead of raising; ADVICE r13)."""
+    s = df.select(
         "tag", "fragment_id", "instance",
         F.explode("time_series").alias("series_key", "samples"),
     )
-    first = F.element_at("samples", 1)
-    last = F.element_at("samples", -1)
+    first = F.try_element_at("samples", F.lit(1))
+    last = F.try_element_at("samples", F.lit(-1))
     # right-anchored: period_ms is the LAST '|' field (names may contain '|')
     period = F.element_at(F.split("series_key", "\\|"), -1).cast("bigint")
     delta = (last - first).alias("delta")
     return (
         s.select(
             "tag", "fragment_id", "instance", delta,
-            (period * (F.size("samples") - 1)).alias("span_ms"),
+            (period * F.greatest(F.size("samples") - 1, F.lit(0)))
+            .alias("span_ms"),
         )
         .groupBy("tag", "fragment_id", "instance")
         .agg(
             F.count("*").alias("n_series"),
-            F.sum((F.col("delta") > 0).cast("bigint")).alias("n_ramp_up"),
-            F.sum((F.col("delta") < 0).cast("bigint")).alias("n_ramp_down"),
+            # coalesce: a NULL delta (zero-sample series) ramps neither
+            # way — count it as 0, matching the oracle's CASE ... ELSE 0
+            F.sum(F.coalesce((F.col("delta") > 0).cast("bigint"), F.lit(0)))
+            .alias("n_ramp_up"),
+            F.sum(F.coalesce((F.col("delta") < 0).cast("bigint"), F.lit(0)))
+            .alias("n_ramp_down"),
             F.sum("delta").alias("sum_delta"),
             F.max("delta").alias("max_delta"),
             F.min("delta").alias("min_delta"),
@@ -964,20 +992,30 @@ ORACLES = {
     # the rendered corpus carries one MemoryUsage series per fragment
     # instance: BYTES, period 500 ms, samples [cg % 4096, sink % 4096]
     # (profile_render.py's _counter_nodes); the oracle re-derives both
-    # instances from the corpus fragment columns
+    # instances from the corpus fragment columns. The sample vector is
+    # published as scalars (csv string + n/first/last) — the driver's
+    # canonicalizer cannot hash a list cell (round-13 red row)
     "ing6_time_series": with_corpus(f"""
         SELECT {_TAG} AS tag, query_id, id AS fragment_id,
                CAST(1 AS BIGINT) AS instance,
                'MemoryUsage' AS counter_name, 'BYTES' AS unit,
                CAST(500 AS BIGINT) AS period_ms,
-               [cg_i1 % 4096, sink_i1 % 4096] AS samples
+               CAST(2 AS BIGINT) AS n_samples,
+               CAST(cg_i1 % 4096 AS BIGINT) AS first_sample,
+               CAST(sink_i1 % 4096 AS BIGINT) AS last_sample,
+               CAST(cg_i1 % 4096 AS VARCHAR) || ',' ||
+                 CAST(sink_i1 % 4096 AS VARCHAR) AS samples_csv
         FROM iwa_fragments WHERE {_K} % 41 <> 0
         UNION ALL
         SELECT {_TAG} AS tag, query_id, id AS fragment_id,
                CAST(2 AS BIGINT) AS instance,
                'MemoryUsage' AS counter_name, 'BYTES' AS unit,
                CAST(500 AS BIGINT) AS period_ms,
-               [cg_i2 % 4096, sink_i2 % 4096] AS samples
+               CAST(2 AS BIGINT) AS n_samples,
+               CAST(cg_i2 % 4096 AS BIGINT) AS first_sample,
+               CAST(sink_i2 % 4096 AS BIGINT) AS last_sample,
+               CAST(cg_i2 % 4096 AS VARCHAR) || ',' ||
+                 CAST(sink_i2 % 4096 AS VARCHAR) AS samples_csv
         FROM iwa_fragments WHERE {_K} % 41 <> 0"""),
     "ts1_memory_ramp": with_corpus(f"""
         SELECT tag, fragment_id, instance,

@@ -278,7 +278,11 @@ def test_time_series_hostile_names_and_unknown_units():
     the harvest: '|' inside a counter name survives the composite key's
     right-anchored re-parse, an out-of-enum counter type lands as its
     raw number instead of raising, and a (hostile) duplicate name keeps
-    its samples under a disambiguated rename — never a silent drop."""
+    its samples under a disambiguated rename — never a silent drop.
+    A zero-sample series (wire-legal: the values list may be empty)
+    must survive the harvest as an empty vector (ADVICE r13; its
+    downstream span/first/last semantics are pinned in
+    tests/test_driver_shape.py)."""
     import base64
     import zlib
     tree = _query_tree()
@@ -290,6 +294,8 @@ def test_time_series_hostile_names_and_unknown_units():
             TC.TTimeSeriesCounter("Future", 9, 250, [3]),  # unknown enum
             TC.TTimeSeriesCounter("Dup", TC.TCounterType.UNIT, 100, [4]),
             TC.TTimeSeriesCounter("Dup", TC.TCounterType.UNIT, 100, [5]),
+            TC.TTimeSeriesCounter("NoSamples", TC.TCounterType.BYTES,
+                                  500, []),
         ],
     ))
     blob = base64.b64encode(zlib.compress(tree.serialize())).decode()
@@ -299,6 +305,7 @@ def test_time_series_hostile_names_and_unknown_units():
         "Future|9|250": [3],
         "Dup|UNIT|100": [4],
         "Dup#2|UNIT|100": [5],
+        "NoSamples|BYTES|500": [],
     }
 
 

@@ -47,6 +47,24 @@ def _norm_cell(v):
     return v
 
 
+def driver_unsafe_cols(dtypes):
+    """Top-level columns the DRIVER's canonicalizer cannot handle.
+
+    The driver compares results by pandas ``sort_values`` + value
+    hashing over object columns, which raises ``TypeError: unhashable
+    type`` on list/dict cells — the round-13 ing6 red row: a correct
+    answer failed the harness because its ``samples`` column was
+    ArrayType. check.py's own ``_norm_cell`` tolerates lists, i.e. the
+    local gate was MORE permissive than the binding contract, so this
+    lint rejects any non-scalar top-level output column at gate time —
+    the builder's gate now fails this class first.
+
+    ``dtypes`` is ``DataFrame.dtypes`` (name, simpleString) pairs.
+    """
+    return [c for c, t in dtypes
+            if t.startswith(("array<", "map<", "struct<"))]
+
+
 def _norm_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -157,6 +175,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        unsafe = driver_unsafe_cols(sdf.dtypes)
+        if unsafe:
+            failed.append((name, f"driver-unsafe schema: non-scalar columns {unsafe}"))
+            print(f"FAIL {name}: driver-unsafe schema: non-scalar columns {unsafe}")
             continue
         if name not in oracles:
             # rows-only by DESIGN, not by omission: the only two entries
