@@ -38,7 +38,15 @@ def time_series_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     |tags| x |fragments| x |counters| rollup. The map explode is
     in-partition and bounded by the wire payload; everything is
     integer arithmetic (no division anywhere)."""
-    s = parsed_time_series(spark, sf_dir).select(
+    return skew_over(parsed_time_series(spark, sf_dir))
+
+
+def skew_over(df: DataFrame) -> DataFrame:
+    """ts2's rollup over any ``time_series``-bearing frame — split out
+    (the ramp_over pattern) so the streaming twin st21 can run the
+    SAME analytic over the watermark-finalized streamed sink: one
+    shared body, so batch/stream skew readouts cannot drift."""
+    s = df.select(
         "tag", "query_id", "fragment_id",
         F.explode("time_series").alias("series_key", "samples"),
     )
@@ -68,6 +76,47 @@ def time_series_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_memory_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts3 — PER-QUERY SAMPLED MEMORY FOOTPRINT census: per tag, the
+    distribution of each query's memory footprint as seen by the
+    sampled counters — the sum over all of the query's fragment
+    instances of that instance's sampled BYTES-series peak. Summing
+    per-series peaks is deliberately the CONSERVATIVE (upper-bound)
+    footprint — per-instance peaks need not align in time — which is
+    exactly the bound an admission controller reserves against. The
+    point-in-time counter harvest (S7) cannot produce this: only the
+    sampled series (field 10) sees the high-watermark.
+
+    Scale: rides the harvest's parse + S8 dedup; the map explode is
+    in-partition, the BYTES filter drops non-memory series before any
+    shuffle, then two keyed aggregates — per (tag, query) with map-side
+    partials (cardinality = |queries|), then the |tags|-row census.
+    Integer arithmetic only."""
+    s = parsed_time_series(spark, sf_dir).select(
+        "tag", "query_id",
+        F.explode("time_series").alias("series_key", "samples"),
+    )
+    # right-anchored: unit is the second-to-last '|' field (names may
+    # contain '|'); period_ms is last
+    unit = F.element_at(F.split("series_key", "\\|"), -2)
+    per_q = (
+        s.where(unit == F.lit("BYTES"))
+        .select("tag", "query_id", F.array_max("samples").alias("peak"))
+        .groupBy("tag", "query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_series"),
+            F.sum("peak").cast("bigint").alias("footprint"),
+        )
+    )
+    return per_q.groupBy("tag").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("n_series").cast("bigint").alias("n_series"),
+        F.sum("footprint").cast("bigint").alias("sum_footprint"),
+        F.max("footprint").cast("bigint").alias("max_footprint"),
+        F.min("footprint").cast("bigint").alias("min_footprint"),
+    )
+
+
 # the rendered corpus carries one MemoryUsage series per instance with
 # samples [cg % 4096, sink % 4096] (profile_render._counter_nodes), so
 # each instance's peak is GREATEST of the two and the oracle re-derives
@@ -90,8 +139,25 @@ ORACLES = {
                        GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS mn
           FROM iwa_fragments WHERE {_K} % 41 <> 0
         ) GROUP BY tag, fragment_id, counter_name"""),
+    "ts3_query_memory_footprint": with_corpus(f"""
+        SELECT tag,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_series) AS BIGINT) AS n_series,
+               CAST(SUM(footprint) AS BIGINT) AS sum_footprint,
+               CAST(MAX(footprint) AS BIGINT) AS max_footprint,
+               CAST(MIN(footprint) AS BIGINT) AS min_footprint
+        FROM (
+          SELECT {_TAG} AS tag, query_id,
+                 CAST(2 * COUNT(*) AS BIGINT) AS n_series,
+                 CAST(SUM(GREATEST(cg_i1 % 4096, sink_i1 % 4096)
+                        + GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS BIGINT)
+                   AS footprint
+          FROM iwa_fragments WHERE {_K} % 41 <> 0
+          GROUP BY 1, 2
+        ) GROUP BY tag"""),
 }
 
 SPARK_QUERIES = {
     "ts2_memory_skew": time_series_skew,
+    "ts3_query_memory_footprint": query_memory_footprint,
 }

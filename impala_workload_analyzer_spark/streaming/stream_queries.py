@@ -244,6 +244,33 @@ def streaming_time_series_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_time_series(spark.table("st20_out"))
 
 
+def streaming_memory_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st21 — ts2's cross-instance peak-skew analytic computed over the
+    STREAMED harvest: st20's ingest shape (same Arrow parse worker,
+    same keyed dedup) into its own sink, then the shared ``skew_over``
+    body over the finalized table. Batch/stream equivalence IS the
+    check — the oracle is ts2's, so the stream-fed skew readout must
+    reproduce the batch analytic byte for byte.
+
+    Scale: the stream side is st20's (keyed dedup state, watermark
+    bounds it in production); the analytic side is ts2's (in-partition
+    explode, two keyed integer aggregates over the finalized sink)."""
+    from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
+    from ..sources.profiles import TS_SCHEMA, batch_parser  # noqa: PLC0415
+    from ..sources.time_series_queries import skew_over  # noqa: PLC0415
+
+    path = ensure_profiles(spark, sf_dir)
+    lines = spark.readStream.text(path).select(
+        F.split("value", " ").getItem(2).alias("blob"),
+        F.col("tag").cast("string").alias("tag"),
+    )
+    ts = lines.mapInPandas(
+        batch_parser("time_series", TS_SCHEMA), schema=TS_SCHEMA
+    ).dropDuplicates(["query_id", "fragment_id", "instance"])
+    _run_to_memory(ts, "st21_out", "append")
+    return skew_over(spark.table("st21_out"))
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st7 — watermarked stream-stream interval join: every (purchase,
     click) pair where the same user clicked in the hour before the
@@ -433,6 +460,7 @@ _ST2_ORACLE = f"""
     FROM s, wm WHERE s.session_end_us < wm.watermark_us"""
 
 from ..sources.profiles import ORACLES as _ING_ORACLES  # noqa: E402
+from ..sources.time_series_queries import ORACLES as _TS_ORACLES  # noqa: E402
 
 def streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st8 — ev17's Count-Min sketch maintained as a STREAMING
@@ -1106,6 +1134,8 @@ ORACLES = {
     "st6_streaming_ingest": _ING_ORACLES["ing1_parsed_operators"],
     # stream == batch on the finite log replay: same oracle as ing6
     "st20_streaming_time_series": _ING_ORACLES["ing6_time_series"],
+    # stream == batch on the finite log replay: same oracle as ts2
+    "st21_streaming_memory_skew": _TS_ORACLES["ts2_memory_skew"],
     "st1_streaming_tumbling": _EV1_ORACLE,
     # stream == batch on the in-order finite source: same oracle as ev19
     "st10_streaming_transitions": _EV_ORACLES["ev19_event_transitions"],
@@ -1151,6 +1181,7 @@ SPARK_QUERIES = {
     "st5_streaming_anomaly": streaming_anomaly,
     "st6_streaming_ingest": streaming_profile_ingest,
     "st20_streaming_time_series": streaming_time_series_ingest,
+    "st21_streaming_memory_skew": streaming_memory_skew,
     "st7_streaming_interval_join": streaming_interval_join,
     "st8_streaming_cms": streaming_cms,
     "st9_streaming_kmv": streaming_kmv,

@@ -712,6 +712,16 @@ def test_ts2_memory_skew_two_keyed_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan  # 2x (partial + final)
 
 
+def test_ts3_footprint_filters_before_any_shuffle(spark, sf_dir):
+    # the BYTES filter and map explode stay in-partition; at most three
+    # keyed exchanges (S8 dedup + per-query agg + tag census), partial
+    # aggregation everywhere, no cartesian
+    plan = _plan(spark, sf_dir, "ts3_query_memory_footprint")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 3, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2x (partial + final)
+
+
 def test_ts1_memory_ramp_partial_aggregates(spark, sf_dir):
     # explode fans out per-series rows in-partition, then ONE keyed
     # aggregate with a map-side partial — output is |tag| x |fragment| x
