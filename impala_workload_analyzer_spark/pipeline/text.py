@@ -265,6 +265,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_packing_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx34 — CROSS-SPLIT PACKING LEAKAGE audit: run tx9's exact
+    shard-local greedy packer while carrying each document's tx5 split
+    label, then census the packed sequences (bins) by their split
+    COMPOSITION — the sorted '+'-joined set of splits present in the
+    bin. A split-blind packer happily packs a val/test document into
+    the same fixed-budget training sequence (and thus the same
+    attention context) as train documents; every 'train+…' composition
+    row quantifies exactly that document-boundary leakage, with
+    ``eval_tokens`` the non-train token mass inside those bins (for the
+    pure 'val'/'test' rows the same column is just their token mass —
+    the composition says which reading applies). The production fix is
+    packing per split; this is the audit that says how much leaks if
+    you don't.
+
+    Scale shape: tx9's — one shuffle to shards, a within-shard window,
+    then the (shard, bin) aggregate RIDES the shard partitioning
+    (clustering by shard already co-locates every (shard, bin) group,
+    so no second exchange) and the composition rollup is a ≤7-row
+    aggregate. The split label is a scan-side md5 projection (tx5),
+    adding no shuffle."""
+    bucket = F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)")) % 100
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.least(
+            F.size("words").cast("bigint"), F.lit(_PACK_BUDGET)
+        ).alias("n_tokens"),
+        (F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+         % _PACK_SHARDS).alias("shard"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.expr(f"CAST(GREATEST(cum - 1, 0) DIV {_PACK_BUDGET} AS BIGINT)"),
+    )
+    bins = packed.groupBy("shard", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("toks"),
+        F.sum(
+            F.when(F.col("split") != "train", F.col("n_tokens"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("etoks"),
+        F.array_join(F.array_sort(F.collect_set("split")), "+")
+        .alias("composition"),
+    )
+    return bins.groupBy("composition").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("etoks").cast("bigint").alias("eval_tokens"),
+    )
+
+
 _BLOCKLIST = ("slow", "error", "drop", "crash")  # policy-banned terms
 
 # deterministic per-source sampling rates for corpus mixture construction;
@@ -1424,6 +1481,40 @@ ORACLES = {
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
                ROUND(AVG(CAST(n_chars AS DOUBLE)), 9) AS avg_chars
         FROM d GROUP BY 1, 2""",
+    "tx34_split_packing_leakage": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 LEAST(CAST(len({_DUCK_WORDS}) AS BIGINT), {_PACK_BUDGET})
+                   AS n_tokens,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS}
+                   AS shard,
+                 CASE WHEN {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 80
+                        THEN 'train'
+                      WHEN {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split
+          FROM documents),
+        packed AS (
+          SELECT shard, n_tokens, split,
+                 SUM(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        bins AS (
+          SELECT shard,
+                 CAST(GREATEST(cum - 1, 0) // {_PACK_BUDGET} AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS toks,
+                 CAST(SUM(CASE WHEN split <> 'train' THEN n_tokens ELSE 0 END)
+                      AS BIGINT) AS etoks,
+                 array_to_string(list_sort(list(DISTINCT split)), '+')
+                   AS composition
+          FROM packed GROUP BY 1, 2)
+        SELECT composition,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(etoks) AS BIGINT) AS eval_tokens
+        FROM bins GROUP BY 1""",
     "tx6_unigram_logprob": f"""
         WITH d AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
         toks AS (SELECT doc_id, unnest(words) AS word FROM d),
@@ -1945,6 +2036,7 @@ SPARK_QUERIES = {
     "tx19_dsir_importance": dsir_importance,
     "tx8_benchmark_contamination": benchmark_contamination,
     "tx9_sequence_packing": sequence_packing,
+    "tx34_split_packing_leakage": split_packing_leakage,
     "tx10_blocklist_policy": blocklist_policy,
     "tx11_repetition_stats": repetition_stats,
     "tx12_mixture_sample": mixture_sample,

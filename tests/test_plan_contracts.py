@@ -712,6 +712,18 @@ def test_ts2_memory_skew_two_keyed_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan  # 2x (partial + final)
 
 
+def test_tx34_bin_aggregate_rides_the_shard_partitioning(spark, sf_dir):
+    # tx9's packing shape with a split label: ONE shuffle to shards (the
+    # window), then the (shard, bin) aggregate reuses that clustering —
+    # no second doc-level exchange — and the composition rollup is the
+    # only other exchange (<=7 rows). No cartesian, no global sort.
+    plan = _plan(spark, sf_dir, "tx34_split_packing_leakage")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "hashpartitioning(shard" in plan
+    assert "hashpartitioning(composition" in plan
+
+
 def test_ts3_footprint_filters_before_any_shuffle(spark, sf_dir):
     # the BYTES filter and map explode stay in-partition; at most three
     # keyed exchanges (S8 dedup + per-query agg + tag census), partial
