@@ -501,6 +501,36 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_distinct_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev31 — HLL++ distinct-count certificate per event_type: the exact
+    user distinct (oracle-checked) beside a certificate that Spark's
+    ``approx_count_distinct`` (HyperLogLog++, rsd=0.05) landed within 3x
+    its configured standard error. The HLL register state is
+    implementation-defined — no cross-engine twin exists (ev14's KMV is
+    the deterministic alternative for that) — so the estimate itself
+    stays internal and the published row carries the a19 sketch-twin
+    pattern: the exact value plus a boolean the DuckDB oracle asserts
+    literally TRUE. Deterministic for fixed data + implementation, so
+    the certificate is exact-bit stable across runs and scales.
+
+    Scale: this is THE distinct-count plan at 100 TB — single-pass,
+    mergeable, O(registers) state per group, never a shuffle of the
+    distinct values themselves; the exact COUNT(DISTINCT) here is the
+    certificate's yardstick, which a production deployment replaces
+    with the sketch alone (or audits on a sampled stratum)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.expr("approx_count_distinct(user_id, 0.05)").alias("est"),
+    )
+    return per.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact"))
+         <= 3 * 0.05 * F.col("n_exact")).alias("within_bound"),
+    )
+
+
 _DELAYS_PER_CHUNK = 1_000_000  # one rank task handles ~1M (delay, user) rows
 _EV18_COUNT_CACHE: dict[str, int] = {}  # sizing statistic, keyed by sf_dir
 
@@ -1356,6 +1386,14 @@ ORACLES = {
                ROUND(SUM(disorder_us) / CAST(COUNT(*) AS DOUBLE), 6)
                  AS avg_disorder_us
         FROM d GROUP BY event_type""",
+    # ev31's oracle recomputes the exact distinct and asserts the HLL
+    # rank-error certificate as literal TRUE (the a19 sketch-twin
+    # pattern; the register state has no cross-engine twin)
+    "ev31_hll_distinct_certificate": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS within_bound
+        FROM events GROUP BY 1""",
     "ev14_kmv_distinct": f"""
         WITH h AS (
           SELECT DISTINCT event_type,
@@ -1751,6 +1789,7 @@ SPARK_QUERIES = {
     "ev12_anomaly_zscore": anomaly_zscore,
     "ev13_rate_alerts": rate_alerts,
     "ev14_kmv_distinct": kmv_distinct,
+    "ev31_hll_distinct_certificate": hll_distinct_certificate,
     "ev17_cms_heavy_hitters": cms_heavy_hitters,
     "ev18_funnel_latency": funnel_latency,
     "ev19_event_transitions": event_transitions,

@@ -712,6 +712,20 @@ def test_ts2_memory_skew_two_keyed_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4, plan  # 2x (partial + final)
 
 
+def test_ev31_hll_certificate_two_exchanges(spark, sf_dir):
+    # exact COUNT(DISTINCT) + HLL in one grouped aggregate: the distinct
+    # path re-keys once on (event_type, user_id), the final aggregate on
+    # event_type — two exchanges total, partial aggregation everywhere,
+    # no cartesian; and the certificate must hold (all rows TRUE)
+    plan = _plan(spark, sf_dir, "ev31_hll_distinct_certificate")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 2, plan
+    rows = entrymod.queries()["ev31_hll_distinct_certificate"](
+        spark, sf_dir
+    ).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+
+
 def test_tx34_bin_aggregate_rides_the_shard_partitioning(spark, sf_dir):
     # tx9's packing shape with a split label: ONE shuffle to shards (the
     # window), then the (shard, bin) aggregate reuses that clustering —
