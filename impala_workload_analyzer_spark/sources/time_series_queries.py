@@ -45,12 +45,18 @@ def skew_over(df: DataFrame) -> DataFrame:
     """ts2's rollup over any ``time_series``-bearing frame — split out
     (the ramp_over pattern) so the streaming twin st21 can run the
     SAME analytic over the watermark-finalized streamed sink: one
-    shared body, so batch/stream skew readouts cannot drift."""
+    shared body, so batch/stream skew readouts cannot drift.
+
+    A wire-legal ZERO-SAMPLE series has no peak — array_max would
+    yield NULL and poison the group's aggregates — so empty vectors
+    are filtered out before peak extraction: an instance that sampled
+    nothing reached no high-watermark (the ramp analytic's clamp
+    treatment of the same input class; review r14)."""
     s = df.select(
         "tag", "query_id", "fragment_id",
         F.explode("time_series").alias("series_key", "samples"),
     )
-    per_inst = s.select(
+    per_inst = s.where(F.size("samples") > 0).select(
         "tag", "query_id", "fragment_id",
         # right-anchored name: everything before the trailing unit and
         # period fields, so counter names containing '|' group correctly
@@ -92,7 +98,16 @@ def query_memory_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, then two keyed aggregates — per (tag, query) with map-side
     partials (cardinality = |queries|), then the |tags|-row census.
     Integer arithmetic only."""
-    s = parsed_time_series(spark, sf_dir).select(
+    return footprint_over(parsed_time_series(spark, sf_dir))
+
+
+def footprint_over(df: DataFrame) -> DataFrame:
+    """ts3's census over any ``time_series``-bearing frame (the
+    ramp_over/skew_over pattern). Zero-sample series carry no peak and
+    are excluded from both the series count and the footprint (a
+    series that sampled nothing is not a memory reading; review
+    r14)."""
+    s = df.select(
         "tag", "query_id",
         F.explode("time_series").alias("series_key", "samples"),
     )
@@ -100,7 +115,7 @@ def query_memory_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contain '|'); period_ms is last
     unit = F.element_at(F.split("series_key", "\\|"), -2)
     per_q = (
-        s.where(unit == F.lit("BYTES"))
+        s.where((unit == F.lit("BYTES")) & (F.size("samples") > 0))
         .select("tag", "query_id", F.array_max("samples").alias("peak"))
         .groupBy("tag", "query_id")
         .agg(

@@ -184,91 +184,77 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st3_out")
 
 
-def streaming_profile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st6 — the reference's operational mode as a stream: tail the
-    profile log directory (``readStream.text``), decode + parse each
-    arriving line with the SAME Arrow-batch worker the batch ingest uses
-    (``profiles.batch_parser``), and maintain the deduped operators
-    table. Batch/stream equivalence IS the check: the oracle is ing1's.
+def _stream_parsed(spark: SparkSession, sf_dir: str, which: str,
+                   schema, keys: tuple[str, ...], sink: str) -> DataFrame:
+    """Shared stream-ingest block for the profile-log tailing twins
+    (st6/st20/st21): tail the rendered log directory
+    (``readStream.text``), decode + parse each arriving line with the
+    SAME Arrow-batch worker the batch ingest uses
+    (``profiles.batch_parser``), dedup on the table's S8 unique key,
+    and finalize into a named memory sink. ONE body for all three
+    twins so an edit to the blob-field index or a dedup key cannot
+    desynchronize them (review r14 — the explode/skew analytics were
+    already shared; the ingest half now is too).
 
-    Scale: this is the deployment shape — new log files land, the file
-    source picks them up per trigger, and the dedup state replaces the
-    reference's unique MongoDB index. State is keyed by (query_id, id);
-    a production run bounds it with a watermark on ingest time (the
-    fixture is a finite replay, so none is needed for the check)."""
+    Scale: the deployment shape — new log files land, the file source
+    picks them up per trigger, the keyed dedup state replaces the
+    reference's unique MongoDB index; a production run bounds the
+    state with a watermark on ingest time (the fixture is a finite
+    replay, so none is needed for the checks)."""
     from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
-    from ..sources.profiles import OP_SCHEMA, batch_parser  # noqa: PLC0415
+    from ..sources.profiles import batch_parser  # noqa: PLC0415
 
     path = ensure_profiles(spark, sf_dir)
     lines = spark.readStream.text(path).select(
         F.split("value", " ").getItem(2).alias("blob"),
         F.col("tag").cast("string").alias("tag"),
     )
-    ops = lines.mapInPandas(
-        batch_parser("operators", OP_SCHEMA), schema=OP_SCHEMA
-    ).dropDuplicates(["query_id", "id"])
-    _run_to_memory(ops, "st6_out", "append")
-    return spark.table("st6_out")
+    parsed = lines.mapInPandas(
+        batch_parser(which, schema), schema=schema
+    ).dropDuplicates(list(keys))
+    _run_to_memory(parsed, sink, "append")
+    return spark.table(sink)
+
+
+def streaming_profile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st6 — the reference's operational mode as a stream: the shared
+    tailing ingest (``_stream_parsed``) maintaining the deduped
+    operators table, keyed (query_id, id). Batch/stream equivalence IS
+    the check: the oracle is ing1's."""
+    from ..sources.profiles import OP_SCHEMA  # noqa: PLC0415
+
+    return _stream_parsed(spark, sf_dir, "operators", OP_SCHEMA,
+                          ("query_id", "id"), "st6_out")
 
 
 def streaming_time_series_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st20 — the round-13 TTimeSeriesCounter harvest as a stream: tail
-    the profile log directory with the SAME Arrow-batch worker the batch
-    harvest uses (``batch_parser("time_series", ...)``), maintain the
-    deduped per-fragment-instance table — MapType landing column
-    included — then explode the finalized sink to ing6's exact columns.
-    Batch/stream equivalence IS the check: the oracle is ing6's, so the
-    stream must reproduce the batch harvest byte for byte.
+    """st20 — the round-13 TTimeSeriesCounter harvest as a stream: the
+    shared tailing ingest maintaining the deduped per-fragment-instance
+    table — MapType landing column included, keyed (query_id,
+    fragment_id, instance) — then the SAME projection ing6 publishes
+    (``explode_time_series``), so the batch/stream column contract
+    holds by construction. The oracle is ing6's: the stream must
+    reproduce the batch harvest byte for byte."""
+    from ..sources.profiles import TS_SCHEMA, explode_time_series  # noqa: PLC0415
 
-    Scale: st6's deployment shape with time-series state — dedup keyed
-    (query_id, fragment_id, instance); a production run bounds the
-    state with a watermark on ingest time (finite replay here)."""
-    from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
-    from ..sources.profiles import (  # noqa: PLC0415
-        TS_SCHEMA,
-        batch_parser,
-        explode_time_series,
-    )
-
-    path = ensure_profiles(spark, sf_dir)
-    lines = spark.readStream.text(path).select(
-        F.split("value", " ").getItem(2).alias("blob"),
-        F.col("tag").cast("string").alias("tag"),
-    )
-    ts = lines.mapInPandas(
-        batch_parser("time_series", TS_SCHEMA), schema=TS_SCHEMA
-    ).dropDuplicates(["query_id", "fragment_id", "instance"])
-    _run_to_memory(ts, "st20_out", "append")
-    # the SAME projection ing6 publishes — shared helper, so the
-    # batch/stream column contract holds by construction
-    return explode_time_series(spark.table("st20_out"))
+    return explode_time_series(_stream_parsed(
+        spark, sf_dir, "time_series", TS_SCHEMA,
+        ("query_id", "fragment_id", "instance"), "st20_out"))
 
 
 def streaming_memory_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st21 — ts2's cross-instance peak-skew analytic computed over the
-    STREAMED harvest: st20's ingest shape (same Arrow parse worker,
-    same keyed dedup) into its own sink, then the shared ``skew_over``
-    body over the finalized table. Batch/stream equivalence IS the
-    check — the oracle is ts2's, so the stream-fed skew readout must
-    reproduce the batch analytic byte for byte.
-
-    Scale: the stream side is st20's (keyed dedup state, watermark
-    bounds it in production); the analytic side is ts2's (in-partition
-    explode, two keyed integer aggregates over the finalized sink)."""
-    from ..sources.profile_render import ensure_profiles  # noqa: PLC0415
-    from ..sources.profiles import TS_SCHEMA, batch_parser  # noqa: PLC0415
+    STREAMED harvest: st20's shared tailing ingest into its own sink,
+    then the shared ``skew_over`` body over the finalized table.
+    Batch/stream equivalence IS the check — the oracle is ts2's, so
+    the stream-fed skew readout must reproduce the batch analytic byte
+    for byte."""
+    from ..sources.profiles import TS_SCHEMA  # noqa: PLC0415
     from ..sources.time_series_queries import skew_over  # noqa: PLC0415
 
-    path = ensure_profiles(spark, sf_dir)
-    lines = spark.readStream.text(path).select(
-        F.split("value", " ").getItem(2).alias("blob"),
-        F.col("tag").cast("string").alias("tag"),
-    )
-    ts = lines.mapInPandas(
-        batch_parser("time_series", TS_SCHEMA), schema=TS_SCHEMA
-    ).dropDuplicates(["query_id", "fragment_id", "instance"])
-    _run_to_memory(ts, "st21_out", "append")
-    return skew_over(spark.table("st21_out"))
+    return skew_over(_stream_parsed(
+        spark, sf_dir, "time_series", TS_SCHEMA,
+        ("query_id", "fragment_id", "instance"), "st21_out"))
 
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

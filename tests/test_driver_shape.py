@@ -15,6 +15,10 @@ from impala_workload_analyzer_spark.sources.profiles import (
     explode_time_series,
     ramp_over,
 )
+from impala_workload_analyzer_spark.sources.time_series_queries import (
+    footprint_over,
+    skew_over,
+)
 from tools.check import driver_unsafe_cols
 
 
@@ -33,6 +37,20 @@ def test_lint_rejects_synthetic_array_map_struct_columns(spark):
     assert driver_unsafe_cols(df.dtypes) == ["a", "m", "s"]
     scalar = spark.sql("SELECT 1 AS k, 'ok' AS txt, CAST(1.5 AS DOUBLE) AS d")
     assert driver_unsafe_cols(scalar.dtypes) == []
+
+
+def test_lint_is_an_allowlist_not_a_blocklist():
+    """The lint must reject ANY dtype outside the known-scalar set —
+    a blocklist of array</map</struct< would wave through other
+    pandas-unhashable column types (an ML VectorUDT renders as plain
+    'vector'), re-opening the exact gap the lint closes (review r14).
+    Pure-function check: driver_unsafe_cols takes (name, dtype) pairs."""
+    assert driver_unsafe_cols([("v", "vector")]) == ["v"]
+    assert driver_unsafe_cols([("u", "some_future_udt")]) == ["u"]
+    assert driver_unsafe_cols(
+        [("k", "bigint"), ("d", "decimal(18,6)"), ("b", "binary"),
+         ("t", "timestamp"), ("s", "string")]
+    ) == []
 
 
 def test_explode_time_series_is_scalar_and_empty_safe(spark):
@@ -62,3 +80,31 @@ def test_explode_time_series_is_scalar_and_empty_safe(spark):
     assert (ramp["n_ramp_up"], ramp["n_ramp_down"]) == (1, 0)
     assert ramp["sum_delta"] == 20
     assert (ramp["max_delta"], ramp["min_delta"]) == (20, 20)
+
+
+def test_peak_analytics_ignore_zero_sample_series(spark):
+    """skew_over (ts2/st21) and footprint_over (ts3) must not let a
+    wire-legal zero-sample series poison their aggregates with the
+    NULL array_max yields on an empty vector: empty series carry no
+    peak and are excluded; an instance or query whose series are ALL
+    empty contributes no row at all (review r14)."""
+    rows = [
+        ("t", "7", 0, 1, {"MemoryUsage|BYTES|500": [10, 30],
+                          "Empty|BYTES|500": []}),
+        ("t", "7", 0, 2, {"MemoryUsage|BYTES|500": [5, 9],
+                          "Empty|BYTES|500": []}),
+        ("t", "8", 1, 1, {"OnlyEmpty|BYTES|500": []}),
+    ]
+    df = spark.createDataFrame(rows, TS_SCHEMA)
+
+    skew = {(r["fragment_id"], r["counter_name"]): r
+            for r in skew_over(df).collect()}
+    assert set(skew) == {(0, "MemoryUsage")}  # no Empty/OnlyEmpty rows
+    r = skew[(0, "MemoryUsage")]
+    assert (r["n_fragments"], r["n_skewed"], r["sum_skew"],
+            r["max_skew"], r["sum_peak"]) == (1, 1, 21, 21, 30)
+
+    (fp,) = footprint_over(df).collect()  # query 8 contributes nothing
+    assert (fp["tag"], fp["n_queries"], fp["n_series"]) == ("t", 1, 2)
+    assert (fp["sum_footprint"], fp["max_footprint"],
+            fp["min_footprint"]) == (39, 39, 39)

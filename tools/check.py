@@ -47,6 +47,14 @@ def _norm_cell(v):
     return v
 
 
+# the dtypes the driver's canonicalizer provably handles (scalars that
+# land as hashable/sortable pandas cells); everything else is rejected
+_SCALAR_DTYPES = frozenset({
+    "bigint", "int", "smallint", "tinyint", "double", "float",
+    "string", "boolean", "timestamp", "timestamp_ntz", "date", "binary",
+})
+
+
 def driver_unsafe_cols(dtypes):
     """Top-level columns the DRIVER's canonicalizer cannot handle.
 
@@ -59,10 +67,15 @@ def driver_unsafe_cols(dtypes):
     lint rejects any non-scalar top-level output column at gate time —
     the builder's gate now fails this class first.
 
+    ALLOWLIST, not a blocklist: a blocklist of array</map</struct<
+    would wave through other unhashable column types (an ML VectorUDT
+    renders as plain 'vector'), re-opening the exact gap the lint
+    closes. Anything not a known-scalar dtype (or a decimal) fails.
+
     ``dtypes`` is ``DataFrame.dtypes`` (name, simpleString) pairs.
     """
     return [c for c, t in dtypes
-            if t.startswith(("array<", "map<", "struct<"))]
+            if t not in _SCALAR_DTYPES and not t.startswith("decimal")]
 
 
 def _norm_rows(rows, cols):
@@ -170,16 +183,24 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            dtypes = sdf.dtypes  # analysis only — no execution yet
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        # lint BEFORE the collect: a driver-unsafe schema is knowable
+        # from analysis alone, so fail it with zero execution cost
+        unsafe = driver_unsafe_cols(dtypes)
+        if unsafe:
+            failed.append((name, f"driver-unsafe schema: non-scalar columns {unsafe}"))
+            print(f"FAIL {name}: driver-unsafe schema: non-scalar columns {unsafe}")
+            continue
+        try:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
-            continue
-        unsafe = driver_unsafe_cols(sdf.dtypes)
-        if unsafe:
-            failed.append((name, f"driver-unsafe schema: non-scalar columns {unsafe}"))
-            print(f"FAIL {name}: driver-unsafe schema: non-scalar columns {unsafe}")
             continue
         if name not in oracles:
             # rows-only by DESIGN, not by omission: the only two entries
