@@ -512,6 +512,143 @@ def serial_replay_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def memory_demand_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w10 — MEMORY-WEIGHTED concurrency sweep (the admission what-if):
+    per cluster, the peak and time-integral of CONCURRENT MEMORY
+    DEMAND — w1's sweep line with each query's interval weighted by its
+    sampled memory footprint (ts3's per-query sum of BYTES-series
+    peaks from the field-10 harvest) instead of +1. w1 answers "how
+    many queries ran at once"; w10 answers the question an admission
+    controller actually reserves against: "how many bytes would they
+    have held at once". Scope is the HARVESTED queries (inner join on
+    query_id): a query whose profile never landed a sampled memory
+    series carries no measurable demand. Cluster scoping keeps w1's
+    conventions (clusters discovered under the tpch tag, swept without
+    re-filtering; stats.py:383-385).
+
+    Exactness: all integer arithmetic — levels are bigint byte sums,
+    the mass integral is bytes x microseconds (fits i64 at fixture
+    footprints; a production run rescales to MB or accumulates
+    DECIMAL, the w9 overflow lesson), and the mean publishes as an
+    integer floor-div. Tie handling matches w1: at equal timestamps
+    ORDER BY (ts, delta) puts releases (negative deltas) before
+    reservations; rows with identical (ts, delta) are interchangeable
+    (same level multiset), so both engines' sweeps agree exactly.
+
+    Scale: the event stream reuses w1's adaptive machinery — the
+    weight-agnostic ``_two_phase_sweep`` prefix scan (chunked
+    distributed running sum above _EVENTS_PER_CHUNK, single window
+    below), so a skewed mega-cluster parallelizes identically to w1;
+    the footprint side rides the harvest parse + one keyed aggregate."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+    from ..sources.profiles import parsed_time_series  # noqa: PLC0415
+    from ..sources.time_series_queries import query_footprints  # noqa: PLC0415
+
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    scoped = q.join(clusters, "cluster", "left_semi").select(
+        "cluster", "query_id", "start_time", "end_time"
+    )
+    fps = query_footprints(parsed_time_series(spark, sf_dir)).select(
+        "query_id", "footprint"
+    )
+    weighted = scoped.join(fps, "query_id")
+    events = weighted.select(
+        "cluster",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_time").alias("ts"),
+                    F.col("footprint").alias("delta"),
+                ),
+                F.struct(
+                    F.col("end_time").alias("ts"),
+                    (-F.col("footprint")).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("cluster", "e.ts", "e.delta")
+    ver = corpus_version(sf_dir)
+    key = f"w10:{ver}"
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = weighted.count()
+    n_events = _COUNT_CACHE[key] * 2
+    target_chunks = min(
+        n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
+    )
+    swept = _two_phase_sweep(events, target_chunks).filter(
+        F.col("interval").isNotNull()
+    )
+    agg = swept.groupBy("cluster").agg(
+        F.max("level").cast("bigint").alias("peak_mem_bytes"),
+        F.sum(
+            F.when(F.col("level") > 0, F.col("level") * F.col("interval"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("mem_mass_bytes_us"),
+        F.sum(
+            F.when(F.col("level") > 0, F.col("interval")).otherwise(F.lit(0))
+        ).cast("bigint").alias("busy_us"),
+    )
+    n = weighted.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_queries")
+    )
+    return n.join(agg, "cluster").select(
+        "cluster", "n_queries", "peak_mem_bytes", "mem_mass_bytes_us",
+        "busy_us",
+        F.expr(IDIV("mem_mass_bytes_us", "busy_us"))
+        .alias("mean_mem_demand_bytes"),
+    )
+
+
+# w10's oracle re-derives the per-query footprint from the corpus
+# fragment columns (the rendered MemoryUsage samples are
+# [cg % 4096, sink % 4096] per instance — profile_render._counter_nodes;
+# the %41 filter mirrors the ingest's corrupt-line scope) and runs the
+# identical weighted sweep
+ORACLES["w10_memory_demand_sweep"] = with_corpus(f"""
+        , fp AS (
+          SELECT query_id,
+                 CAST(SUM(GREATEST(cg_i1 % 4096, sink_i1 % 4096)
+                        + GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS BIGINT)
+                   AS footprint
+          FROM iwa_fragments WHERE CAST(query_id AS BIGINT) % 41 <> 0
+          GROUP BY query_id),
+        scoped AS (
+          SELECT q.cluster, q.query_id, q.start_time, q.end_time, f.footprint
+          FROM iwa_queries q JOIN fp f USING (query_id)
+          WHERE q.cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                              WHERE tag = 'tpch')),
+        ev AS (
+          SELECT cluster, start_time AS ts, footprint AS delta FROM scoped
+          UNION ALL
+          SELECT cluster, end_time AS ts, -footprint AS delta FROM scoped),
+        swept AS (
+          SELECT cluster,
+                 SUM(delta) OVER (PARTITION BY cluster ORDER BY ts, delta
+                                  ROWS UNBOUNDED PRECEDING) AS level,
+                 LEAD(ts) OVER (PARTITION BY cluster ORDER BY ts, delta) - ts
+                   AS interval
+          FROM ev),
+        agg AS (
+          SELECT cluster,
+                 CAST(MAX(level) AS BIGINT) AS peak_mem_bytes,
+                 CAST(SUM(CASE WHEN level > 0 THEN level * interval
+                               ELSE 0 END) AS BIGINT) AS mem_mass_bytes_us,
+                 CAST(SUM(CASE WHEN level > 0 THEN interval ELSE 0 END)
+                      AS BIGINT) AS busy_us
+          FROM swept WHERE interval IS NOT NULL GROUP BY cluster),
+        n AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_queries
+          FROM scoped GROUP BY cluster)
+        SELECT n.cluster, n.n_queries, a.peak_mem_bytes,
+               a.mem_mass_bytes_us, a.busy_us,
+               {_IDIV('a.mem_mass_bytes_us', 'a.busy_us')}
+                 AS mean_mem_demand_bytes
+        FROM n JOIN agg a USING (cluster)""")
+
+SPARK_QUERIES["w10_memory_demand_sweep"] = memory_demand_sweep
+
+
 ORACLES["w9_serial_replay_whatif"] = with_corpus(f"""
         , q AS (
           SELECT cluster, query_id, start_time AS arrival,

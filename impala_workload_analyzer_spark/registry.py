@@ -37,11 +37,12 @@ window the remainder keeps oldest-witness-first order (ties keep the
 prior rotation's relative order), so future rotations fall out of the
 same sort. Unlisted names keep module order after the prioritized
 block, so a new query is never silently dropped. Late round-14
-additions sit PAST the window at #54-#57 (ts3_query_memory_footprint,
+additions sit PAST the window at #54-#58 (ts3_query_memory_footprint,
 st21_streaming_memory_skew, tx34_split_packing_leakage,
-ev31_hll_distinct_certificate — the per-query sampled-peak footprint
-census, ts2's streaming twin, the cross-split packing-leakage audit,
-and the HLL++ distinct-count certificate): placing them in-window would
+ev31_hll_distinct_certificate, w10_memory_demand_sweep — the per-query
+sampled-peak footprint census, ts2's streaming twin, the cross-split
+packing-leakage audit, the HLL++ distinct-count certificate, and the
+memory-weighted concurrency sweep): placing them in-window would
 displace r9-witnessed entries mid-re-witness, so they are exact-bit
 gated locally at all three scales instead and join w1 at the front of
 the r15 window as rotation category (a) — the dd27/ts2 convention.
@@ -76,6 +77,7 @@ _PRIORITY = (
     "m2b_kmeans_elbow_curve", "m3_kmeans_clusters",
     "ts3_query_memory_footprint", "st21_streaming_memory_skew",
     "tx34_split_packing_leakage", "ev31_hll_distinct_certificate",
+    "w10_memory_demand_sweep",
     "dd24_cross_source_dup_matrix",
     "sim24_label_confusion", "ev27_session_survival", "st16_streaming_session_survival",
     "tx31_split_leakage_audit", "ev28_return_gaps", "sim25_centroid_margin",

@@ -101,12 +101,14 @@ def query_memory_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footprint_over(parsed_time_series(spark, sf_dir))
 
 
-def footprint_over(df: DataFrame) -> DataFrame:
-    """ts3's census over any ``time_series``-bearing frame (the
-    ramp_over/skew_over pattern). Zero-sample series carry no peak and
-    are excluded from both the series count and the footprint (a
-    series that sampled nothing is not a memory reading; review
-    r14)."""
+def query_footprints(df: DataFrame) -> DataFrame:
+    """Per-(tag, query) conservative memory footprint over any
+    ``time_series``-bearing frame: the sum across the query's fragment
+    instances of each non-empty BYTES-series sampled peak. The shared
+    inner aggregate of ts3's census and w10's memory-weighted sweep.
+    Zero-sample series carry no peak and are excluded from both the
+    series count and the footprint (a series that sampled nothing is
+    not a memory reading; review r14)."""
     s = df.select(
         "tag", "query_id",
         F.explode("time_series").alias("series_key", "samples"),
@@ -114,7 +116,7 @@ def footprint_over(df: DataFrame) -> DataFrame:
     # right-anchored: unit is the second-to-last '|' field (names may
     # contain '|'); period_ms is last
     unit = F.element_at(F.split("series_key", "\\|"), -2)
-    per_q = (
+    return (
         s.where((unit == F.lit("BYTES")) & (F.size("samples") > 0))
         .select("tag", "query_id", F.array_max("samples").alias("peak"))
         .groupBy("tag", "query_id")
@@ -123,6 +125,13 @@ def footprint_over(df: DataFrame) -> DataFrame:
             F.sum("peak").cast("bigint").alias("footprint"),
         )
     )
+
+
+def footprint_over(df: DataFrame) -> DataFrame:
+    """ts3's census over any ``time_series``-bearing frame (the
+    ramp_over/skew_over pattern), rolled up from the shared
+    ``query_footprints`` aggregate."""
+    per_q = query_footprints(df)
     return per_q.groupBy("tag").agg(
         F.count("*").cast("bigint").alias("n_queries"),
         F.sum("n_series").cast("bigint").alias("n_series"),

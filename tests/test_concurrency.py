@@ -109,3 +109,52 @@ def test_concurrency_percentiles_bracket_w1(spark, sf_dir):
         below = sum(us for lv, us in h.items() if lv < r["p95_concurrent"])
         assert at_or_below * 100 >= 95 * total
         assert below * 100 < 95 * total
+
+
+def test_w10_weighted_mass_conservation(spark, sf_dir):
+    """Weighted Little's law (w8's certificate, byte-weighted): w10's
+    sweep integral of the memory-demand level over time must equal the
+    independent one-line aggregate sum(footprint x duration) over the
+    same weighted query set — any dropped event, wrong weight sign,
+    tie mis-order, or two-phase chunk-offset bug breaks equality.
+    Also: peak demand is at least the largest single footprint and at
+    most the cluster's footprint sum."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        memory_demand_sweep,
+    )
+    from impala_workload_analyzer_spark.sources.profiles import (
+        parsed_time_series,
+    )
+    from impala_workload_analyzer_spark.sources.time_series_queries import (
+        query_footprints,
+    )
+
+    out = {r["cluster"]: r
+           for r in memory_demand_sweep(spark, sf_dir).collect()}
+
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    scoped = q.join(clusters, "cluster", "left_semi").select(
+        "cluster", "query_id", "start_time", "end_time"
+    )
+    fp = query_footprints(parsed_time_series(spark, sf_dir)).select(
+        "query_id", "footprint"
+    )
+    ref = (
+        scoped.join(fp, "query_id")
+        .groupBy("cluster")
+        .agg(
+            F.sum(
+                F.col("footprint")
+                * (F.col("end_time") - F.col("start_time"))
+            ).cast("bigint").alias("mass"),
+            F.max("footprint").cast("bigint").alias("max_fp"),
+            F.sum("footprint").cast("bigint").alias("sum_fp"),
+        )
+    ).collect()
+    assert {r["cluster"] for r in ref} == set(out)
+    for r in ref:
+        got = out[r["cluster"]]
+        assert got["mem_mass_bytes_us"] == r["mass"], r["cluster"]
+        assert r["max_fp"] <= got["peak_mem_bytes"] <= r["sum_fp"], r["cluster"]
