@@ -512,6 +512,21 @@ def serial_replay_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mean_demand_col():
+    """w10's published mean: FLOOR(mass / busy) NULL-guarded for
+    busy_us = 0 (ADVICE r14 — Spark casts the unguarded NaN to 0 while
+    DuckDB errors on the cast; both engines publish NULL instead).
+    Module-level so the zero-busy degenerate, which the corpus never
+    renders, stays unit-testable against the production expression."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return (
+        F.when(F.col("busy_us") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr(IDIV("mem_mass_bytes_us", "busy_us")))
+        .alias("mean_mem_demand_bytes")
+    )
+
+
 def memory_demand_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w10 — MEMORY-WEIGHTED concurrency sweep (the admission what-if):
     per cluster, the peak and time-integral of CONCURRENT MEMORY
@@ -526,11 +541,17 @@ def memory_demand_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions (clusters discovered under the tpch tag, swept without
     re-filtering; stats.py:383-385).
 
-    Exactness: all integer arithmetic — levels are bigint byte sums,
-    the mass integral is bytes x microseconds (fits i64 at fixture
-    footprints; a production run rescales to MB or accumulates
-    DECIMAL, the w9 overflow lesson), and the mean publishes as an
-    integer floor-div. Tie handling matches w1: at equal timestamps
+    Exactness: levels are bigint byte sums and the mass integral is
+    bytes x microseconds (fits i64 at fixture footprints; a production
+    run rescales to MB or accumulates DECIMAL, the w9 overflow lesson).
+    The mean publishes as FLOOR(mass / busy) via the shared IDIV —
+    double division, exact while mass < 2^53 bytes-us (~9 PB-s, far
+    above the fixture envelope; the rescale above restores exactness
+    beyond it) — and is NULL-guarded for the zero-busy degenerate
+    (every weighted query with a zero footprint): Spark would cast the
+    resulting NaN to 0 while DuckDB errors on the cast, so both engines
+    publish NULL instead (ADVICE r14). Tie handling matches w1: at
+    equal timestamps
     ORDER BY (ts, delta) puts releases (negative deltas) before
     reservations; rows with identical (ts, delta) are interchangeable
     (same level multiset), so both engines' sweeps agree exactly.
@@ -540,7 +561,6 @@ def memory_demand_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed running sum above _EVENTS_PER_CHUNK, single window
     below), so a skewed mega-cluster parallelizes identically to w1;
     the footprint side rides the harvest parse + one keyed aggregate."""
-    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
     from ..sources.profiles import parsed_time_series  # noqa: PLC0415
     from ..sources.time_series_queries import query_footprints  # noqa: PLC0415
 
@@ -595,8 +615,7 @@ def memory_demand_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(agg, "cluster").select(
         "cluster", "n_queries", "peak_mem_bytes", "mem_mass_bytes_us",
         "busy_us",
-        F.expr(IDIV("mem_mass_bytes_us", "busy_us"))
-        .alias("mean_mem_demand_bytes"),
+        _mean_demand_col(),
     )
 
 
@@ -642,7 +661,8 @@ ORACLES["w10_memory_demand_sweep"] = with_corpus(f"""
           FROM scoped GROUP BY cluster)
         SELECT n.cluster, n.n_queries, a.peak_mem_bytes,
                a.mem_mass_bytes_us, a.busy_us,
-               {_IDIV('a.mem_mass_bytes_us', 'a.busy_us')}
+               CASE WHEN a.busy_us = 0 THEN NULL
+                    ELSE {_IDIV('a.mem_mass_bytes_us', 'a.busy_us')} END
                  AS mean_mem_demand_bytes
         FROM n JOIN agg a USING (cluster)""")
 

@@ -513,6 +513,16 @@ def hll_distinct_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally TRUE. Deterministic for fixed data + implementation, so
     the certificate is exact-bit stable across runs and scales.
 
+    PINNED to the HyperLogLog++ implementation in this repo's Spark
+    runtime (4.1.x): the literal-TRUE oracle means a future Spark
+    upgrade that changes the HLL++ estimator (or new data landing a
+    group near the 3-sigma edge) can flip a row and fail the gate even
+    though the sketch is behaving as specified — that failure mode is
+    version drift, not a data bug (ADVICE r14). On such a flip:
+    re-witness on the new runtime, and if a group genuinely sits
+    outside 3x rsd, re-baseline via ev14's deterministic KMV twin
+    before widening the bound.
+
     Scale: this is THE distinct-count plan at 100 TB — single-pass,
     mergeable, O(registers) state per group, never a shuffle of the
     distinct values themselves; the exact COUNT(DISTINCT) here is the

@@ -158,3 +158,33 @@ def test_w10_weighted_mass_conservation(spark, sf_dir):
         got = out[r["cluster"]]
         assert got["mem_mass_bytes_us"] == r["mass"], r["cluster"]
         assert r["max_fp"] <= got["peak_mem_bytes"] <= r["sum_fp"], r["cluster"]
+
+
+def test_w10_mean_demand_zero_busy_publishes_null(spark):
+    """ADVICE r14: busy_us = 0 (every weighted query with a zero
+    footprint) must publish NULL on BOTH engines — unguarded, Spark
+    casts the 0/0 NaN to bigint 0 while DuckDB errors on the cast, a
+    cross-engine crash the gate would surface. The corpus never renders
+    the degenerate, so pin the production expression directly."""
+    import duckdb
+
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        _mean_demand_col,
+    )
+
+    df = spark.createDataFrame(
+        [(100, 0), (100, 7), (0, 0)],
+        "mem_mass_bytes_us bigint, busy_us bigint",
+    )
+    got = {(r["mem_mass_bytes_us"], r["busy_us"]): r["mean_mem_demand_bytes"]
+           for r in df.select("*", _mean_demand_col()).collect()}
+    assert got == {(100, 0): None, (100, 7): 14, (0, 0): None}
+
+    oracle = duckdb.sql("""
+        SELECT mass, busy,
+               CASE WHEN busy = 0 THEN NULL
+                    ELSE CAST(FLOOR(mass / CAST(busy AS DOUBLE)) AS BIGINT)
+               END AS mean
+        FROM (VALUES (100, 0), (100, 7), (0, 0)) t(mass, busy)
+    """).fetchall()
+    assert {(m, b): v for m, b, v in oracle} == got

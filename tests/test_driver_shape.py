@@ -51,6 +51,13 @@ def test_lint_is_an_allowlist_not_a_blocklist():
         [("k", "bigint"), ("d", "decimal(18,6)"), ("b", "binary"),
          ("t", "timestamp"), ("s", "string")]
     ) == []
+    # parameterized string scalars land as hashable pandas strings and
+    # must pass the allowlist (ADVICE r14) — but only as a parameterized
+    # prefix, a bare unknown name still fails
+    assert driver_unsafe_cols(
+        [("c", "char(10)"), ("v", "varchar(32)"), ("d", "decimal(38,0)")]
+    ) == []
+    assert driver_unsafe_cols([("c", "character")]) == ["c"]
 
 
 def test_explode_time_series_is_scalar_and_empty_safe(spark):

@@ -70,12 +70,17 @@ def driver_unsafe_cols(dtypes):
     ALLOWLIST, not a blocklist: a blocklist of array</map</struct<
     would wave through other unhashable column types (an ML VectorUDT
     renders as plain 'vector'), re-opening the exact gap the lint
-    closes. Anything not a known-scalar dtype (or a decimal) fails.
+    closes. Anything not a known-scalar dtype fails; parameterized
+    scalars — decimal(p,s), char(n), varchar(n) — are allowed by
+    prefix because they land as hashable numeric/string pandas cells
+    (ADVICE r14: a CHAR/VARCHAR publisher must not be falsely
+    rejected).
 
     ``dtypes`` is ``DataFrame.dtypes`` (name, simpleString) pairs.
     """
     return [c for c, t in dtypes
-            if t not in _SCALAR_DTYPES and not t.startswith("decimal")]
+            if t not in _SCALAR_DTYPES
+            and not t.startswith(("decimal", "char(", "varchar("))]
 
 
 def _norm_rows(rows, cols):
