@@ -5,47 +5,32 @@ Ordering matters: the driver's correctness run walks ``queries()`` in
 registration order under a 50-entry budget, so ``_PRIORITY`` is a
 rotation schedule: each round front-loads (a) everything no driver
 round has ever witnessed, (b) everything modified since the last driver
-run, (c) the block longest unwitnessed. Round-14 window (50), executing
-the round-13 verdict's tasks #1-#3: the three leads are
-ing6_time_series — category (a+b): its round-13 driver row was RED
-(harness-compat: the ``samples`` ArrayType column broke the driver's
-pandas canonicalizer; the shared ``explode_time_series`` projection now
-publishes scalar columns and must be re-witnessed) — and the two
-never-witnessed round-13 late additions ts2_memory_skew and
-st20_streaming_time_series (st20 inherits the ing6 fix through the
-shared helper and carries ing6's oracle, so its first witness also
-certifies batch/stream equivalence under the new projection). The
-remaining 47 slots are ``tools/window_coverage.py``'s
-oldest-witness-first ranking — the ENTIRE r9-witnessed block except
-w1_concurrency_sweep, which lands at #51 (the single spill; it leads
-the r15 window): tx30/tpch_q2/tpch_q3, tpch_q4-q22, w9, ev2/ev4-ev8,
-mm1-mm3, tx5-tx7, ing1-ing5, st1-st7, q1. Category (b) this round —
-ts1_memory_ramp (zero-sample span clamp, ADVICE r13) and
-tx9_sequence_packing / tx33_curation_funnel (GREATEST clamp on the
-bin-index DIV, ADVICE r13) — was re-gated exact-bit at sf0.001/0.01 on
-change and rotates on freshness like any green query (all three were
-driver-witnessed green r13; their outputs are bit-identical on the
-corpus, the clamps only change wire-legal degenerate inputs the corpus
-never renders). m2b_kmeans_elbow_curve and m3_kmeans_clusters stay
-PAST-window forever at #52/#53, directly behind the r9 spill: they are
-rows-only by design (fit-dependent KMeans outputs; pytest-pinned
-goldens + hash-matched certificate twins m2/m3b carry their
-correctness), so a fresh driver row would still read ``err:
-no_oracle`` — their expected terminal state is documented in
-tools/check.py and the README (round-12 verdict task #2). After the
-window the remainder keeps oldest-witness-first order (ties keep the
-prior rotation's relative order), so future rotations fall out of the
-same sort. Unlisted names keep module order after the prioritized
-block, so a new query is never silently dropped. Late round-14
-additions sit PAST the window at #54-#58 (ts3_query_memory_footprint,
-st21_streaming_memory_skew, tx34_split_packing_leakage,
-ev31_hll_distinct_certificate, w10_memory_demand_sweep — the per-query
-sampled-peak footprint census, ts2's streaming twin, the cross-split
-packing-leakage audit, the HLL++ distinct-count certificate, and the
-memory-weighted concurrency sweep): placing them in-window would
-displace r9-witnessed entries mid-re-witness, so they are exact-bit
-gated locally at all three scales instead and join w1 at the front of
-the r15 window as rotation category (a) — the dd27/ts2 convention.
+run, (c) the block longest unwitnessed. Round-15 window (50), executing
+the round-14 verdict's tasks #1-#2: the six leads are
+w1_concurrency_sweep — the flagship, the single r14 spill (last
+witnessed r9) — and the five never-witnessed round-14 late additions
+ts3_query_memory_footprint, st21_streaming_memory_skew,
+tx34_split_packing_leakage, ev31_hll_distinct_certificate and
+w10_memory_demand_sweep (w10 is also category (b): its published mean
+gained the ADVICE-r14 zero-busy NULL guard this round, re-gated
+exact-bit at sf0.001/0.01 on change). The remaining 44 slots are
+``tools/window_coverage.py``'s oldest-witness-first ranking — the
+r10-witnessed block from dd24_cross_source_dup_matrix through
+ev16_seasonality_heatmap; its last six entries (sim7_embedding_quantize,
+tx8-tx12) spill past the window and lead the r16 rotation.
+m2b_kmeans_elbow_curve and m3_kmeans_clusters stay PAST-window forever
+at #51/#52, directly behind the window: they are rows-only by design
+(fit-dependent KMeans outputs; pytest-pinned goldens + hash-matched
+certificate twins m2/m3b carry their correctness), so a fresh driver
+row would still read ``err: no_oracle`` — their expected terminal state
+is documented in tools/check.py and the README (round-12 verdict task
+#2). After #52 the remainder keeps oldest-witness-first order (ties
+keep the prior rotation's relative order), so future rotations fall out
+of the same sort. Unlisted names keep module order after the
+prioritized block, so a new query is never silently dropped; any query
+added this round joins past-window, is exact-bit gated locally at all
+three scales instead, and leads the r16 window as rotation category (a)
+— the dd27/ts2 convention.
 """
 
 from __future__ import annotations
@@ -57,43 +42,24 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _PRIORITY = (
-    "ing6_time_series", "ts2_memory_skew", "st20_streaming_time_series",
-    "tx30_mixture_temperature_recipe", "tpch_q2", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    "w9_serial_replay_whatif", "ev2_sliding_hourly", "ev4_json_props_stats",
-    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
-    "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
-    "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
-    "tx7_tfidf_top_terms", "ing1_parsed_operators", "ing2_parsed_fragments",
-    "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
-    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_user_stats",
-    "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
-    "st7_streaming_interval_join", "q1_sql_features", "w1_concurrency_sweep",
-    "m2b_kmeans_elbow_curve", "m3_kmeans_clusters",
-    "ts3_query_memory_footprint", "st21_streaming_memory_skew",
-    "tx34_split_packing_leakage", "ev31_hll_distinct_certificate",
-    "w10_memory_demand_sweep",
-    "dd24_cross_source_dup_matrix",
-    "sim24_label_confusion", "ev27_session_survival", "st16_streaming_session_survival",
-    "tx31_split_leakage_audit", "ev28_return_gaps", "sim25_centroid_margin",
-    "a34_operator_lift", "st17_streaming_return_gaps", "snk6_compaction_export",
-    "pt8_plan_shape_profile", "ev29_weekly_value_drift", "st18_streaming_value_drift",
-    "mm7_frame_budget", "a35_scan_selectivity", "snk7_streaming_exactly_once",
-    "m3b_kmeans_certificate", "dd21_lsh_band_sensitivity", "dd17_dedup_comparison",
-    "dd13_component_keep_best", "dd18_effective_dataset", "dd19_soft_dedup_weights",
-    "dd20_component_size_spectrum", "dd22_dup_quality_profile", "tx23_training_manifest",
-    "dd8_neardup_components", "dd3_minhash_lsh_pairs", "dd25_text_embedding_agreement",
-    "tx32_decontamination_impact", "a36_straggler_census", "ev3_sessionize",
-    "q3_features_rollup", "m0_cluster_features", "w4_cluster_utilization",
-    "dd9_semantic_components", "dd10_incremental_dedup", "ev9_retention_cohorts",
-    "ev10_funnel_conversion", "ev11_sessionize_salted", "ev12_anomaly_zscore",
-    "ev13_rate_alerts", "ev14_kmv_distinct", "ev15_disorder_profile",
-    "ev16_seasonality_heatmap", "sim7_embedding_quantize", "tx8_benchmark_contamination",
+    "w1_concurrency_sweep", "ts3_query_memory_footprint", "st21_streaming_memory_skew",
+    "tx34_split_packing_leakage", "ev31_hll_distinct_certificate", "w10_memory_demand_sweep",
+    "dd24_cross_source_dup_matrix", "sim24_label_confusion", "ev27_session_survival",
+    "st16_streaming_session_survival", "tx31_split_leakage_audit", "ev28_return_gaps",
+    "sim25_centroid_margin", "a34_operator_lift", "st17_streaming_return_gaps",
+    "snk6_compaction_export", "pt8_plan_shape_profile", "ev29_weekly_value_drift",
+    "st18_streaming_value_drift", "mm7_frame_budget", "a35_scan_selectivity",
+    "snk7_streaming_exactly_once", "m3b_kmeans_certificate", "dd21_lsh_band_sensitivity",
+    "dd17_dedup_comparison", "dd13_component_keep_best", "dd18_effective_dataset",
+    "dd19_soft_dedup_weights", "dd20_component_size_spectrum", "dd22_dup_quality_profile",
+    "tx23_training_manifest", "dd8_neardup_components", "dd3_minhash_lsh_pairs",
+    "dd25_text_embedding_agreement", "tx32_decontamination_impact", "a36_straggler_census",
+    "ev3_sessionize", "q3_features_rollup", "m0_cluster_features",
+    "w4_cluster_utilization", "dd9_semantic_components", "dd10_incremental_dedup",
+    "ev9_retention_cohorts", "ev10_funnel_conversion", "ev11_sessionize_salted",
+    "ev12_anomaly_zscore", "ev13_rate_alerts", "ev14_kmv_distinct",
+    "ev15_disorder_profile", "ev16_seasonality_heatmap", "m2b_kmeans_elbow_curve",
+    "m3_kmeans_clusters", "sim7_embedding_quantize", "tx8_benchmark_contamination",
     "tx9_sequence_packing", "tx10_blocklist_policy", "tx11_repetition_stats",
     "tx12_mixture_sample", "dd26_repeated_substrings", "ev30_session_type_affinity",
     "st19_streaming_type_affinity", "sim26_metric_choice_audit", "tx13_boilerplate_stats",
@@ -145,6 +111,23 @@ _PRIORITY = (
     "tpch_q1", "tx2_quality_score", "tx3_language_id",
     "tx4_winnow_fingerprints", "w2_time_share_per_query", "a18_operator_time_quantiles",
     "dd5_embedding_neardup", "dd7_norm_dedup_keep_best", "ev1_tumbling_hourly",
+    "ing6_time_series", "ts2_memory_skew", "st20_streaming_time_series",
+    "tx30_mixture_temperature_recipe", "tpch_q2", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    "w9_serial_replay_whatif", "ev2_sliding_hourly", "ev4_json_props_stats",
+    "ev5_asof_join", "ev6_range_join", "ev7_hypertable_rollup",
+    "ev8_windowed_topk", "mm1_image_features", "mm2_frame_samples",
+    "mm3_audio_stats", "tx5_stratified_split", "tx6_unigram_logprob",
+    "tx7_tfidf_top_terms", "ing1_parsed_operators", "ing2_parsed_fragments",
+    "ing3_parsed_queries", "ing4_delete_by_tag", "ing5_ingest_health",
+    "st1_streaming_tumbling", "st2_streaming_sessions", "st3_stateful_user_stats",
+    "st4_streaming_dedup", "st5_streaming_anomaly", "st6_streaming_ingest",
+    "st7_streaming_interval_join", "q1_sql_features",
 )
 
 
