@@ -708,3 +708,106 @@ ORACLES["w9_serial_replay_whatif"] = with_corpus(f"""
         FROM actual a JOIN serial s USING (cluster)""")
 
 SPARK_QUERIES["w9_serial_replay_whatif"] = serial_replay_whatif
+
+
+_W11_CAPS = (2, 4, 8)  # candidate admission caps, in concurrent queries
+
+
+def overcap_residency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w11 — ADMISSION-CAP WHAT-IF: per cluster and candidate cap K,
+    how much of the cluster's busy time the measured concurrency level
+    exceeded K (``over_us``), how much demand an admission controller
+    capped at K would have had to queue (``excess_mass_us`` = the
+    sweep-line integral of max(level - K, 0), in query-slots x
+    microseconds), and the over-cap share of busy time in ppm. w1 says
+    how parallel the cluster ran; w5 says where the busy-time
+    percentiles sit; w11 prices the specific caps an operator would
+    actually configure — the direct input to "would capping admission
+    at 4 have queued anything that matters".
+
+    Exactness: integer microseconds end to end; the ppm share publishes
+    as FLOOR(over_us * 1e6 / busy_us) via the shared IDIV (operands
+    stay far below 2^53: busy_us < ~9e9 per cluster, numerator < 9e15)
+    and is NULL-guarded for the zero-busy degenerate — a cluster whose
+    entire sweep is zero-length intervals has no busy time to apportion
+    (the w10 ADVICE-r14 convention).
+
+    Scale: rides w1's adaptive (possibly two-phase) sweep, collapsed to
+    the same (cluster x level) busy-time histogram w5 cumulates —
+    cardinality bounded by max concurrency, never the event count —
+    then a bounded fanout-of-|caps| explode on the histogram and one
+    keyed aggregate. Adding a cap costs one histogram row copy, not a
+    re-sweep."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    swept = _swept_levels(spark, sf_dir).filter(F.col("level") > 0)
+    hist = swept.groupBy("cluster", "level").agg(
+        F.sum("interval").cast("bigint").alias("busy_us")
+    )
+    fanned = hist.select(
+        "cluster",
+        "level",
+        "busy_us",
+        F.explode(F.array(*[F.lit(k) for k in _W11_CAPS])).alias("cap"),
+    )
+    per = fanned.groupBy("cluster", "cap").agg(
+        F.sum("busy_us").cast("bigint").alias("busy_us"),
+        F.sum(
+            F.when(F.col("level") > F.col("cap"), F.col("busy_us")).otherwise(0)
+        ).cast("bigint").alias("over_us"),
+        F.sum(
+            F.when(
+                F.col("level") > F.col("cap"),
+                (F.col("level") - F.col("cap")) * F.col("busy_us"),
+            ).otherwise(0)
+        ).cast("bigint").alias("excess_mass_us"),
+    )
+    return per.select(
+        "cluster",
+        F.col("cap").cast("bigint").alias("cap"),
+        "busy_us",
+        "over_us",
+        "excess_mass_us",
+        F.when(F.col("busy_us") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr(IDIV("over_us * 1000000", "busy_us")))
+        .alias("over_ppm"),
+    )
+
+
+ORACLES["w11_overcap_residency"] = with_corpus(f"""
+        , ev AS (
+          SELECT cluster, start_time AS ts, 1 AS delta FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch')
+          UNION ALL
+          SELECT cluster, end_time AS ts, -1 AS delta FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch')),
+        swept AS (
+          SELECT cluster,
+                 SUM(delta) OVER (PARTITION BY cluster ORDER BY ts, delta
+                                  ROWS UNBOUNDED PRECEDING) AS level,
+                 LEAD(ts) OVER (PARTITION BY cluster ORDER BY ts, delta) - ts
+                   AS interval
+          FROM ev),
+        hist AS (
+          SELECT cluster, level, CAST(SUM(interval) AS BIGINT) AS busy_us
+          FROM swept WHERE interval IS NOT NULL AND level > 0
+          GROUP BY cluster, level),
+        per AS (
+          SELECT cluster, CAST(cap AS BIGINT) AS cap,
+                 CAST(SUM(busy_us) AS BIGINT) AS busy_us,
+                 CAST(SUM(CASE WHEN level > cap THEN busy_us ELSE 0 END)
+                      AS BIGINT) AS over_us,
+                 CAST(SUM(CASE WHEN level > cap
+                               THEN (level - cap) * busy_us ELSE 0 END)
+                      AS BIGINT) AS excess_mass_us
+          FROM hist CROSS JOIN (VALUES (2), (4), (8)) caps(cap)
+          GROUP BY cluster, cap)
+        SELECT cluster, cap, busy_us, over_us, excess_mass_us,
+               CASE WHEN busy_us = 0 THEN NULL
+                    ELSE {_IDIV('over_us * 1000000', 'busy_us')} END
+                 AS over_ppm
+        FROM per""")
+
+SPARK_QUERIES["w11_overcap_residency"] = overcap_residency

@@ -2554,3 +2554,86 @@ def _ev30_oracle() -> str:
 
 ORACLES["ev30_session_type_affinity"] = _ev30_oracle()
 SPARK_QUERIES["ev30_session_type_affinity"] = session_type_affinity
+
+
+_MOTIF_TOP = 10  # published motif budget
+
+
+def motif_rollup(tri: DataFrame) -> DataFrame:
+    """ev32's rollup over any (t1, t2, t3) trigram frame — split out
+    (the skew_over pattern) so the streaming twin st22 runs the SAME
+    count/rank/share body over its state-emitted trigrams: one shared
+    rollup, so batch/stream motif tables cannot drift.
+
+    The rank window is deliberately global and unpartitioned: it runs
+    over the AGGREGATED motif table, whose cardinality is bounded by
+    event-type-cardinality cubed (125 at 5 types), never the events —
+    the single-task window is a few-row sort, not a scale risk. Ties
+    rank deterministically by (n DESC, t1, t2, t3); the share publishes
+    as integer ppm of all trigrams (n * 1e6 < 2^53 up to ~9e9 events
+    per motif)."""
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wr = Window.orderBy(F.desc("n"), "t1", "t2", "t3")
+    ranked = counts.select(
+        "t1", "t2", "t3", "n",
+        F.sum("n").over(wt).alias("total"),
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _MOTIF_TOP).select(
+        "rank", "t1", "t2", "t3", "n",
+        F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+def trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev32 — TOP BEHAVIORAL MOTIFS: the most common three-event
+    sequences (consecutive per-user event-type trigrams in (ts,
+    event_id) order), ranked globally with their share of all trigrams
+    in ppm. ev19's transition matrix is the first-order Markov view;
+    motifs are the second-order one — the difference exposes flows a
+    bigram model cannot see (a->b->c common while a->b->d never
+    happens), the standard next step for funnel design and for
+    curating session-shaped training sequences.
+
+    Scale: ONE user-keyed shuffle for the two lead() windows (the same
+    key every per-user analytic here shuffles on, sharable across
+    them), then a motif count agg whose output is type-cardinality
+    cubed; the global rank runs over that tiny aggregate, never the
+    events (see motif_rollup)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return motif_rollup(tri)
+
+
+ORACLES["ev32_trigram_motifs"] = """
+        WITH seq AS (
+          SELECT event_type AS t1,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS t2,
+                 LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS t3
+          FROM events),
+        counts AS (
+          SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT t1, t2, t3, n,
+                 SUM(n) OVER () AS total,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS rank
+          FROM counts)
+        SELECT CAST(rank AS BIGINT) AS rank, t1, t2, t3, n,
+               CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+        FROM ranked WHERE rank <= 10"""
+SPARK_QUERIES["ev32_trigram_motifs"] = trigram_motifs

@@ -2732,3 +2732,58 @@ def _tx33_oracle() -> str:
 
 ORACLES["tx33_curation_funnel"] = _tx33_oracle()
 SPARK_QUERIES["tx33_curation_funnel"] = curation_funnel
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx35 — DECLARED-vs-DETECTED LANGUAGE CONFUSION MATRIX: tx3's
+    stopword-profile prediction cross-tabulated against each document's
+    declared ``lang`` label — per (declared, predicted) cell the doc
+    count, the cell's share of its declared-language row in ppm, and
+    the agreement flag. The standard label-quality audit before
+    trusting EITHER signal downstream (tx5 splits stratify on the
+    declared label; a mixture recipe samples on it): a heavy
+    off-diagonal cell means mislabeled or code-mixed sources, the
+    thing a 100 TB curation run must quantify rather than assume away.
+
+    Exactness: counts are exact bigints; the row share publishes as
+    integer ppm (n * 1e6 DIV row total — operands far below 2^53).
+
+    Scale: rides tx3's plan (token explode + broadcast profile dim +
+    per-doc argmax); the confusion rollup is one keyed aggregate whose
+    output is |langs|^2 rows, and the row-share window runs over that
+    tiny table, never the documents."""
+    per_doc = language_id(spark, sf_dir)
+    conf = per_doc.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wl = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.sum("n_docs").over(wl).alias("row_total"),
+    ).select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("CAST((n_docs * 1000000) DIV row_total AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
+        (F.col("lang") == F.col("pred_lang")).alias("agree"),
+    )
+
+
+ORACLES["tx35_langid_confusion"] = f"""
+        WITH perdoc AS ({ORACLES["tx3_language_id"]}),
+        conf AS (
+          SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM perdoc GROUP BY 1, 2)
+        SELECT lang, pred_lang, n_docs,
+               CAST((n_docs * 1000000)
+                    // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                 AS row_share_ppm,
+               (lang = pred_lang) AS agree
+        FROM conf"""
+SPARK_QUERIES["tx35_langid_confusion"] = langid_confusion

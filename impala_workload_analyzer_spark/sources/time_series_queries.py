@@ -185,3 +185,98 @@ SPARK_QUERIES = {
     "ts2_memory_skew": time_series_skew,
     "ts3_query_memory_footprint": query_memory_footprint,
 }
+
+
+def footprint_runtime_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts4 — DOES SAMPLED MEMORY PREDICT RUNTIME? Per ingest tag, the
+    Spearman rank correlation between each harvested query's
+    conservative memory footprint (ts3's per-query sum of sampled
+    BYTES-series peaks) and its reported runtime. The number an
+    admission controller needs before using footprint as a proxy
+    admission weight (w10): rho near 1 means memory-ordered admission
+    approximates runtime-ordered admission; rho near 0 means the two
+    resources must be modeled independently. Scope is the harvested
+    queries (inner join on query_id — a query whose profile landed no
+    sampled memory series has no footprint to correlate), the w10
+    convention.
+
+    Exactness: ranks are ROW_NUMBER over the deterministic total
+    orders (footprint, query_id) / (runtime, query_id) — the unique
+    query_id tie-break makes both engines' rank assignments identical,
+    so ``sum_d2`` (the Spearman numerator Sum d_i^2) is an exact
+    bigint; rho = 1 - 6*S / (n*(n^2-1)) evaluates the same explicit
+    double expression tree on both engines (operands stay below 2^53
+    up to n ~ 1.1M queries per tag) and publishes rounded to 9 digits,
+    NULL-guarded for n < 2 (denominator zero; the w10 ADVICE-r14
+    convention).
+
+    Scale: rides the harvest parse + the shared ``query_footprints``
+    aggregate; the rank windows partition by tag — at a 100 TB corpus
+    the per-tag rank is the dominant sort, and the standard remedy is
+    the same two-phase chunked scan w1 uses (rank = per-chunk row
+    number + broadcast chunk-count offsets) the moment one tag
+    overflows a task; the final rollup is |tags| rows."""
+    from ..corpus import corpus_queries  # noqa: PLC0415
+
+    fps = query_footprints(parsed_time_series(spark, sf_dir)).select(
+        "tag", "query_id", "footprint"
+    )
+    rt = corpus_queries(spark, sf_dir).select("query_id", "runtime")
+    j = fps.join(rt, "query_id")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wf = Window.partitionBy("tag").orderBy("footprint", "query_id")
+    wr = Window.partitionBy("tag").orderBy("runtime", "query_id")
+    ranked = j.select(
+        "tag",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wr).alias("rr"),
+    )
+    d = (F.col("rf") - F.col("rr")).cast("bigint")
+    per = ranked.groupBy("tag").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(d * d).cast("bigint").alias("sum_d2"),
+    )
+    nd = F.col("n_queries").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double") / (
+        nd * (nd * nd - F.lit(1.0))
+    )
+    return per.select(
+        "tag",
+        "n_queries",
+        "sum_d2",
+        F.when(F.col("n_queries") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(rho, 9))
+        .alias("spearman_rho"),
+    )
+
+
+ORACLES["ts4_footprint_runtime_corr"] = with_corpus(f"""
+        , fp AS (
+          SELECT {_TAG} AS tag, query_id,
+                 CAST(SUM(GREATEST(cg_i1 % 4096, sink_i1 % 4096)
+                        + GREATEST(cg_i2 % 4096, sink_i2 % 4096)) AS BIGINT)
+                   AS footprint
+          FROM iwa_fragments WHERE {_K} % 41 <> 0
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT fp.tag,
+                 ROW_NUMBER() OVER (PARTITION BY fp.tag
+                                    ORDER BY fp.footprint, fp.query_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY fp.tag
+                                    ORDER BY q.runtime, fp.query_id) AS rr
+          FROM fp JOIN iwa_queries q USING (query_id)),
+        per AS (
+          SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 CAST(SUM((rf - rr) * (rf - rr)) AS BIGINT) AS sum_d2
+          FROM ranked GROUP BY tag)
+        SELECT tag, n_queries, sum_d2,
+               CASE WHEN n_queries < 2 THEN NULL
+                    ELSE ROUND(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                               / (CAST(n_queries AS DOUBLE)
+                                  * (CAST(n_queries AS DOUBLE)
+                                     * CAST(n_queries AS DOUBLE) - 1.0)), 9)
+               END AS spearman_rho
+        FROM per""")
+
+SPARK_QUERIES["ts4_footprint_runtime_corr"] = footprint_runtime_rank_corr

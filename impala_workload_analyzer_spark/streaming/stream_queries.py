@@ -1600,3 +1600,89 @@ ORACLES["st19_streaming_type_affinity"] = f"""
     JOIN marg mb ON p.type_b = mb.event_type
     CROSS JOIN tot t"""
 SPARK_QUERIES["st19_streaming_type_affinity"] = streaming_type_affinity
+
+
+def streaming_trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st22 — ev32's top behavioral motifs maintained streaming: per-user
+    keyed state holds ONLY the last TWO seen events (us, event_id, the
+    two most recent types) — constant bytes per user — and each
+    micro-batch emits exactly the new consecutive trigrams, with the
+    stored tail bridging batch boundaries (the st10 bigram pattern, one
+    event deeper). The rollup (count, global rank, ppm share) is ev32's
+    shared ``motif_rollup`` over the emitted trigram rows, which are
+    type-cardinality^3 after aggregation — one shared body, so
+    batch/stream motif tables cannot drift. Checked against ev32's
+    batch oracle: stream equals batch on the in-order finite source,
+    the st1/st8/st9/st10 witness."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..pipeline.events_analytics import motif_rollup  # noqa: PLC0415
+
+    ev = _stream_events(spark, sf_dir).selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us", "event_id"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("t1", StringType()),
+            StructField("t2", StringType()),
+            StructField("t3", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("last_eid", LongType()),
+            StructField("prev_type", StringType()),  # second-most-recent
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["us", "event_id"])
+        types = batch["event_type"].tolist()
+        tail = []
+        if state.exists:
+            prev_t, last_t = state.get[2], state.get[3]
+            tail = ([prev_t] if prev_t is not None else []) + [last_t]
+        seq = tail + types
+        last = batch.iloc[-1]
+        state.update(
+            (
+                int(last["us"]),
+                int(last["event_id"]),
+                seq[-2] if len(seq) > 1 else None,
+                str(last["event_type"]),
+            )
+        )
+        if len(seq) > 2:
+            yield pd.DataFrame(
+                {"t1": seq[:-2], "t2": seq[1:-1], "t3": seq[2:]}
+            )
+
+    tri = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    _run_to_memory(tri, "st22_out", "update")
+    return motif_rollup(spark.table("st22_out"))
+
+
+ORACLES["st22_streaming_trigram_motifs"] = _EV_ORACLES["ev32_trigram_motifs"]
+SPARK_QUERIES["st22_streaming_trigram_motifs"] = streaming_trigram_motifs

@@ -1,0 +1,201 @@
+"""Round-15 operators: w11 (admission-cap what-if), ts4 (footprint vs
+runtime rank correlation), ev32/st22 (trigram motifs, batch + stream),
+tx35 (declared-vs-detected language confusion).
+
+Each gets (a) a physical-plan contract — the shape that survives 100 TB
+must actually appear in the plan — and (b) an independent property
+check against a differently-derived quantity, the w8/test_w10
+conservation convention."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_w11_rides_the_sweep_histogram(spark, sf_dir):
+    # w1's sweep window + the (cluster, level) histogram are the only
+    # cluster-keyed exchanges; the cap fanout (x3) and the final agg ride
+    # the same clustering — no cartesian, no single-partition stage
+    plan = _plan(spark, sf_dir, "w11_overcap_residency")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 2, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_w11_agrees_with_the_level_histogram(spark, sf_dir):
+    # independent derivation: rebuild the busy-time histogram straight
+    # from _swept_levels and check every published (cluster, cap) row —
+    # over_us, excess_mass_us, the ppm floor, and cap monotonicity
+    from impala_workload_analyzer_spark.operators.concurrency import (
+        _W11_CAPS,
+        _swept_levels,
+    )
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in (
+        _swept_levels(spark, sf_dir)
+        .filter(F.col("level") > 0)
+        .groupBy("cluster", "level")
+        .agg(F.sum("interval").alias("us"))
+        .collect()
+    ):
+        hist.setdefault(r["cluster"], {})[r["level"]] = r["us"]
+
+    rows = entrymod.queries()["w11_overcap_residency"](spark, sf_dir).collect()
+    assert {r["cluster"] for r in rows} == set(hist)
+    assert len(rows) == len(hist) * len(_W11_CAPS)
+    by_cluster: dict[str, dict[int, dict]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["cap"]] = r
+    for cluster, caps in by_cluster.items():
+        h = hist[cluster]
+        busy = sum(h.values())
+        prev_over = None
+        for cap in sorted(caps):
+            r = caps[cap]
+            over = sum(us for lv, us in h.items() if lv > cap)
+            excess = sum((lv - cap) * us for lv, us in h.items() if lv > cap)
+            assert r["busy_us"] == busy
+            assert r["over_us"] == over
+            assert r["excess_mass_us"] == excess
+            expect_ppm = over * 1_000_000 // busy if busy else None
+            assert r["over_ppm"] == expect_ppm
+            if prev_over is not None:  # larger cap, less residency
+                assert r["over_us"] <= prev_over
+            prev_over = r["over_us"]
+
+
+def test_ts4_three_keyed_exchanges(spark, sf_dir):
+    # harvest dedup + the query_id join + the tag-keyed rank windows
+    # (both windows share the tag exchange); no cartesian, nothing
+    # single-partition
+    plan = _plan(spark, sf_dir, "ts4_footprint_runtime_corr")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 3, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ts4_matches_a_local_spearman(spark, sf_dir):
+    # recompute rho per tag in plain Python from the same inputs
+    # (footprints + runtimes) and check n, sum_d2, rho, and bounds;
+    # also n must agree with ts3's census (same inner-join scope)
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+    from impala_workload_analyzer_spark.sources.profiles import (
+        parsed_time_series,
+    )
+    from impala_workload_analyzer_spark.sources.time_series_queries import (
+        query_footprints,
+    )
+
+    fps = query_footprints(parsed_time_series(spark, sf_dir)).select(
+        "tag", "query_id", "footprint"
+    )
+    rt = corpus_queries(spark, sf_dir).select("query_id", "runtime")
+    rows = fps.join(rt, "query_id").collect()
+    by_tag: dict[str, list] = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append((r["footprint"], r["runtime"], r["query_id"]))
+
+    got = {r["tag"]: r for r in entrymod.queries()[
+        "ts4_footprint_runtime_corr"](spark, sf_dir).collect()}
+    census = {r["tag"]: r["n_queries"] for r in entrymod.queries()[
+        "ts3_query_memory_footprint"](spark, sf_dir).collect()}
+    assert set(got) == set(by_tag) == set(census)
+    for tag, triples in by_tag.items():
+        n = len(triples)
+        rf = {q: i + 1 for i, (_, _, q) in enumerate(
+            sorted(triples, key=lambda t: (t[0], t[2])))}
+        rr = {q: i + 1 for i, (_, _, q) in enumerate(
+            sorted(triples, key=lambda t: (t[1], t[2])))}
+        s = sum((rf[q] - rr[q]) ** 2 for _, _, q in triples)
+        r = got[tag]
+        assert r["n_queries"] == n == census[tag]
+        assert r["sum_d2"] == s
+        if n >= 2:
+            rho = 1.0 - 6.0 * s / (n * (n * n - 1.0))
+            assert abs(r["spearman_rho"] - rho) < 1e-8
+            assert -1.0 <= r["spearman_rho"] <= 1.0
+        else:
+            assert r["spearman_rho"] is None
+
+
+def test_ev32_single_user_shuffle_then_tiny_rank(spark, sf_dir):
+    # one user-keyed exchange for the lead windows, one motif-keyed
+    # aggregate; the global rank's single partition runs over the
+    # aggregated motif table (type-cardinality^3), never the events
+    plan = _plan(spark, sf_dir, "ev32_trigram_motifs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_ev32_motif_counts_and_shares(spark, sf_dir):
+    # trigram conservation: total trigrams = sum over users of
+    # max(events_u - 2, 0); ranks are 1..10 with n non-increasing;
+    # every share is the exact floor ppm of that total
+    from impala_workload_analyzer_spark.io import load_table
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").count().collect()
+    )
+    total = sum(max(r["count"] - 2, 0) for r in per_user)
+    rows = sorted(
+        entrymod.queries()["ev32_trigram_motifs"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a["n"] >= b["n"] for a, b in zip(rows, rows[1:]))
+    assert sum(r["n"] for r in rows) <= total
+    for r in rows:
+        assert r["share_ppm"] == r["n"] * 1_000_000 // total
+
+
+def test_motif_rollup_rank_determinism(spark):
+    # tie-break is (n DESC, t1, t2, t3); ppm floors; top-N budget
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        motif_rollup,
+    )
+
+    tri = spark.createDataFrame(
+        [("a", "b", "c")] * 3 + [("b", "a", "c")] * 3 + [("c", "c", "c")],
+        "t1 string, t2 string, t3 string",
+    )
+    rows = {r["rank"]: r for r in motif_rollup(tri).collect()}
+    assert [rows[k]["t1"] for k in (1, 2, 3)] == ["a", "b", "c"]
+    assert rows[1]["share_ppm"] == 3 * 1_000_000 // 7
+    assert rows[3]["share_ppm"] == 1_000_000 // 7
+
+
+def test_tx35_broadcasts_the_profile_and_sums_to_tx3(spark, sf_dir):
+    # rides tx3's plan: profile and lang dims broadcast, no cartesian;
+    # and the confusion matrix row-sums must equal the per-declared-lang
+    # document counts (every doc lands in exactly one cell)
+    plan = _plan(spark, sf_dir, "tx35_langid_confusion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    from impala_workload_analyzer_spark.io import load_table
+
+    per_lang = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").count().collect()
+    }
+    rows = entrymod.queries()["tx35_langid_confusion"](spark, sf_dir).collect()
+    sums: dict[str, int] = {}
+    for r in rows:
+        sums[r["lang"]] = sums.get(r["lang"], 0) + r["n_docs"]
+        assert r["agree"] == (r["lang"] == r["pred_lang"])
+        expect = r["n_docs"] * 1_000_000 // per_lang[r["lang"]]
+        assert r["row_share_ppm"] == expect
+    assert sums == per_lang
