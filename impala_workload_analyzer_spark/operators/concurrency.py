@@ -811,3 +811,122 @@ ORACLES["w11_overcap_residency"] = with_corpus(f"""
         FROM per""")
 
 SPARK_QUERIES["w11_overcap_residency"] = overcap_residency
+
+
+_W12_BUCKET_US = 60_000_000  # 1-minute arrival buckets
+
+
+def arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w12 — ARRIVAL BURSTINESS (index of dispersion): per cluster,
+    query arrivals bucketed into fixed 1-minute windows over the
+    cluster's own observation span (empty buckets INCLUDED — dropping
+    them biases dispersion toward 1), then the variance-to-mean ratio
+    of the per-bucket counts. A Poisson arrival stream reads 1;
+    dispersion >> 1 is the batch-submit / thundering-herd signature
+    that makes w9's serial-replay queueing estimates optimistic and
+    w11's cap choices fragile — the standard input to sizing admission
+    bursts rather than averages. Cluster scoping keeps w1's
+    conventions (clusters discovered under the tpch tag, swept without
+    re-filtering; stats.py:383-385).
+
+    Exactness: bucket counts and their sums/squares are exact bigints
+    (counts <= |queries| per cluster; squares fit i64 to ~3e9 per
+    bucket); mean and dispersion evaluate the same explicit double
+    expression tree on both engines, round to 9 digits, NULL-guarded
+    for the zero-arrival degenerate (the w10 ADVICE-r14 convention).
+    ``is_bursty`` compares dispersion to the Poisson baseline 1.0.
+
+    Scale: one keyed aggregate to (cluster, bucket) counts with
+    map-side partials; the full bucket grid (empty buckets) explodes a
+    per-cluster ``sequence`` bounded by observation-span/60 s — a
+    DIMENSION-sized frame (span-dependent, data-independent) that
+    broadcast-joins the counts; the final rollup is |clusters| rows.
+    No global sort, no cartesian."""
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    scoped = q.join(clusters, "cluster", "left_semi").select(
+        "cluster", (F.col("start_time") / _W12_BUCKET_US).cast("long").alias("bucket")
+    )
+    counts = scoped.groupBy("cluster", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    spans = counts.groupBy("cluster").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "cluster", F.explode(F.expr("sequence(lo, hi)")).alias("bucket")
+    )
+    filled = grid.join(counts, ["cluster", "bucket"], "left").select(
+        "cluster", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    agg = filled.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_arrivals"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    nb = F.col("n_buckets").cast("double")
+    mean = F.col("n_arrivals").cast("double") / nb
+    disp = (F.col("s2").cast("double") / nb - mean * mean) / mean
+    return agg.select(
+        "cluster",
+        "n_buckets",
+        "n_arrivals",
+        F.round(mean, 9).alias("mean_per_bucket"),
+        F.when(F.col("n_arrivals") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(disp, 9))
+        .alias("dispersion"),
+        F.when(F.col("n_arrivals") == 0, F.lit(None).cast("boolean"))
+        .otherwise(disp > 1.0)
+        .alias("is_bursty"),
+    )
+
+
+ORACLES["w12_arrival_burstiness"] = with_corpus(f"""
+        , scoped AS (
+          SELECT cluster,
+                 CAST(FLOOR(start_time / {_W12_BUCKET_US}.0) AS BIGINT)
+                   AS bucket
+          FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch')),
+        counts AS (
+          SELECT cluster, bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM scoped GROUP BY cluster, bucket),
+        spans AS (
+          SELECT cluster, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM counts GROUP BY cluster),
+        grid AS (
+          SELECT cluster, unnest(range(lo, hi + 1)) AS bucket FROM spans),
+        filled AS (
+          SELECT g.cluster, COALESCE(c.c, 0) AS c
+          FROM grid g LEFT JOIN counts c USING (cluster, bucket)),
+        agg AS (
+          SELECT cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(c) AS BIGINT) AS n_arrivals,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM filled GROUP BY cluster)
+        SELECT cluster, n_buckets, n_arrivals,
+               ROUND(CAST(n_arrivals AS DOUBLE) / CAST(n_buckets AS DOUBLE), 9)
+                 AS mean_per_bucket,
+               CASE WHEN n_arrivals = 0 THEN NULL
+                    ELSE ROUND((CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                                - (CAST(n_arrivals AS DOUBLE)
+                                   / CAST(n_buckets AS DOUBLE))
+                                  * (CAST(n_arrivals AS DOUBLE)
+                                     / CAST(n_buckets AS DOUBLE)))
+                               / (CAST(n_arrivals AS DOUBLE)
+                                  / CAST(n_buckets AS DOUBLE)), 9)
+               END AS dispersion,
+               CASE WHEN n_arrivals = 0 THEN NULL
+                    ELSE ((CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                           - (CAST(n_arrivals AS DOUBLE)
+                              / CAST(n_buckets AS DOUBLE))
+                             * (CAST(n_arrivals AS DOUBLE)
+                                / CAST(n_buckets AS DOUBLE)))
+                          / (CAST(n_arrivals AS DOUBLE)
+                             / CAST(n_buckets AS DOUBLE)) > 1.0)
+               END AS is_bursty
+        FROM agg""")
+
+SPARK_QUERIES["w12_arrival_burstiness"] = arrival_burstiness

@@ -176,6 +176,49 @@ def test_motif_rollup_rank_determinism(spark):
     assert rows[3]["share_ppm"] == 1_000_000 // 7
 
 
+def test_w12_no_cartesian_no_global_sort(spark, sf_dir):
+    # (cluster, bucket) counts + cluster spans + the grid join + the
+    # final rollup — bounded keyed exchanges, the bucket grid joins as
+    # a broadcast-scale dimension, nothing single-partition
+    plan = _plan(spark, sf_dir, "w12_arrival_burstiness")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") <= 4, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_w12_matches_a_local_dispersion(spark, sf_dir):
+    # recompute the index of dispersion per cluster in plain Python
+    # from raw arrival minutes — empty buckets included — and check
+    # every published statistic; arrivals must sum to w1's query scope
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+
+    q = corpus_queries(spark, sf_dir)
+    clusters = {r["cluster"] for r in q.filter(F.col("tag") == "tpch")
+                .select("cluster").distinct().collect()}
+    arrivals: dict[str, list[int]] = {}
+    for r in q.select("cluster", "start_time").collect():
+        if r["cluster"] in clusters:
+            arrivals.setdefault(r["cluster"], []).append(
+                r["start_time"] // 60_000_000)
+
+    rows = {r["cluster"]: r for r in entrymod.queries()[
+        "w12_arrival_burstiness"](spark, sf_dir).collect()}
+    assert set(rows) == set(arrivals)
+    for cluster, mins in arrivals.items():
+        lo, hi = min(mins), max(mins)
+        counts = [0] * (hi - lo + 1)
+        for m in mins:
+            counts[m - lo] += 1
+        n_b, n_a = len(counts), sum(counts)
+        mean = n_a / n_b
+        disp = (sum(c * c for c in counts) / n_b - mean * mean) / mean
+        r = rows[cluster]
+        assert (r["n_buckets"], r["n_arrivals"]) == (n_b, n_a)
+        assert abs(r["mean_per_bucket"] - mean) < 1e-8
+        assert abs(r["dispersion"] - disp) < 1e-8
+        assert r["is_bursty"] == (disp > 1.0)
+
+
 def test_tx35_broadcasts_the_profile_and_sums_to_tx3(spark, sf_dir):
     # rides tx3's plan: profile and lang dims broadcast, no cartesian;
     # and the confusion matrix row-sums must equal the per-declared-lang
