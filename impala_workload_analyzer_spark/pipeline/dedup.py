@@ -2587,3 +2587,90 @@ def _dd28_oracle() -> str:
 
 ORACLES["dd28_advisor_calibration"] = _dd28_oracle()
 SPARK_QUERIES["dd28_advisor_calibration"] = advisor_calibration
+
+
+_DD29_NEAR_EQUAL_PPM = 1_100_000   # max/min length ratio < 1.1x
+_DD29_MODERATE_PPM = 2_000_000     # < 2x; >= 2x is containment-suspect
+
+
+def component_length_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd29 — WITHIN-COMPONENT LENGTH-SPREAD AUDIT: for every multi-doc
+    near-dup component (dd8), the max/min document-length ratio, binned
+    into three policy bands — near_equal (< 1.1x: true re-posts, safe
+    for any keep-best rule), moderate (< 2x: edited variants, dd13's
+    quality-ranked keep-best is the right tool), containment_suspect
+    (>= 2x: one document likely CONTAINS the other — deleting the long
+    one throws away unique text, the case dd14's containment pass
+    exists for). The census tells a curation run which policy mix its
+    duplicate mass actually needs, per band: component count, total
+    documents, and the extreme ratio.
+
+    Exactness: lengths are the table's integer n_chars; the ratio
+    publishes as floor ppm via the shared IDIV with a GREATEST(min,1)
+    guard (a zero-length document cannot divide); band edges compare
+    the already-floored integer, identically on both engines.
+
+    Scale: one doc_id-keyed join of the component labels against the
+    documents table (both sides bucketed by doc_id in a production
+    layout), one component-keyed aggregate (cardinality = components),
+    and a 3-row census — the label-propagation cost is dd8's, audited
+    there."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    comp = neardup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per = (
+        comp.join(docs, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_chars").cast("bigint").alias("mx"),
+            F.min("n_chars").cast("bigint").alias("mn"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    ratio = per.select(
+        "component_id",
+        "n_docs",
+        F.expr(IDIV("mx * 1000000", "GREATEST(mn, 1)")).alias("ratio_ppm"),
+    )
+    band = (
+        F.when(F.col("ratio_ppm") < _DD29_NEAR_EQUAL_PPM, "near_equal")
+        .when(F.col("ratio_ppm") < _DD29_MODERATE_PPM, "moderate")
+        .otherwise("containment_suspect")
+    )
+    return ratio.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
+    )
+
+
+def _dd29_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH comp AS ({ORACLES["dd8_neardup_components"]}),
+        per AS (
+          SELECT c.component_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MAX(d.n_chars) AS BIGINT) AS mx,
+                 CAST(MIN(d.n_chars) AS BIGINT) AS mn
+          FROM comp c JOIN documents d USING (doc_id)
+          GROUP BY c.component_id
+          HAVING COUNT(*) >= 2),
+        ratio AS (
+          SELECT n_docs,
+                 {IDIV('mx * 1000000', 'GREATEST(mn, 1)')} AS ratio_ppm
+          FROM per)
+        SELECT CASE WHEN ratio_ppm < {_DD29_NEAR_EQUAL_PPM} THEN 'near_equal'
+                    WHEN ratio_ppm < {_DD29_MODERATE_PPM} THEN 'moderate'
+                    ELSE 'containment_suspect' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+        FROM ratio GROUP BY 1"""
+
+
+ORACLES["dd29_component_length_spread"] = _dd29_oracle()
+SPARK_QUERIES["dd29_component_length_spread"] = component_length_spread

@@ -2637,3 +2637,104 @@ ORACLES["ev32_trigram_motifs"] = """
                CAST((n * 1000000) // total AS BIGINT) AS share_ppm
         FROM ranked WHERE rank <= 10"""
 SPARK_QUERIES["ev32_trigram_motifs"] = trigram_motifs
+
+
+_EV33_DEPTHS = (1, 2, 3, 5, 8, 13, 21)  # session-depth ladder (events)
+
+
+def session_depth_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev33 — SESSION-DEPTH SURVIVAL CURVE: for each depth k in a fixed
+    ladder, how many of ev3's sessions contain at least k events, the
+    surviving share in exact ppm, and the CONDITIONAL continuation ppm
+    (survivors at k as a share of survivors at the previous rung) —
+    the per-step hazard. ev27 measures engagement decay in TIME; this
+    is the decay in INTERACTION DEPTH — the two disagree exactly when
+    sessions are short-but-dense or long-but-idle, which is the
+    difference between a funnel problem and a pacing problem; depth
+    survival is also the budget table for curating session-shaped
+    training sequences of at-least-k turns (ev32's motifs need k >= 3).
+
+    Exactness: all counts integer off ev3's session rollup; both ppm
+    figures are floor divisions evaluated identically on both engines,
+    with the hazard NULL at the first rung (no previous) — counts stay
+    far below the 2^53 floor-div envelope.
+
+    Scale: the ev27 shape — one pass over the session table (already
+    user-keyed by ev3's single shuffle) computes ALL depths as
+    conditional aggregates in one partial-agg'd reduction to a single
+    row, exploded to the |ladder|-row curve; the hazard is a lag over
+    those few rows."""
+    sess = sessionize(spark, sf_dir).select("n_events")
+    conds = [
+        (F.col("n_events") >= F.lit(k)).cast("bigint") for k in _EV33_DEPTHS
+    ]
+    agg = sess.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        *[F.sum(c).cast("bigint").alias(f"s{k}")
+          for k, c in zip(_EV33_DEPTHS, conds)],
+    )
+    curve = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("depth"),
+                        F.col("n_total").alias("n_sessions_total"),
+                        F.col(f"s{k}").alias("n_sessions_surviving"),
+                    )
+                    for k in _EV33_DEPTHS
+                ]
+            )
+        ).alias("r")
+    ).select("r.depth", "r.n_sessions_total", "r.n_sessions_surviving")
+    wl = Window.orderBy("depth")
+    return curve.select(
+        "depth",
+        "n_sessions_total",
+        "n_sessions_surviving",
+        F.expr(
+            "CAST(FLOOR(n_sessions_surviving * 1000000"
+            " / CAST(n_sessions_total AS DOUBLE)) AS BIGINT)"
+        ).alias("survival_ppm"),
+        F.when(
+            F.lag("n_sessions_surviving").over(wl).isNull()
+            | (F.lag("n_sessions_surviving").over(wl) == 0),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(FLOOR(n_sessions_surviving * 1000000 / CAST(lag("
+                "n_sessions_surviving, 1) OVER (ORDER BY depth) AS DOUBLE))"
+                " AS BIGINT)"
+            )
+        )
+        .alias("continuation_ppm"),
+    )
+
+
+# ev33's oracle nests ev3's sessionization verbatim (the ev27 pattern)
+ORACLES["ev33_session_depth_survival"] = f"""
+        WITH s AS ({ORACLES["ev3_sessionize"]}),
+        d AS (SELECT CAST(unnest([{", ".join(str(k) for k in _EV33_DEPTHS)}]) AS BIGINT)
+                     AS depth),
+        curve AS (
+          SELECT d.depth,
+                 CAST(COUNT(*) AS BIGINT) AS n_sessions_total,
+                 CAST(SUM(CASE WHEN s.n_events >= d.depth THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_sessions_surviving
+          FROM s CROSS JOIN d GROUP BY d.depth)
+        SELECT depth, n_sessions_total, n_sessions_surviving,
+               CAST(FLOOR(n_sessions_surviving * 1000000
+                          / CAST(n_sessions_total AS DOUBLE)) AS BIGINT)
+                 AS survival_ppm,
+               CASE WHEN LAG(n_sessions_surviving) OVER (ORDER BY depth)
+                         IS NULL
+                      OR LAG(n_sessions_surviving) OVER (ORDER BY depth) = 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(n_sessions_surviving * 1000000
+                              / CAST(LAG(n_sessions_surviving)
+                                     OVER (ORDER BY depth) AS DOUBLE))
+                              AS BIGINT)
+               END AS continuation_ppm
+        FROM curve"""
+SPARK_QUERIES["ev33_session_depth_survival"] = session_depth_survival

@@ -2816,3 +2816,112 @@ def _sim26_oracle() -> str:
 
 ORACLES["sim26_metric_choice_audit"] = _sim26_oracle()
 SPARK_QUERIES["sim26_metric_choice_audit"] = metric_choice_audit
+
+
+_SIM27_BUCKETS = 4  # difficulty quartiles over the query batch
+
+
+def margin_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim27 — DO ANN ERRORS CONCENTRATE ON HARD QUERIES? Queries are
+    bucketed into difficulty quartiles by their exact top-k score
+    SPREAD (sim@1 minus sim@k from sim1's ground truth — a flat
+    neighborhood means many near-ties, the classic hard case for both
+    hash- and cell-based pruning), then each ANN tier's per-query
+    recall (sim9 LSH, sim10 IVF, sim12 int8) aggregates per (tier,
+    quartile). A tier whose recall is uniform across quartiles degrades
+    gracefully; one that collapses on the flat-spread quartile needs
+    its candidate budget (bands / nprobe) raised BEFORE the corpus
+    grows — the acceptance question the flat recall averages in
+    sim9/sim10/sim12 cannot answer.
+
+    Exactness: the spread is the difference of already-rounded sims
+    (exact on both engines); quartile assignment is a deterministic
+    ROW_NUMBER over (spread, query_id); recall aggregates publish as
+    integer ppm (sum-of-hits * 1e6 DIV (n * k)) plus the integer
+    worst-query hit count — no float mean crosses engines.
+
+    Scale: everything downstream of the searches is K-bounded — the
+    spread table is _QUERY_K rows, its rank window single-partition by
+    design (fixed batch, not data-scaled), the recall joins are
+    query-keyed over K rows per tier; the searches themselves are the
+    audited sim2/sim4/sim7 plans."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    exact = _exact_topk_shared(spark, sf_dir)
+    spread = exact.groupBy("query_id").agg(
+        (F.max("sim") - F.min("sim")).alias("spread")
+    )
+    w = Window.orderBy("spread", "query_id")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bucketed = spread.select(
+        "query_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("nq"),
+    ).select(
+        "query_id",
+        F.expr(f"CAST(((rn - 1) * {_SIM27_BUCKETS}) DIV nq AS BIGINT)")
+        .alias("difficulty_bucket"),
+    )
+    tiers = None
+    for tier, fn in (
+        ("int8", quantize_recall),
+        ("ivf", ivf_recall),
+        ("lsh", lsh_recall),
+    ):
+        t = fn(spark, sf_dir).select(
+            F.lit(tier).alias("tier"), "query_id", "n_hits"
+        )
+        tiers = t if tiers is None else tiers.unionByName(t)
+    j = tiers.join(bucketed, "query_id")
+    return j.groupBy("tier", "difficulty_bucket").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("n_hits").cast("bigint").alias("sum_hits"),
+        F.min("n_hits").cast("bigint").alias("min_hits"),
+    ).select(
+        "tier",
+        "difficulty_bucket",
+        "n_queries",
+        "sum_hits",
+        F.expr(IDIV("sum_hits * 1000000", f"n_queries * {_TOP_K}"))
+        .alias("mean_recall_ppm"),
+        "min_hits",
+    )
+
+
+def _sim27_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return f"""
+        WITH e AS ({ORACLES["sim1_brute_force_topk"]}),
+        spread AS (
+          SELECT query_id, MAX(sim) - MIN(sim) AS spread
+          FROM e GROUP BY query_id),
+        bucketed AS (
+          SELECT query_id,
+                 CAST(((ROW_NUMBER() OVER (ORDER BY spread, query_id) - 1)
+                       * {_SIM27_BUCKETS})
+                      // COUNT(*) OVER () AS BIGINT) AS difficulty_bucket
+          FROM spread),
+        r_lsh AS ({ORACLES["sim9_lsh_recall"]}),
+        r_ivf AS ({ORACLES["sim10_ivf_recall"]}),
+        r_int8 AS ({ORACLES["sim12_quantize_recall"]}),
+        rec AS (
+          SELECT 'lsh' AS tier, query_id, n_hits FROM r_lsh
+          UNION ALL
+          SELECT 'ivf' AS tier, query_id, n_hits FROM r_ivf
+          UNION ALL
+          SELECT 'int8' AS tier, query_id, n_hits FROM r_int8)
+        SELECT tier, difficulty_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(n_hits) AS BIGINT) AS sum_hits,
+               {IDIV('SUM(n_hits) * 1000000', f'COUNT(*) * {_TOP_K}')}
+                 AS mean_recall_ppm,
+               CAST(MIN(n_hits) AS BIGINT) AS min_hits
+        FROM rec JOIN bucketed USING (query_id)
+        GROUP BY tier, difficulty_bucket"""
+
+
+ORACLES["sim27_margin_recall_profile"] = _sim27_oracle()
+SPARK_QUERIES["sim27_margin_recall_profile"] = margin_recall_profile

@@ -242,3 +242,102 @@ def test_tx35_broadcasts_the_profile_and_sums_to_tx3(spark, sf_dir):
         expect = r["n_docs"] * 1_000_000 // per_lang[r["lang"]]
         assert r["row_share_ppm"] == expect
     assert sums == per_lang
+
+
+def test_ev33_one_shuffle_then_ladder(spark, sf_dir):
+    # ev27's shape: one user-keyed shuffle (ev3's sessionize windows),
+    # the depth ladder as conditional aggregates reduced to one row,
+    # then the |ladder|-row explode + hazard lag (the single partition)
+    plan = _plan(spark, sf_dir, "ev33_session_depth_survival")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_ev33_matches_session_depth_histogram(spark, sf_dir):
+    # independent derivation off ev3's session rollup: survivors at k,
+    # monotone non-increasing, ppm floors, hazard consistency
+    from impala_workload_analyzer_spark.pipeline.events_analytics import (
+        _EV33_DEPTHS,
+        sessionize,
+    )
+
+    depths = [r["n_events"] for r in sessionize(spark, sf_dir)
+              .select("n_events").collect()]
+    total = len(depths)
+    rows = sorted(entrymod.queries()["ev33_session_depth_survival"](
+        spark, sf_dir).collect(), key=lambda r: r["depth"])
+    assert [r["depth"] for r in rows] == list(_EV33_DEPTHS)
+    prev = None
+    for r in rows:
+        surv = sum(1 for d in depths if d >= r["depth"])
+        assert r["n_sessions_total"] == total
+        assert r["n_sessions_surviving"] == surv
+        assert r["survival_ppm"] == surv * 1_000_000 // total
+        if prev is None:
+            assert r["continuation_ppm"] is None
+        else:
+            assert surv <= prev
+            expect = surv * 1_000_000 // prev if prev else None
+            assert r["continuation_ppm"] == expect
+        prev = surv
+
+
+def test_sim27_partitions_by_band_and_hits_k_bound(spark, sf_dir):
+    # everything downstream of the audited searches is K-bounded; the
+    # census must cover every (tier, bucket) with consistent counts:
+    # per tier the query counts sum to the batch size, hits stay within
+    # [min_hits * n, n * k], and ppm is the exact floor
+    from impala_workload_analyzer_spark.pipeline.similarity import (
+        _QUERY_K,
+        _SIM27_BUCKETS,
+        _TOP_K,
+    )
+
+    rows = entrymod.queries()["sim27_margin_recall_profile"](
+        spark, sf_dir).collect()
+    assert {r["tier"] for r in rows} == {"lsh", "ivf", "int8"}
+    per_tier: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r["difficulty_bucket"] < _SIM27_BUCKETS
+        per_tier[r["tier"]] = per_tier.get(r["tier"], 0) + r["n_queries"]
+        assert r["min_hits"] * r["n_queries"] <= r["sum_hits"]
+        assert r["sum_hits"] <= r["n_queries"] * _TOP_K
+        assert r["mean_recall_ppm"] == (
+            r["sum_hits"] * 1_000_000 // (r["n_queries"] * _TOP_K))
+    assert set(per_tier.values()) == {_QUERY_K}
+
+
+def test_dd29_covers_every_multidoc_component(spark, sf_dir):
+    # the band census must partition dd8's multi-doc components exactly
+    # (components + docs conserved), with band edges on the floored ppm
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.dedup import (
+        neardup_components,
+    )
+
+    comp = {r["doc_id"]: r["component_id"]
+            for r in neardup_components(spark, sf_dir).collect()}
+    chars = {r["doc_id"]: r["n_chars"]
+             for r in load_table(spark, sf_dir, "documents")
+             .select("doc_id", "n_chars").collect()}
+    groups: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        groups.setdefault(c, []).append(chars[d])
+    expect: dict[str, list] = {}
+    for lens in groups.values():
+        if len(lens) < 2:
+            continue
+        ppm = max(lens) * 1_000_000 // max(min(lens), 1)
+        band = ("near_equal" if ppm < 1_100_000
+                else "moderate" if ppm < 2_000_000
+                else "containment_suspect")
+        agg = expect.setdefault(band, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += len(lens)
+        agg[2] = max(agg[2], ppm)
+    rows = entrymod.queries()["dd29_component_length_spread"](
+        spark, sf_dir).collect()
+    got = {r["band"]: [r["n_components"], r["n_docs"], r["max_ratio_ppm"]]
+           for r in rows}
+    assert got == expect
