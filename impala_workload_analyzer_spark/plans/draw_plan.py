@@ -398,6 +398,41 @@ _PT3_WALK = """
           FROM walk)"""
 
 
+_PT2_WALK = """
+        , edges AS (
+          SELECT o.query_id, p.id AS parent_op, o.id
+          FROM iwa_operators o
+          JOIN iwa_operators p
+            ON p.query_id = o.query_id AND p.id = o.parent_id
+           AND p.fragment_id = o.fragment_id
+          UNION ALL
+          SELECT f.query_id, f.exchange_id AS parent_op, o.id
+          FROM iwa_fragments f
+          JOIN iwa_operators o
+            ON o.query_id = f.query_id AND o.fragment_id = f.id
+           AND o.parent_id IS NULL
+          WHERE f.exchange_id IS NOT NULL
+        ),
+        walk AS (
+          WITH RECURSIVE r AS (
+            SELECT o.query_id, o.id, 0 AS depth,
+                   format('{:03d}', o.id) AS path
+            FROM iwa_operators o
+            JOIN iwa_fragments f
+              ON f.query_id = o.query_id AND f.id = o.fragment_id
+             AND f.exchange_id IS NULL
+            WHERE o.parent_id IS NULL
+            UNION ALL
+            SELECT e.query_id, e.id, r.depth + 1,
+                   r.path || '>' || format('{:03d}', e.id)
+            FROM r JOIN edges e
+              ON e.query_id = r.query_id AND e.parent_op = r.id
+          )
+          SELECT * FROM r
+        )
+"""
+
+
 ORACLES = {
     "pt5_critical_hotspots": with_corpus(_PT3_WALK + """,
         crit AS (
@@ -470,38 +505,7 @@ ORACLES = {
           ON o.query_id = f.query_id AND o.fragment_id = f.id
          AND o.parent_id IS NULL
         WHERE f.exchange_id IS NOT NULL"""),
-    "pt2_plan_paths": with_corpus("""
-        , edges AS (
-          SELECT o.query_id, p.id AS parent_op, o.id
-          FROM iwa_operators o
-          JOIN iwa_operators p
-            ON p.query_id = o.query_id AND p.id = o.parent_id
-           AND p.fragment_id = o.fragment_id
-          UNION ALL
-          SELECT f.query_id, f.exchange_id AS parent_op, o.id
-          FROM iwa_fragments f
-          JOIN iwa_operators o
-            ON o.query_id = f.query_id AND o.fragment_id = f.id
-           AND o.parent_id IS NULL
-          WHERE f.exchange_id IS NOT NULL
-        ),
-        walk AS (
-          WITH RECURSIVE r AS (
-            SELECT o.query_id, o.id, 0 AS depth,
-                   format('{:03d}', o.id) AS path
-            FROM iwa_operators o
-            JOIN iwa_fragments f
-              ON f.query_id = o.query_id AND f.id = o.fragment_id
-             AND f.exchange_id IS NULL
-            WHERE o.parent_id IS NULL
-            UNION ALL
-            SELECT e.query_id, e.id, r.depth + 1,
-                   r.path || '>' || format('{:03d}', e.id)
-            FROM r JOIN edges e
-              ON e.query_id = r.query_id AND e.parent_op = r.id
-          )
-          SELECT * FROM r
-        )
+    "pt2_plan_paths": with_corpus(_PT2_WALK + """
         SELECT w.query_id, w.id, w.depth, w.path,
                repeat('  ', w.depth) || CAST(w.id AS VARCHAR) || ':' || o.name AS line
         FROM walk w
@@ -695,3 +699,79 @@ ORACLES["pt8_plan_shape_profile"] = with_corpus("""
         FROM prof p LEFT JOIN fan f ON p.query_id = f.query_id""")
 
 SPARK_QUERIES["pt8_plan_shape_profile"] = plan_shape_profile
+
+
+def depth_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt9 — RUNTIME SHARE BY PLAN DEPTH: operator time aggregated by
+    tree depth (root = 0, pt2's closure), per level the node count,
+    distinct-query count, total avg_time and its floor-ppm share of all
+    operator time. pt3 answers "which chain is critical" per query;
+    pt9 answers the fleet-wide structural question — does the workload
+    spend at the scan leaves or in the upper join/agg levels — which is
+    what decides whether to buy IO (deep-heavy) or CPU/memory
+    (shallow-heavy), and flags plan-depth pathologies a per-query view
+    hides.
+
+    Exactness: integer avg_time sums; level totals reach ~1e15 us, so
+    total * 1e6 overflows BIGINT — the share is computed in WIDE
+    integers (Spark DECIMAL(38,0) DIV, DuckDB HUGEINT //, the ev30
+    pattern), exact at any magnitude; the global total is carried to
+    each level by a window over the depth table.
+
+    Scale: rides pt2's one-shuffle colocated walk; the join back to
+    operator times is (query_id, id)-keyed on frames that came out of
+    the same bucketed corpus; the depth rollup's output is
+    max-plan-depth rows, and the share window runs over that tiny
+    table, never the operators."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    paths = plan_paths(spark, sf_dir).select("query_id", "id", "depth")
+    ops = corpus_operators(spark, sf_dir).select("query_id", "id", "avg_time")
+    per = (
+        paths.join(ops, ["query_id", "id"])
+        .groupBy("depth")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.sum("avg_time").cast("bigint").alias("total_time"),
+        )
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("depth").cast("bigint").alias("depth"),
+        "n_nodes",
+        "n_queries",
+        "total_time",
+        F.sum("total_time").over(wall).alias("grand_total"),
+    ).select(
+        "depth",
+        "n_nodes",
+        "n_queries",
+        "total_time",
+        F.expr(
+            "CAST((CAST(total_time AS DECIMAL(38,0)) * 1000000)"
+            " DIV grand_total AS BIGINT)"
+        ).alias("time_share_ppm"),
+    )
+
+
+def _pt9_oracle() -> str:
+    return with_corpus(_PT2_WALK + """,
+        per AS (
+          SELECT CAST(w.depth AS BIGINT) AS depth,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(COUNT(DISTINCT w.query_id) AS BIGINT) AS n_queries,
+                 CAST(SUM(o.avg_time) AS BIGINT) AS total_time
+          FROM walk w JOIN iwa_operators o
+            ON o.query_id = w.query_id AND o.id = w.id
+          GROUP BY w.depth)
+        SELECT depth, n_nodes, n_queries, total_time,
+               CAST((CAST(total_time AS HUGEINT) * 1000000)
+                    // SUM(total_time) OVER () AS BIGINT) AS time_share_ppm
+        FROM per""")
+
+
+ORACLES["pt9_depth_time_profile"] = _pt9_oracle()
+SPARK_QUERIES["pt9_depth_time_profile"] = depth_time_profile

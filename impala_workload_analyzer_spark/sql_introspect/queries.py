@@ -346,3 +346,101 @@ SPARK_QUERIES = {
     "q4_template_runtime": template_runtime,
     "q5_sql_antipatterns": sql_antipatterns,
 }
+
+
+_Q6_BUCKET_US = 60_000_000  # template-novelty arrival bucket (1 min;
+# a production corpus spanning months would widen this to hours/days —
+# the fixture corpus spans ~18 minutes, so minutes give a real curve)
+
+
+def template_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6_template_novelty — WORKLOAD DRIFT BY TEMPLATE CHURN: per arrival
+    bucket (1 minute) of statement start time, how many parameterized statements ran,
+    how many distinct templates (Q5's fingerprint) they collapse to,
+    and how many of those templates were seen for the FIRST time in that
+    bucket, with the first-seen share in floor ppm. a23 tracks drift in
+    runtime for shapes that persist; q6 tracks drift in the SHAPE SET
+    itself — a spike in first-seen templates is a deploy / new-tenant /
+    ad-hoc-exploration signature, the leading indicator a capacity
+    review wants before those templates accumulate runtime. Statements
+    with no template (DDL, inserts, parse failures) are out of scope,
+    the q4 convention.
+
+    Exactness: the day bucket is integer DIV of the microsecond start
+    time; first-seen is MIN(bucket) per template — an exact integer
+    aggregate — and every published figure is a count or an IDIV floor
+    ppm, identical on both engines.
+
+    Scale: the parse already ran per-row (q1's stateless mapInPandas
+    projection); this adds one shuffle keyed by the template string
+    (cardinality = distinct templates) for the first-seen aggregate
+    and one keyed by bucket (cardinality = observation buckets) for the
+    census — both orders of magnitude below statements, with map-side
+    partials throughout."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    feats = sql_features(spark, sf_dir).select("query_id", "parameterized_stmt")
+    q = materialized_table(spark, sf_dir, "queries").select(
+        "query_id", "start_time"
+    )
+    j = (
+        feats.filter(F.col("parameterized_stmt").isNotNull())
+        .join(q, "query_id")
+        .select(
+            "parameterized_stmt",
+            F.expr(f"start_time DIV {_Q6_BUCKET_US}").alias("bucket"),
+        )
+    )
+    first = j.groupBy("parameterized_stmt").agg(
+        F.min("bucket").alias("first_bucket")
+    )
+    per_day = (
+        j.join(first, "parameterized_stmt")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_statements"),
+            F.countDistinct("parameterized_stmt").cast("bigint")
+            .alias("n_templates"),
+            F.countDistinct(
+                F.when(F.col("first_bucket") == F.col("bucket"),
+                       F.col("parameterized_stmt"))
+            ).cast("bigint").alias("n_new_templates"),
+        )
+    )
+    return per_day.select(
+        "bucket",
+        "n_statements",
+        "n_templates",
+        "n_new_templates",
+        F.expr(IDIV("n_new_templates * 1000000", "n_templates"))
+        .alias("new_template_ppm"),
+    )
+
+
+def _q6_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    return with_corpus(f"""
+        , j AS (
+          SELECT f.parameterized_stmt,
+                 CAST(q.start_time // {_Q6_BUCKET_US} AS BIGINT) AS bucket
+          FROM ({_FEATURE_CASE}) f JOIN iwa_queries q USING (query_id)
+          WHERE f.parameterized_stmt IS NOT NULL),
+        first AS (
+          SELECT parameterized_stmt, MIN(bucket) AS first_bucket
+          FROM j GROUP BY parameterized_stmt)
+        SELECT j.bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_statements,
+               CAST(COUNT(DISTINCT j.parameterized_stmt) AS BIGINT)
+                 AS n_templates,
+               CAST(COUNT(DISTINCT CASE WHEN f.first_bucket = j.bucket
+                                        THEN j.parameterized_stmt END)
+                    AS BIGINT) AS n_new_templates,
+               {IDIV('COUNT(DISTINCT CASE WHEN f.first_bucket = j.bucket THEN j.parameterized_stmt END) * 1000000', 'COUNT(DISTINCT j.parameterized_stmt)')}
+                 AS new_template_ppm
+        FROM j JOIN first f USING (parameterized_stmt)
+        GROUP BY j.bucket""")
+
+
+ORACLES["q6_template_novelty"] = _q6_oracle()
+SPARK_QUERIES["q6_template_novelty"] = template_novelty

@@ -341,3 +341,44 @@ def test_dd29_covers_every_multidoc_component(spark, sf_dir):
     got = {r["band"]: [r["n_components"], r["n_docs"], r["max_ratio_ppm"]]
            for r in rows}
     assert got == expect
+
+
+def test_pt9_rides_pt2_and_conserves_operator_time(spark, sf_dir):
+    # plan contract: pt2's colocated walk + the (query,id) join + the
+    # depth rollup; the share window single-partitions only the
+    # max-depth-row table. Property: node count and total time conserve
+    # against the raw operators table, and shares sum to <= 1e6
+    plan = _plan(spark, sf_dir, "pt9_depth_time_profile")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+    from impala_workload_analyzer_spark.corpus import corpus_operators
+
+    ops = corpus_operators(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("avg_time").alias("t")
+    ).collect()[0]
+    rows = entrymod.queries()["pt9_depth_time_profile"](spark, sf_dir).collect()
+    assert sum(r["n_nodes"] for r in rows) == ops["n"]
+    grand = sum(r["total_time"] for r in rows)
+    assert grand == ops["t"]
+    assert sum(r["time_share_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert r["time_share_ppm"] == r["total_time"] * 1_000_000 // grand
+
+
+def test_q6_novelty_conserves_templates(spark, sf_dir):
+    # every template is new exactly once (sum of n_new_templates =
+    # distinct templates), statements conserve against q4's scope,
+    # and the ppm is the exact floor
+    rows = entrymod.queries()["q6_template_novelty"](spark, sf_dir).collect()
+    q4 = entrymod.queries()["q4_template_runtime"](spark, sf_dir).collect()
+    n_templates = len(q4)
+    n_statements = sum(r["n_queries"] for r in q4)
+    assert sum(r["n_new_templates"] for r in rows) == n_templates
+    assert sum(r["n_statements"] for r in rows) == n_statements
+    first = min(rows, key=lambda r: r["bucket"])
+    assert first["n_new_templates"] == first["n_templates"]  # all new at t0
+    for r in rows:
+        assert 0 <= r["n_new_templates"] <= r["n_templates"]
+        assert r["new_template_ppm"] == (
+            r["n_new_templates"] * 1_000_000 // r["n_templates"])
