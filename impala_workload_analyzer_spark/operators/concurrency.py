@@ -48,7 +48,9 @@ _EVENTS_PER_CHUNK = 1_000_000  # two-phase scan only above this per-sweep size
 _COUNT_CACHE: dict[str, int] = {}  # sizing statistic, keyed by corpus_version
 
 
-def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
+def _two_phase_sweep(events: DataFrame, target_chunks: int,
+                     extra_order: tuple = (),
+                     payload: tuple = ()) -> DataFrame:
     """Distributed prefix scan over (cluster, ts, delta) event streams.
 
     Returns one row per event with its running ``level`` (sum of deltas up
@@ -58,16 +60,27 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
     phase 2 joins in per-chunk offsets and cross-chunk next-timestamps
     from a broadcast summary table. Equal timestamps always share a chunk
     (chunking is a monotone function of ts), so tie ordering is preserved.
+
+    ``extra_order`` appends further sort keys after (ts, delta) — w13
+    needs a query_id tie-break so the level ATTRIBUTED to each
+    simultaneous start is deterministic (the level multiset is invariant
+    to tie order, per-event attribution is not). ``payload`` names event
+    columns carried through to the output rows (e.g. query_id, runtime).
+    Both default to empty, leaving every existing caller's plan
+    unchanged.
     """
+    order = ["ts", "delta", *extra_order]
+    payload = [c for c in payload if c not in ("cluster", "chunk")]
     if target_chunks <= 1:
         # Small inputs: one running-sum window per cluster. Chunking only
         # pays off when a single cluster's event stream overflows one task;
         # below that the 7 extra shuffles are pure overhead (round-2 bench:
         # 0.94s -> 2.98s at sf0.1 with forced 128-way chunking).
-        w = Window.partitionBy("cluster").orderBy("ts", "delta")
+        w = Window.partitionBy("cluster").orderBy(*order)
         return events.select(
             "cluster",
             F.lit(0).alias("chunk"),
+            *payload,
             F.sum("delta")
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .alias("level"),
@@ -82,12 +95,13 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
             / (F.col("hi") - F.col("lo") + 1)
         ).cast("long"),
     ).drop("lo", "hi")
-    wl = Window.partitionBy("cluster", "chunk").orderBy("ts", "delta")
+    wl = Window.partitionBy("cluster", "chunk").orderBy(*order)
     local = ev.select(
         "cluster",
         "chunk",
         "ts",
         "delta",
+        *[c for c in payload if c not in ("ts", "delta")],
         F.sum("delta")
         .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("local_level"),
@@ -113,6 +127,7 @@ def _two_phase_sweep(events: DataFrame, target_chunks: int) -> DataFrame:
     return local.join(F.broadcast(chunk_stats), ["cluster", "chunk"]).select(
         "cluster",
         "chunk",
+        *payload,
         (F.col("local_level") + F.col("offset")).alias("level"),
         (F.coalesce("local_next", "next_first_ts") - F.col("ts")).alias("interval"),
     )
@@ -930,3 +945,110 @@ ORACLES["w12_arrival_burstiness"] = with_corpus(f"""
         FROM agg""")
 
 SPARK_QUERIES["w12_arrival_burstiness"] = arrival_burstiness
+
+
+def start_level_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w13 — ADMISSION LEVEL vs RUNTIME: per cluster and concurrency
+    level AT ADMISSION (the sweep level including the query itself),
+    how many queries were admitted at that level and their floor-mean /
+    max wall duration. Rising mean duration with admission level is the
+    direct evidence of contention that w1's averages and w11's cap
+    what-ifs can only imply — and the empirical curve an admission
+    controller's cap (w11) should be read against.
+
+    Attribution semantics: the level multiset is invariant to tie order
+    (w1's guarantee), but attributing a level TO a query is not — so
+    the sweep orders (ts, delta, query_id): at equal timestamps
+    releases precede admissions (w1's convention), and simultaneous
+    admissions take deterministically increasing levels in query_id
+    order, identical on both engines (no NULL sort keys anywhere —
+    Spark defaults NULLS FIRST where DuckDB defaults NULLS LAST, so a
+    NULL-keyed tie-break would silently diverge).
+
+    Exactness: integer microseconds; the mean is the shared IDIV floor
+    (duration sums stay far below 2^53).
+
+    Scale: w1's adaptive two-phase prefix scan with the query_id order
+    key and (query_id, duration) payload carried through — the
+    parameterization exists precisely so attribution rides the same
+    distributed machinery instead of a per-cluster window; the rollup
+    is |clusters| x max-concurrency rows."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    q = corpus_queries(spark, sf_dir)
+    clusters = q.filter(F.col("tag") == "tpch").select("cluster").distinct()
+    scoped = q.join(clusters, "cluster", "left_semi").select(
+        "cluster", "query_id", "start_time", "end_time",
+        (F.col("end_time") - F.col("start_time")).alias("dur_us"),
+    )
+    events = scoped.select(
+        "cluster",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_time").alias("ts"),
+                    F.lit(1).alias("delta"),
+                    F.col("query_id"),
+                    F.col("dur_us"),
+                ),
+                F.struct(
+                    F.col("end_time").alias("ts"),
+                    F.lit(-1).alias("delta"),
+                    F.col("query_id"),
+                    F.col("dur_us"),
+                ),
+            )
+        ).alias("e"),
+    ).select("cluster", "e.ts", "e.delta", "e.query_id", "e.dur_us")
+    ver = corpus_version(sf_dir)
+    if ver not in _COUNT_CACHE:
+        _COUNT_CACHE[ver] = scoped.count()
+    n_events = _COUNT_CACHE[ver] * 2
+    target_chunks = min(
+        n_events // _EVENTS_PER_CHUNK, spark.sparkContext.defaultParallelism * 4
+    )
+    swept = _two_phase_sweep(
+        events, target_chunks,
+        extra_order=("query_id",), payload=("delta", "query_id", "dur_us"),
+    )
+    starts = swept.filter(F.col("delta") == 1)
+    return starts.groupBy("cluster", "level").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+    ).select(
+        "cluster",
+        F.col("level").cast("bigint").alias("start_level"),
+        "n_queries",
+        F.expr(IDIV("total_dur_us", "n_queries")).alias("mean_dur_us"),
+        "max_dur_us",
+    )
+
+
+ORACLES["w13_start_level_runtime"] = with_corpus(f"""
+        , scoped AS (
+          SELECT cluster, query_id, start_time, end_time,
+                 end_time - start_time AS dur_us
+          FROM iwa_queries
+          WHERE cluster IN (SELECT DISTINCT cluster FROM iwa_queries
+                            WHERE tag = 'tpch')),
+        ev AS (
+          SELECT cluster, start_time AS ts, 1 AS delta, query_id, dur_us
+          FROM scoped
+          UNION ALL
+          SELECT cluster, end_time AS ts, -1 AS delta, query_id, dur_us
+          FROM scoped),
+        swept AS (
+          SELECT cluster, delta, query_id, dur_us,
+                 SUM(delta) OVER (PARTITION BY cluster
+                                  ORDER BY ts, delta, query_id
+                                  ROWS UNBOUNDED PRECEDING) AS level
+          FROM ev)
+        SELECT cluster, CAST(level AS BIGINT) AS start_level,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               {_IDIV('SUM(dur_us)', 'COUNT(*)')} AS mean_dur_us,
+               CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+        FROM swept WHERE delta = 1
+        GROUP BY cluster, level""")
+
+SPARK_QUERIES["w13_start_level_runtime"] = start_level_runtime

@@ -2664,7 +2664,18 @@ def session_depth_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregates in one partial-agg'd reduction to a single
     row, exploded to the |ladder|-row curve; the hazard is a lag over
     those few rows."""
-    sess = sessionize(spark, sf_dir).select("n_events")
+    return depth_survival_over(sessionize(spark, sf_dir))
+
+
+def depth_survival_over(sess: DataFrame) -> DataFrame:
+    """ev33's ladder over any session frame carrying ``n_events`` —
+    split out (the skew_over/motif_rollup pattern) so the streaming
+    twin st23 runs the SAME curve over st2's watermark-finalized
+    session windows: session membership (and so per-session depth) is
+    identical between ev3's batch rollup and the engine-native
+    ``session_window`` on the finite in-order source, so one shared
+    body certifies batch/stream equivalence under ev33's oracle."""
+    sess = sess.select("n_events")
     conds = [
         (F.col("n_events") >= F.lit(k)).cast("bigint") for k in _EV33_DEPTHS
     ]
@@ -2712,9 +2723,11 @@ def session_depth_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ev33's oracle nests ev3's sessionization verbatim (the ev27 pattern)
-ORACLES["ev33_session_depth_survival"] = f"""
-        WITH s AS ({ORACLES["ev3_sessionize"]}),
+# ev33's ladder SQL parameterized by its session source so st23 can run
+# the identical curve over st2's watermark-finalized session oracle
+def _depth_curve_sql(source_sql: str) -> str:
+    return f"""
+        WITH s AS ({source_sql}),
         d AS (SELECT CAST(unnest([{", ".join(str(k) for k in _EV33_DEPTHS)}]) AS BIGINT)
                      AS depth),
         curve AS (
@@ -2737,4 +2750,10 @@ ORACLES["ev33_session_depth_survival"] = f"""
                               AS BIGINT)
                END AS continuation_ppm
         FROM curve"""
+
+
+# ev33's oracle nests ev3's sessionization verbatim (the ev27 pattern)
+ORACLES["ev33_session_depth_survival"] = _depth_curve_sql(
+    ORACLES["ev3_sessionize"]
+)
 SPARK_QUERIES["ev33_session_depth_survival"] = session_depth_survival

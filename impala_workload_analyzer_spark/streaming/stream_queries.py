@@ -1686,3 +1686,27 @@ def streaming_trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["st22_streaming_trigram_motifs"] = _EV_ORACLES["ev32_trigram_motifs"]
 SPARK_QUERIES["st22_streaming_trigram_motifs"] = streaming_trigram_motifs
+
+
+def streaming_depth_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st23 — ev33's session-depth survival curve over the streamed
+    sessions: st2's engine-native watermarked ``session_window``
+    produces the same per-session event counts as ev3's batch rollup
+    on the finite in-order source, and ev33's shared
+    ``depth_survival_over`` ladder runs unchanged over them — one
+    shared analytic body (the st20/st21/st22 convention), so the
+    depth-decay readout cannot drift between the batch curation path
+    and a live dashboard. Scope note: append mode emits only the
+    WATERMARK-FINALIZED sessions (the trailing in-flight session is
+    withheld, st2's documented semantics), so the oracle is ev33's
+    ladder over st2's finalized-prefix session oracle — same curve
+    SQL, prefix-scoped source."""
+    from ..pipeline.events_analytics import depth_survival_over  # noqa: PLC0415
+
+    return depth_survival_over(streaming_sessions(spark, sf_dir))
+
+
+from ..pipeline.events_analytics import _depth_curve_sql  # noqa: E402
+
+ORACLES["st23_streaming_depth_survival"] = _depth_curve_sql(_ST2_ORACLE)
+SPARK_QUERIES["st23_streaming_depth_survival"] = streaming_depth_survival

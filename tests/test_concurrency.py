@@ -188,3 +188,72 @@ def test_w10_mean_demand_zero_busy_publishes_null(spark):
         FROM (VALUES (100, 0), (100, 7), (0, 0)) t(mass, busy)
     """).fetchall()
     assert {(m, b): v for m, b, v in oracle} == got
+
+
+def test_two_phase_sweep_attributed_payload_chunked(spark):
+    """The extra_order/payload parameterization (w13): with forced
+    chunking, each event's ATTRIBUTED level (query_id tie-break) must
+    equal the sequential scan's, with payload columns carried through —
+    per-event equality, strictly stronger than the multiset check."""
+    rows = []
+    for i in range(2000):
+        s = (i * 37) % 50021
+        e = s + 1 + (i * 13) % 997
+        qid, dur = f"q{i:04d}", e - s
+        rows.append(("c1", s, 1, qid, dur))
+        rows.append(("c1", e, -1, qid, dur))
+    events = spark.createDataFrame(
+        rows, "cluster string, ts long, delta int, query_id string, dur long"
+    )
+    out = _two_phase_sweep(
+        events, 16, extra_order=("query_id",),
+        payload=("delta", "query_id", "dur"),
+    ).collect()
+    assert len({r["chunk"] for r in out}) > 1
+
+    seq = sorted((ts, d, q, dur) for _, ts, d, q, dur in rows)
+    level, expect = 0, {}
+    for ts, d, q, dur in seq:
+        level += d
+        expect[(q, d)] = (level, dur)
+    got = {(r["query_id"], r["delta"]): (r["level"], r["dur"]) for r in out}
+    assert got == expect
+
+
+def test_w13_matches_sequential_attribution(spark, sf_dir):
+    """w13 cross-check: recompute each query's admission level with a
+    plain Python sweep over (ts, delta, query_id) and compare every
+    published (cluster, level) row; counts conserve to the w1 scope."""
+    from impala_workload_analyzer_spark.corpus import corpus_queries
+
+    q = corpus_queries(spark, sf_dir)
+    clusters = {r["cluster"] for r in q.filter(F.col("tag") == "tpch")
+                .select("cluster").distinct().collect()}
+    per_cluster: dict[str, list] = {}
+    for r in q.select("cluster", "query_id", "start_time", "end_time").collect():
+        if r["cluster"] in clusters:
+            per_cluster.setdefault(r["cluster"], []).append(r)
+
+    expect: dict[tuple, list] = {}
+    for cluster, qs in per_cluster.items():
+        events = []
+        for r in qs:
+            dur = r["end_time"] - r["start_time"]
+            events.append((r["start_time"], 1, r["query_id"], dur))
+            events.append((r["end_time"], -1, r["query_id"], dur))
+        events.sort()
+        level = 0
+        for ts, d, qid, dur in events:
+            level += d
+            if d == 1:
+                expect.setdefault((cluster, level), []).append(dur)
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["w13_start_level_runtime"](spark, sf_dir).collect()
+    assert sum(r["n_queries"] for r in rows) == sum(
+        len(v) for v in per_cluster.values())
+    got = {(r["cluster"], r["start_level"]):
+           (r["n_queries"], r["mean_dur_us"], r["max_dur_us"]) for r in rows}
+    want = {k: (len(v), sum(v) // len(v), max(v)) for k, v in expect.items()}
+    assert got == want
