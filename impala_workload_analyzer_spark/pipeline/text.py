@@ -2787,3 +2787,124 @@ ORACLES["tx35_langid_confusion"] = f"""
                (lang = pred_lang) AS agree
         FROM conf"""
 SPARK_QUERIES["tx35_langid_confusion"] = langid_confusion
+
+
+_TX36_BUDGETS = (512, 2048, 8192)  # packing-frontier token budgets
+
+
+def packing_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx36 — PACKING-EFFICIENCY FRONTIER: tx9's exact shard-local
+    greedy packer evaluated at three sequence budgets, one row per
+    budget with the bin count, packed token mass, capacity, padding
+    waste in exact ppm, and the docs-per-bin extremes. Sequence length
+    is THE training-throughput lever — a longer context amortizes
+    padding (waste falls) but couples more unrelated documents into
+    one attention context (docs/bin rises, the tx34 leakage surface
+    grows) — and this census prices that trade with the production
+    packer's own arithmetic rather than a back-of-envelope estimate.
+
+    Exactness: the packer is tx9's integer running-sum cut, with the
+    GREATEST(cum-1,0) DIV clamp on both engines (ADVICE r13) and
+    per-budget truncation of oversize docs (LEAST(size, B), tx9's own
+    rule at its single budget); waste_ppm is an exact integer floor
+    over capacity = n_bins x budget.
+
+    Scale: budgets explode FIRST (bounded fanout |budgets|), so each
+    (budget, shard) packs independently under ONE shuffle keyed
+    (budget, shard) — the same flat shard-local shape as tx9, never a
+    global sort; the frontier rollup is |budgets| rows."""
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    docs = _with_norm(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("raw_tokens"),
+        (F.expr(_SPARK_H.format(x="CAST(doc_id AS STRING)"))
+         % _PACK_SHARDS).alias("shard"),
+    )
+    fanned = docs.select(
+        "doc_id",
+        "shard",
+        F.explode(
+            F.array(*[F.lit(b).cast("bigint") for b in _TX36_BUDGETS])
+        ).alias("budget"),
+    ).join(docs.select("doc_id", "raw_tokens"), "doc_id").select(
+        "doc_id",
+        "shard",
+        "budget",
+        F.least(F.col("raw_tokens"), F.col("budget")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("budget", "shard").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = fanned.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.expr("CAST(GREATEST(cum - 1, 0) DIV budget AS BIGINT)"),
+    )
+    bins = packed.groupBy("budget", "shard", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+    per = bins.groupBy("budget").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_docs").cast("bigint").alias("min_docs_per_bin"),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_bin"),
+    )
+    return per.select(
+        "budget",
+        "n_bins",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_bins") * F.col("budget")).alias("capacity_tokens"),
+        F.expr(IDIV("(n_bins * budget - total_tokens) * 1000000",
+                    "n_bins * budget")).alias("waste_ppm"),
+        "min_docs_per_bin",
+        "max_docs_per_bin",
+    )
+
+
+def _tx36_oracle() -> str:
+    from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
+
+    budgets = ", ".join(f"({b})" for b in _TX36_BUDGETS)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len({_DUCK_WORDS}) AS BIGINT) AS raw_tokens,
+                 {_DUCK_H.format(x="CAST(doc_id AS VARCHAR)")}
+                   % {_PACK_SHARDS} AS shard
+          FROM documents),
+        fanned AS (
+          SELECT d.doc_id, d.shard, CAST(b.budget AS BIGINT) AS budget,
+                 LEAST(d.raw_tokens, b.budget) AS n_tokens
+          FROM d CROSS JOIN (VALUES {budgets}) b(budget)),
+        packed AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY budget, shard
+                      ORDER BY n_tokens DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM fanned),
+        bins AS (
+          SELECT budget, shard,
+                 CAST(GREATEST(cum - 1, 0) // budget AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          FROM packed GROUP BY 1, 2, 3),
+        per AS (
+          SELECT budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_bins,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                 CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+                 CAST(MIN(n_docs) AS BIGINT) AS min_docs_per_bin,
+                 CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_bin
+          FROM bins GROUP BY budget)
+        SELECT budget, n_bins, n_docs, total_tokens,
+               n_bins * budget AS capacity_tokens,
+               {IDIV('(n_bins * budget - total_tokens) * 1000000',
+                     'n_bins * budget')} AS waste_ppm,
+               min_docs_per_bin, max_docs_per_bin
+        FROM per"""
+
+
+ORACLES["tx36_packing_frontier"] = _tx36_oracle()
+SPARK_QUERIES["tx36_packing_frontier"] = packing_frontier

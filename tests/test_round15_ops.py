@@ -382,3 +382,33 @@ def test_q6_novelty_conserves_templates(spark, sf_dir):
         assert 0 <= r["n_new_templates"] <= r["n_templates"]
         assert r["new_template_ppm"] == (
             r["n_new_templates"] * 1_000_000 // r["n_templates"])
+
+
+def test_tx36_frontier_conserves_and_prices_waste(spark, sf_dir):
+    # every budget packs the same document set (n_docs conserved);
+    # token mass is monotone non-decreasing in budget (larger budgets
+    # truncate less); bins >= shards-with-docs (each non-empty shard
+    # has at least one bin); waste is the exact floor ppm; one shuffle
+    # keyed (budget, shard), no cartesian, no global sort
+    plan = _plan(spark, sf_dir, "tx36_packing_frontier")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan
+
+    from impala_workload_analyzer_spark.io import load_table
+    from impala_workload_analyzer_spark.pipeline.text import _TX36_BUDGETS
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = sorted(entrymod.queries()["tx36_packing_frontier"](
+        spark, sf_dir).collect(), key=lambda r: r["budget"])
+    assert [r["budget"] for r in rows] == list(_TX36_BUDGETS)
+    prev_tokens = 0
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert r["total_tokens"] >= prev_tokens
+        prev_tokens = r["total_tokens"]
+        assert r["capacity_tokens"] == r["n_bins"] * r["budget"]
+        assert r["total_tokens"] <= r["capacity_tokens"]
+        assert r["waste_ppm"] == (
+            (r["capacity_tokens"] - r["total_tokens"]) * 1_000_000
+            // r["capacity_tokens"])
+        assert 1 <= r["min_docs_per_bin"] <= r["max_docs_per_bin"]
