@@ -792,8 +792,15 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup term rounds to 6 decimals and accumulates as DECIMAL(18,6),
     so the summed distance is exact and order-independent — ranking can
     never diverge across engines."""
+    return _ivfpq_topk_of(_ivfpq_ranked(spark, sf_dir))
+
+
+def _ivfpq_topk_of(ranked: DataFrame) -> DataFrame:
+    """sim13's top-k cut over a given ADC-ranked candidate list — split
+    out so the live sim13 query and sim16's adc tier (which reads the
+    session-persisted ranked frame) share one definition."""
     return (
-        _ivfpq_ranked(spark, sf_dir)
+        ranked
         .filter(F.col("rank") <= _TOP_K)
         .select(
             "query_id",
@@ -848,6 +855,26 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def _ivfpq_ranked_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC-ranked candidate list persisted once per (session, corpus)
+    — the feature-store pattern (_shared_shingles / _exact_topk_shared)
+    applied to the similarity family's most expensive shared
+    intermediate. sim16 alone consumes the full IVF-PQ pipeline TWICE
+    (its adc tier cuts it at _TOP_K, its rerank tier nominates a
+    _RERANK_POOL-deep pool from the same ranking), and the output is
+    only queries x candidate-list rows — trivially persistable.
+    Production shape: the ADC ranking is served from the materialized
+    index artifacts (snk3), not recomputed per audit. sim13/sim15 keep
+    their live, contract-pinned plans; correctness never depends on the
+    cache (a cold call rebuilds). Keyed by applicationId via
+    cache_util.session_persisted (ADVICE r8)."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "ivfpq_ranked", lambda: _ivfpq_ranked(spark, sf_dir)
+    )
 
 
 def ann_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,9 +976,17 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pool is queries x pool rows — broadcast into both float
     joins; everything upstream is sim13's plan unchanged."""
+    return _ivfpq_rerank_of(spark, sf_dir, _ivfpq_ranked(spark, sf_dir))
+
+
+def _ivfpq_rerank_of(spark: SparkSession, sf_dir: str,
+                     ranked: DataFrame) -> DataFrame:
+    """sim15's exact-rerank stage over a given ADC-ranked candidate list
+    — split out so the live sim15 query and sim16's rerank tier (which
+    reads the session-persisted ranked frame) share one definition."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     pool = (
-        _ivfpq_ranked(spark, sf_dir)
+        ranked
         .filter(F.col("rank") <= _RERANK_POOL)
         .select(
             "query_id",
@@ -1706,10 +1741,16 @@ SIM16_TIERS = {
     "lsh": lsh_recall,
     "ivf": ivf_recall,
     "int8": quantize_recall,
+    # adc/rerank both derive from ONE ADC ranking: the tiers read the
+    # session-persisted ranked frame (built once per corpus snapshot —
+    # bench.py times the build cold under one_time_builds), so sim16
+    # stops executing the full IVF-PQ pipeline twice per run. The live
+    # sim13/sim15 queries keep their contract-pinned lineages.
     "adc": lambda spark, sf_dir: _recall_vs_exact(
-        spark, sf_dir, ivfpq_topk(spark, sf_dir)),
+        spark, sf_dir, _ivfpq_topk_of(_ivfpq_ranked_shared(spark, sf_dir))),
     "rerank": lambda spark, sf_dir: _recall_vs_exact(
-        spark, sf_dir, ivfpq_rerank(spark, sf_dir)),
+        spark, sf_dir,
+        _ivfpq_rerank_of(spark, sf_dir, _ivfpq_ranked_shared(spark, sf_dir))),
 }
 
 
