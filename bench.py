@@ -123,6 +123,10 @@ def _one_time_builds():
     )
     from impala_workload_analyzer_spark.pipeline.similarity import (
         _exact_topk_shared,
+        _ivfpq_ranked_shared,
+    )
+    from impala_workload_analyzer_spark.sql_introspect.queries import (
+        _sql_features_shared,
     )
 
     return (
@@ -131,6 +135,8 @@ def _one_time_builds():
         ("_shared_minhash_pairs", _shared_minhash_pairs),
         ("_shared_components", _shared_components),
         ("_exact_topk_shared", _exact_topk_shared),
+        ("_ivfpq_ranked", _ivfpq_ranked_shared),
+        ("_sql_features", _sql_features_shared),
     )
 
 
@@ -206,7 +212,14 @@ def main() -> int:
     # (observed 1.65 -> 0.54 / 0.65 -> 0.17 when ordered wrong).
     # Benching them first keeps every headline row meaningful: these two
     # cold, the multi-tier consumers warm-marginal, builds visible below.
-    prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk")
+    # sim13 joined the list when _ivfpq_ranked became a shared build
+    # (r15 optimization round): its live plan CONTAINS the ranked frame's
+    # lineage as a subtree, so benched post-build it would read
+    # warm-marginal and stop measuring the IVF-PQ search cold. q1 joined
+    # for the same reason when the parsed-feature frame became a shared
+    # build: its live plan EQUALS the build plan.
+    prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk",
+                            "sim13_ivfpq_topk", "q1_sql_features")
                 if n in names]
     for name in prebuild:
         bench_one(name)

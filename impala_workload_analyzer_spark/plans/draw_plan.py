@@ -623,31 +623,75 @@ def plan_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     as numbers a workload monitor can threshold (a depth-40 or
     fanout-12 plan is a review flag regardless of runtime).
 
-    Scale: rides pt2's mapInPandas tree walk (depth, one co-location
-    shuffle) and pt1's edge set (equi-joins on plan-local keys); both
-    rollups collapse to one row per query before the final query-keyed
-    join — never wider than the query count."""
-    paths = plan_paths(spark, sf_dir).groupBy("query_id").agg(
-        F.count("*").cast("bigint").alias("n_nodes"),
-        F.max("depth").cast("bigint").alias("depth_max"),
+    Scale: ONE pass over the co-located node frame shared with pt2/pt3/
+    pt5 (``_colocated_nodes``): a plan tree is tiny and wholly contained
+    in one partition, so every metric — the root-closure node count and
+    depth (pt2's walk), the edge/fanout census (pt1's edge set, rebuilt
+    per query with the same same-fragment parent rule plus EXCHANGE ->
+    fed-fragment-root rule) — comes out of one plain-Python partition
+    walk that emits ONE ROW PER QUERY. The r15 optimization round
+    collapsed the previous four-frame composition (paths groupBy +
+    edges double groupBy + query-keyed join: 5 shuffles, two extra
+    corpus scans, and 145k path strings built only to be counted) into
+    this single shuffle-free pass over the cached frame; the oracle's
+    recursive-CTE walk is mirrored exactly (descent follows the CHECKED
+    edge set, base = root fragment's root operator)."""
+    import pandas as pd  # noqa: PLC0415
+
+    nodes = _colocated_nodes(spark, sf_dir, "name").select(
+        "query_id", "id", "fragment_id", "parent_id", "exchange_id"
     )
-    edges = plan_edges(spark, sf_dir)
-    fan = (
-        edges.groupBy("query_id", "parent_op")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .groupBy("query_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_edges"),
-            F.max("c").cast("bigint").alias("max_fanout"),
-            F.count("*").cast("bigint").alias("n_parents"),
-        )
-    )
-    return paths.join(fan, "query_id", "left").select(
-        "query_id", "n_nodes", "depth_max",
-        F.coalesce(F.col("n_edges"), F.lit(0)).cast("bigint").alias("n_edges"),
-        F.coalesce(F.col("max_fanout"), F.lit(0)).cast("bigint").alias("max_fanout"),
-        (F.col("n_nodes")
-         - F.coalesce(F.col("n_parents"), F.lit(0))).cast("bigint").alias("n_leaves"),
+    out_cols = ["query_id", "n_nodes", "depth_max", "n_edges",
+                "max_fanout", "n_leaves"]
+
+    def shape_partition(batches):
+        per_query: dict[str, list[tuple]] = {}
+        for pdf in batches:
+            for qid, oid, frag, parent, eid in zip(
+                pdf["query_id"], pdf["id"], pdf["fragment_id"],
+                pdf["parent_id"], pdf["exchange_id"],
+            ):
+                per_query.setdefault(qid, []).append(
+                    (int(oid), frag, parent, eid)
+                )
+        rows: list[tuple] = []
+        for qid, items in per_query.items():
+            # pt1's edge set: same-fragment parent_id edges (parent row
+            # must exist) + EXCHANGE -> fed-fragment-root edges
+            frag_of = {oid: frag for oid, frag, _, _ in items}
+            children: dict[int, list[int]] = {}
+            roots = []
+            for oid, frag, parent, eid in items:
+                if not pd.isna(parent):
+                    p = int(parent)
+                    if p in frag_of and frag_of[p] == frag:
+                        children.setdefault(p, []).append(oid)
+                elif not pd.isna(eid):
+                    children.setdefault(int(eid), []).append(oid)
+                else:  # root fragment's root operator
+                    roots.append(oid)
+            n_nodes = 0
+            depth_max = 0
+            stack = [(root, 0) for root in roots]
+            while stack:
+                oid, depth = stack.pop()
+                n_nodes += 1
+                if depth > depth_max:
+                    depth_max = depth
+                for child in children.get(oid, ()):
+                    stack.append((child, depth + 1))
+            n_edges = sum(len(c) for c in children.values())
+            max_fanout = max((len(c) for c in children.values()), default=0)
+            n_parents = len(children)
+            rows.append((qid, n_nodes, depth_max, n_edges, max_fanout,
+                         n_nodes - n_parents))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return nodes.mapInPandas(
+        shape_partition,
+        schema="query_id string, n_nodes bigint, depth_max bigint, "
+               "n_edges bigint, max_fanout bigint, n_leaves bigint",
     )
 
 

@@ -124,11 +124,31 @@ def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return queries.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def _sql_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1's parsed feature frame persisted once per (session, corpus) —
+    the feature-store pattern (_shared_shingles / _exact_topk_shared)
+    applied to the introspection family's shared intermediate. The
+    parse is CPU-heavy per row (a full AST walk per statement inside
+    mapInPandas) and FOUR consumers re-ran it per query (q3's rollup,
+    q4's template runtime, q5's lint, q6's novelty census), while the
+    output is one narrow row per statement — trivially persistable.
+    Production shape: the enriched features are written back to the
+    store once per ingest (S9) and every report joins them. q1 itself
+    keeps its live, contract-pinned plan; correctness never depends on
+    the cache (a cold call rebuilds). Keyed by applicationId via
+    cache_util.session_persisted (ADVICE r8)."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "sql_features", lambda: sql_features(spark, sf_dir)
+    )
+
+
 def features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3_features_rollup — the enriched corpus as DATA (A15-shape): counts
     and feature sums per statement class, sorted by count desc."""
     return (
-        sql_features(spark, sf_dir)
+        _sql_features_shared(spark, sf_dir)
         .groupBy("stmt_type")
         .agg(
             F.count("*").alias("n_queries"),
@@ -154,7 +174,8 @@ def template_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     statements — after a query_id-keyed join whose both sides came out
     of the same ingest. All runtime arithmetic is exact BIGINT (floor
     mean via DIV), so partial-agg order can never move a value."""
-    feats = sql_features(spark, sf_dir).select("query_id", "parameterized_stmt")
+    feats = _sql_features_shared(spark, sf_dir).select(
+        "query_id", "parameterized_stmt")
     q = materialized_table(spark, sf_dir, "queries").select("query_id", "runtime")
     return (
         feats.filter(F.col("parameterized_stmt").isNotNull())
@@ -189,7 +210,7 @@ def sql_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to q4 — the per-row parse already ran; this
     adds one template-keyed shuffle over template-cardinality rows."""
-    feats = sql_features(spark, sf_dir).select(
+    feats = _sql_features_shared(spark, sf_dir).select(
         "query_id",
         "parameterized_stmt",
         "num_select_analytic_exprs",
@@ -379,7 +400,8 @@ def template_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials throughout."""
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
 
-    feats = sql_features(spark, sf_dir).select("query_id", "parameterized_stmt")
+    feats = _sql_features_shared(spark, sf_dir).select(
+        "query_id", "parameterized_stmt")
     q = materialized_table(spark, sf_dir, "queries").select(
         "query_id", "start_time"
     )
