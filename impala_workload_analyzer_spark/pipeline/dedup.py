@@ -1725,22 +1725,45 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.n_bands", "b.band_idx", "b.band_key")
-    bsize = bands.groupBy("n_bands", "band_idx", "band_key").agg(
-        F.count("*").cast("bigint").alias("bsz")
-    )
-    hot = bsize.filter(F.col("bsz") > _DD21_BUCKET_CAP)
+    # Bucket sizes ride a window over the ONE band shuffle instead of a
+    # separate groupBy + anti-join: the r15 optimization round found the
+    # signature aggregation (the shingle scan + 16-way min groupBy)
+    # recomputed SEVEN times in the old plan (bucket census, hot set,
+    # both self-join sides, and again under the verify/scoring reuse of
+    # the candidate frame). Partitioning once by (config, band_idx,
+    # band_key) serves the census (count over the partition), the
+    # hot-bucket stats, the cold filter, AND the pair self-join (both
+    # sides cluster on the same keys, so the exchange is shared) —
+    # guide §2.4: two operations keyed the same way share one exchange.
+    wb = Window.partitionBy("n_bands", "band_idx", "band_key")
+    sized = bands.withColumn("bsz", F.count("*").over(wb).cast("bigint"))
     from ..corpus.corpus_sql import IDIV  # noqa: PLC0415
 
-    hot_stats = hot.groupBy("n_bands").agg(
-        F.count("*").cast("bigint").alias("n_hot_buckets"),
-        F.expr(IDIV("SUM(bsz * (bsz - 1))", 2)).alias("n_hot_pairs"),
+    hot_stats = (
+        sized.filter(F.col("bsz") > _DD21_BUCKET_CAP)
+        .groupBy("n_bands", "band_idx", "band_key")
+        .agg(F.max("bsz").alias("bsz"))
+        .groupBy("n_bands")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hot_buckets"),
+            F.expr(IDIV("SUM(bsz * (bsz - 1))", 2)).alias("n_hot_pairs"),
+        )
     )
-    cold = bands.join(
-        hot.select("n_bands", "band_idx", "band_key"),
-        ["n_bands", "band_idx", "band_key"],
-        "left_anti",
+    cold = sized.filter(F.col("bsz") <= _DD21_BUCKET_CAP).select(
+        "doc_id", "n_bands", "band_idx", "band_key"
     )
-    cands = (
+    # One candidate join feeds BOTH the exact verify and the per-config
+    # scoring: the per-pair config list (collect_set dedupes multi-band
+    # collisions exactly like the old per-config distinct) is exploded
+    # back AFTER jaccard/truth attach, so the expensive pair join is
+    # planned once and AQE reuses its (doc_a, doc_b) exchange for the
+    # verify side. (A fully linear variant that carried cfgs THROUGH
+    # the shingle-overlap join was A/B-tested and reverted: it needs a
+    # LEFT overlap join to keep zero-overlap candidates, which keeps
+    # every expanded pair x shingle row alive into the aggregate where
+    # the inner join drops non-matches first — measured 9.0 s vs 7.0 s
+    # converged at sf0.1.)
+    pair_cfgs = (
         cold.alias("x")
         .join(
             cold.alias("y"),
@@ -1754,16 +1777,20 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("n_bands").alias("cfgs"))
     )
-    jac = _verify_jaccard(cands.select("doc_a", "doc_b").distinct(), shingles)
+    jac = _verify_jaccard(pair_cfgs.select("doc_a", "doc_b"), shingles)
     truth = _shared_jaccard3(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
     scored = (
-        cands.join(jac, ["doc_a", "doc_b"], "left")
+        pair_cfgs.join(jac, ["doc_a", "doc_b"], "left")
         .join(truth, ["doc_a", "doc_b"], "left")
+        .select(
+            F.explode("cfgs").alias("n_bands"), "jaccard", "is_true"
+        )
         .groupBy("n_bands")
         .agg(
             F.count("*").cast("bigint").alias("n_candidates"),
