@@ -2165,7 +2165,17 @@ def compaction_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(assign.select("event_type", "hr", "file_id")),
                 ["event_type", "hr"])
         .select("event_id", "ts", "user_id", "value", "event_type", "file_id")
-        .repartition("event_type", "file_id")
+        # explicit numPartitions: a bare repartition(cols) is AQE-coalesced
+        # by BYTES (to ONE task for a small batch), serializing the
+        # per-FILE writer open/close cost of every partition dir onto one
+        # core. The write stage wants one task per core up to the dir
+        # count; derived from the cluster (defaultParallelism), not a
+        # constant. All rows of a (event_type, file_id) pair still hash
+        # to ONE task, so the one-file-per-partition-dir contract is
+        # unchanged.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "event_type", "file_id"
+        )
         .sortWithinPartitions("event_type", "file_id", "event_id")
         .write.partitionBy("event_type", "file_id")
         .mode("overwrite")

@@ -896,7 +896,10 @@ def curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         docs.join(kept, "doc_id")
         .select("doc_id", "text", "n_chars", "lang", "source")
-        .repartition("lang", "source")
+        # explicit numPartitions (see snk6): a bare repartition(cols) is
+        # AQE-coalesced to one task on a small batch, serializing every
+        # partition dir's file-writer overhead onto one core
+        .repartition(spark.sparkContext.defaultParallelism, "lang", "source")
         # partition cols lead the sort so the writer's required
         # (lang, source) ordering is already satisfied and it keeps the
         # doc_id order instead of re-sorting (its sorter is not stable)
@@ -966,7 +969,10 @@ def incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write(df):
         (
             df.drop("bucket")
-            .repartition("lang", "source")
+            # explicit numPartitions (see snk6): keep the writer parallel
+            .repartition(
+                spark.sparkContext.defaultParallelism, "lang", "source"
+            )
             .sortWithinPartitions("lang", "source", "doc_id")
             .write.partitionBy("lang", "source")
             .mode("overwrite")
@@ -1827,7 +1833,8 @@ def shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)), "shards",
     )
     (
-        d.repartition("shard")
+        # explicit numPartitions (see snk6): keep the writer parallel
+        d.repartition(spark.sparkContext.defaultParallelism, "shard")
         .sortWithinPartitions("shard", "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
@@ -2259,7 +2266,8 @@ def jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)), "jsonl",
     )
     (
-        d.repartition("shard")
+        # explicit numPartitions (see snk6): keep the writer parallel
+        d.repartition(spark.sparkContext.defaultParallelism, "shard")
         .sortWithinPartitions("shard", "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
