@@ -2302,9 +2302,15 @@ def _dup_spans_of(words: DataFrame, k: int) -> DataFrame:
     Shared by dd26's per-source rollup and tx33's substring-cut funnel
     stage so the span semantics can never drift between them.
 
-    Scale: one md5-keyed groupBy (map-side partial) + one hash join of
-    the occurrence stream against the duplicated-key set, then a
-    doc_id-partitioned gaps-and-islands window — never all-pairs."""
+    Scale: ONE md5-keyed exchange — the duplicated-window test is a
+    count window over the occurrence stream (count >= 2 per key),
+    replacing the previous groupBy + self-join on the same key (guide
+    §2.4: two operations keyed the same way share one exchange; r15 A/B
+    2.88 -> 1.34 s at sf0.1, result-identical). The key is the RAW
+    16-byte md5 (``unhex``), not its 32-char hex rendering — same
+    equality classes, half the shuffle/sort bytes (§2.3 narrower types).
+    Then a doc_id-partitioned gaps-and-islands window — never
+    all-pairs."""
     occ = words.select(
         "doc_id",
         "source",
@@ -2312,17 +2318,15 @@ def _dup_spans_of(words: DataFrame, k: int) -> DataFrame:
             F.expr(
                 f"transform(sequence(1, size(w) - {k} + 1),"
                 f" i -> named_struct('pos', i,"
-                f"   'g', md5(concat_ws(' ', slice(w, i, {k})))))"
+                f"   'g', unhex(md5(concat_ws(' ', slice(w, i, {k}))))))"
             )
         ).alias("s"),
     ).select("doc_id", "source", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
-    dup = (
-        occ.groupBy("g")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select("g")
+    hits = (
+        occ.withColumn("cnt", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "source", "pos")
     )
-    hits = occ.join(dup, "g").select("doc_id", "source", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "brk",

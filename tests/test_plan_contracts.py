@@ -628,14 +628,19 @@ def test_a36_is_one_rollup_over_p5s_join(spark, sf_dir):
 
 
 def test_dd26_keyed_gram_join_single_doc_exchange(spark, sf_dir):
-    # the duplicated-window detection is a gram-hash-KEYED join (broadcast
-    # at test scale, SMJ on g at 100 TB) — never an all-pairs product; the
+    # the duplicated-window detection is gram-hash-KEYED (one count
+    # window over the binary-md5 key since r15 — previously a groupBy +
+    # self-join on the same key) — never an all-pairs product; the
     # lag + running-sum island windows share ONE doc_id exchange; the
     # gram-count scan prunes to the text column only
     plan = _plan(spark, sf_dir, "dd26_repeated_substrings")
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(doc_id") <= 1, plan
-    assert "ReadSchema: struct<text:string>" in plan, plan
+    # ONE gram-key exchange feeds the count window (the pre-r15 shape
+    # paid a second g exchange + an extra text-only scan for the
+    # join's build side)
+    assert plan.count("hashpartitioning(g") == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan, plan
 
 
 def test_ev30_pair_join_is_session_keyed(spark, sf_dir):
