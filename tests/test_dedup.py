@@ -282,3 +282,29 @@ def test_component_size_spectrum_partitions_corpus(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] == r["comp_size"] * r["n_components"]
         assert r["removable_docs"] == r["n_docs"] - r["n_components"]
+
+
+def test_split_overlap_matches_join_overlap(spark, sf_dir):
+    """The split exact-intersection (rare count + hot array_intersect,
+    r15 optimization) must agree row-for-row with the legacy join-based
+    verify over the same rare-shingle candidates — on the fixture corpus
+    AND on a synthetic corpus where a hot shingle contributes to the
+    intersection of a true pair."""
+    sh = dedup._shingles_df(spark, sf_dir)
+    legacy = dedup._pair_overlap(dedup._rare_shingle_cands(sh), sh)
+    cols = ["doc_a", "doc_b", "inter", "sz_a", "sz_b"]
+    split = dedup._rare_pair_overlap(sh).select(*cols)
+    legacy = legacy.select(*cols)
+    assert split.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(split).count() == 0
+
+    cap = dedup._SHINGLE_DF_CAP
+    rows = [(i, "alpha beta gamma delta") for i in range(cap + 1)]
+    rows.append((300, "alpha beta gamma one two three four five"))
+    rows.append((301, "alpha beta gamma one two three four six"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh2 = dedup._shingles_of(docs)
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+           for r in dedup._rare_pair_overlap(sh2).collect()}
+    # the hot "alpha beta gamma" shingle still counts toward inter
+    assert got[(300, 301)] == (5, 6, 6)
