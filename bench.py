@@ -124,7 +124,10 @@ def _one_time_builds():
     )
     from impala_workload_analyzer_spark.pipeline.similarity import (
         _exact_topk_shared,
+        _int8_recall_shared,
+        _ivf_recall_shared,
         _ivfpq_ranked_shared,
+        _lsh_recall_shared,
     )
     from impala_workload_analyzer_spark.sql_introspect.queries import (
         _sql_features_shared,
@@ -136,6 +139,11 @@ def _one_time_builds():
         ("_shared_minhash_pairs", _shared_minhash_pairs),
         ("_shared_components", _shared_components),
         ("_exact_topk_shared", _exact_topk_shared),
+        # the three recall-audit frames build on the warm exact-truth
+        # frame above, so their readings are marginal search+join cost
+        ("_lsh_recall", _lsh_recall_shared),
+        ("_ivf_recall", _ivf_recall_shared),
+        ("_int8_recall", _int8_recall_shared),
         ("_simhash_pairs", _shared_simhash_pairs),
         ("_ivfpq_ranked", _ivfpq_ranked_shared),
         ("_sql_features", _sql_features_shared),

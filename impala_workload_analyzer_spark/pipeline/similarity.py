@@ -774,6 +774,42 @@ def quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, _quantized_topk(spark, sf_dir))
 
 
+def _lsh_recall_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim9's per-query LSH recall audit persisted once per (session,
+    corpus) — K-bounded rows (one per query in the fixed batch), built
+    by the audited sim2 search + the exact-truth join (r15 optimization
+    round: sim16's lsh tier and sim27's difficulty audit each re-ran the
+    full banded search per call). Live sim2/sim9 keep their
+    contract-pinned plans; bench.py times this build cold under
+    one_time_builds."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "lsh_recall", lambda: lsh_recall(spark, sf_dir)
+    )
+
+
+def _ivf_recall_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim10's per-query IVF recall audit persisted once per (session,
+    corpus) — the _lsh_recall_shared pattern for the IVF probe tier."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "ivf_recall", lambda: ivf_recall(spark, sf_dir)
+    )
+
+
+def _int8_recall_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim12's per-query int8-scoring recall audit persisted once per
+    (session, corpus) — the _lsh_recall_shared pattern for the
+    quantized-scoring tier."""
+    from ..cache_util import session_persisted  # noqa: PLC0415
+
+    return session_persisted(
+        spark, sf_dir, "int8_recall", lambda: quantize_recall(spark, sf_dir)
+    )
+
+
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim13 — the full IVF-PQ SEARCH path (coarse probe + asymmetric
     distance computation), composing the index the earlier ops built:
@@ -1738,9 +1774,14 @@ ORACLES = {
 # ann_comparison builds its union from this same dict, so the benched
 # plans and the query's plans can never drift apart.
 SIM16_TIERS = {
-    "lsh": lsh_recall,
-    "ivf": ivf_recall,
-    "int8": quantize_recall,
+    # each audit tier reads its session-persisted per-query recall frame
+    # (built once per corpus snapshot, cold cost published by bench.py
+    # under one_time_builds; sim27's difficulty audit reads the same
+    # frames) — the live sim2/sim4/sim9/sim10/sim12 queries keep their
+    # contract-pinned search plans
+    "lsh": _lsh_recall_shared,
+    "ivf": _ivf_recall_shared,
+    "int8": _int8_recall_shared,
     # adc/rerank both derive from ONE ADC ranking: the tiers read the
     # session-persisted ranked frame (built once per corpus snapshot —
     # bench.py times the build cold under one_time_builds), so sim16
@@ -2907,9 +2948,9 @@ def margin_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiers = None
     for tier, fn in (
-        ("int8", quantize_recall),
-        ("ivf", ivf_recall),
-        ("lsh", lsh_recall),
+        ("int8", _int8_recall_shared),
+        ("ivf", _ivf_recall_shared),
+        ("lsh", _lsh_recall_shared),
     ):
         t = fn(spark, sf_dir).select(
             F.lit(tier).alias("tier"), "query_id", "n_hits"

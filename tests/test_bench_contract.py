@@ -14,7 +14,7 @@ import importlib
 def test_one_time_builds_resolve():
     bench = importlib.import_module("bench")
     builds = bench._one_time_builds()
-    assert len(builds) == 8
+    assert len(builds) == 11
     for name, fn in builds:
         assert callable(fn), name
 
