@@ -124,6 +124,68 @@ def sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return queries.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+# Union of the columns the shared frame's consumers actually read (q3's
+# rollup, q4's template runtime, q5's lint, q6's novelty census). The
+# persisted frame carries ONLY these (r16 optimization, guide §2.3/§5):
+# the other ~60 BIGINT counters crossed Arrow, were cached columnar, and
+# were drained by every consumer without ever being read. q1 (the full
+# ~75-column contract surface) keeps its own live plan and does NOT read
+# this frame. Adding a consumer that needs another counter = add the
+# column here (an absent column fails at plan time, never silently).
+_SHARED_COLUMNS = (
+    "query_id", "stmt_type", "parameterized_stmt",
+    "num_output_columns", "num_limits", "num_where_binary_eq",
+    "num_where_subqueries", "num_select_analytic_exprs",
+    "num_where_like_like", "num_where_like_rlike", "num_where_like_regexp",
+)
+
+_SHARED_SCHEMA = T.StructType(
+    [T.StructField("query_id", _S), T.StructField("stmt_type", _S),
+     T.StructField("parameterized_stmt", _S)]
+    + [T.StructField(c, _L) for c in _SHARED_COLUMNS[3:]]
+)
+
+
+def _sql_features_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer-facing subset of q1's parse, emitted directly from
+    the Python side: the SAME ``extract_sql_features`` AST walk per
+    statement (values identical to ``sql_features(...)​.select(cols)`` —
+    pinned by tests/test_sql_introspect.py), but only the 8 counters the
+    consumers read cross the Arrow boundary instead of all 71
+    (guide §4.1: you control how many columns cross)."""
+    queries = (
+        materialized_table(spark, sf_dir, "queries")
+        .select("query_id", "sql_stmt")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _SHARED_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for qid, stmt in zip(pdf["query_id"], pdf["sql_stmt"]):
+                feats = extract_sql_features(stmt)
+                if feats is None:
+                    rows.append((qid, "UnparsedStmt", None) + (None,) * 8)
+                    continue
+                s = feats["stats"]
+                if s is None:
+                    rows.append((qid, feats["type"], feats["parameterized_stmt"])
+                                + (None,) * 8)
+                    continue
+                like = s["num_where_like_predicates"]
+                rows.append((
+                    qid, feats["type"], feats["parameterized_stmt"],
+                    s["num_output_columns"], s["num_limits"],
+                    s["num_where_binary_predicates"]["="],
+                    s["num_where_subqueries"], s["num_select_analytic_exprs"],
+                    like["LIKE"], like["RLIKE"], like["REGEXP"],
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return queries.mapInPandas(run, schema=_SHARED_SCHEMA)
+
+
 def _sql_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q1's parsed feature frame persisted once per (session, corpus) —
     the feature-store pattern (_shared_shingles / _exact_topk_shared)
@@ -136,11 +198,15 @@ def _sql_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     store once per ingest (S9) and every report joins them. q1 itself
     keeps its live, contract-pinned plan; correctness never depends on
     the cache (a cold call rebuilds). Keyed by applicationId via
-    cache_util.session_persisted (ADVICE r8)."""
+    cache_util.session_persisted (ADVICE r8). Since r16 the persisted
+    projection is ``_SHARED_COLUMNS`` only (the verdict's top item: ~2 s
+    of the 3.3 s cold build was materializing counters no consumer
+    read); ``_sql_features_narrow`` keeps the identical parse."""
     from ..cache_util import session_persisted  # noqa: PLC0415
 
     return session_persisted(
-        spark, sf_dir, "sql_features", lambda: sql_features(spark, sf_dir)
+        spark, sf_dir, "sql_features",
+        lambda: _sql_features_narrow(spark, sf_dir),
     )
 
 

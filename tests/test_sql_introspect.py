@@ -345,3 +345,24 @@ def test_sql_antipatterns_matches_python(spark, sf_dir):
         assert g["analytic_no_limit"] == v["an"]
         assert g["subquery_filter"] == v["sq"]
         assert g["like_filter"] == v["lk"]
+
+
+def test_narrow_shared_frame_equals_full_projection(spark, sf_dir):
+    """The r16 narrow shared frame (_sql_features_narrow) must be
+    value-identical to the full q1 parse projected to _SHARED_COLUMNS —
+    same AST walk, same NULL conventions for DDL/unparsed statements —
+    so q3-q6 reading the narrow frame can never drift from q1's
+    contract surface."""
+    from impala_workload_analyzer_spark.sql_introspect.queries import (
+        _SHARED_COLUMNS,
+        _sql_features_narrow,
+        sql_features,
+    )
+
+    narrow = _sql_features_narrow(spark, sf_dir)
+    assert [f.name for f in narrow.schema.fields] == list(_SHARED_COLUMNS)
+    full = sql_features(spark, sf_dir).select(*_SHARED_COLUMNS)
+    assert narrow.schema == full.schema
+    assert narrow.exceptAll(full).count() == 0
+    assert full.exceptAll(narrow).count() == 0
+    assert narrow.count() > 0

@@ -1,9 +1,16 @@
 """Dump ``.explain("formatted")`` for the given registered queries to
-``plans/r15/<name>_<suffix>.txt`` — the optimization round's before/after
-plan evidence (guide §1.1/§7.2).
+``plans/<round>/<name>_<suffix>.txt`` — the optimization round's
+before/after plan evidence (guide §1.1/§7.2).
 
-Usage: python tools/capture_plans.py --suffix before [--sf DIR] name [...]
+Usage: python tools/capture_plans.py --suffix before [--round rN]
+           [--sf DIR] [--final] name [...]
        (``all`` expands to every bench.py headliner)
+
+``--final`` collects the query first and captures the ADAPTIVE final plan
+(isFinalPlan=true) — the evidence for claims that hinge on a runtime AQE
+decision (e.g. "AQE still broadcasts this join without the hard hint"),
+which the static pre-execution plan cannot show. Only use it on queries
+with small report-sized outputs (the collect is driver-side).
 """
 
 from __future__ import annotations
@@ -17,12 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     args = sys.argv[1:]
     suffix = "before"
+    round_dir = "r16"
+    final = False
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = []
     i = 0
     while i < len(args):
         if args[i] == "--suffix":
             suffix = args[i + 1]; i += 2
+        elif args[i] == "--round":
+            round_dir = args[i + 1]; i += 2
+        elif args[i] == "--final":
+            final = True; i += 1
         elif args[i] == "--sf":
             sf_dir = args[i + 1]; i += 2
         else:
@@ -48,10 +61,12 @@ def main() -> int:
         materialized_table(spark, sf_dir, table)
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r15")
+                           "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
+        if final:
+            df.collect()  # materialize so AQE finalizes every subplan
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
