@@ -1,10 +1,16 @@
 """Join-strategy correctness audit (reference: ``code/python/joins.py``).
 
 The reference runs two ``find_one`` lookups per join operator (N+1 pattern,
-``joins.py:51-58``); here the child resolution is a set-based double
-self-join of ``operators`` on ``(query_id, child_id = id)`` (SURVEY.md J2)
-that Catalyst executes as two shuffle-hash joins on ``query_id`` — one
-shuffle at any scale, AQE-coalesced.
+``joins.py:51-58``); here the child resolution unpivots each join into its
+two (side, child_id) rows and resolves both against ``operators`` in ONE
+``(query_id, child_id = id)`` join, re-pivoting by the join's own key
+(SURVEY.md J2). The r15 shape — a double self-join — shuffled the
+corpus-sized children frame twice; the unpivot trades the second
+children exchange for a joins-sized re-pivot exchange, marginal at
+sf0.1 (1.67 vs 1.84 s) and 1.58x faster at the 10x key-offset corpus
+(4.84 vs 3.06 s, tools/a9_ab.py — the r15 verdict's requested sf1 A/B),
+because the saved exchange grows with the corpus while the re-pivot
+stays join-count-sized.
 
 Cost model (joins.py:5-30, audited exactly):
 
@@ -35,28 +41,34 @@ def _classified_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("child_id"),
         (F.col("num_rows") * F.col("row_size")).alias("child_bytes"),
     )
+    # Unpivot: each join contributes (side, child_id) rows, resolved in
+    # one (query_id, child_id) join; the re-pivot groups by the join's
+    # own key ((query_id, id) is unique, so the carried attributes ride
+    # the group-by key). The both-sides-not-null filter reproduces the
+    # double inner join's semantics: a join whose left OR right child is
+    # unresolvable is out of the audit either way.
+    sides = joins.select(
+        "query_id", "id", "name", "join_impl", "num_hosts", "avg_time",
+        F.explode(
+            F.array(
+                F.struct(F.lit("l").alias("side"),
+                         F.col("left_child_id").alias("child_id")),
+                F.struct(F.lit("r").alias("side"),
+                         F.col("right_child_id").alias("child_id")),
+            )
+        ).alias("s"),
+    ).select("query_id", "id", "name", "join_impl", "num_hosts",
+             "avg_time", "s.side", "s.child_id")
     j = (
-        joins.alias("j")
-        .join(
-            children.alias("l"),
-            (F.col("j.query_id") == F.col("l.query_id"))
-            & (F.col("j.left_child_id") == F.col("l.child_id")),
+        sides.join(children, ["query_id", "child_id"])
+        .groupBy("query_id", "id", "name", "join_impl", "num_hosts", "avg_time")
+        .agg(
+            F.max(F.when(F.col("side") == "l", F.col("child_bytes")))
+            .alias("left_bytes"),
+            F.max(F.when(F.col("side") == "r", F.col("child_bytes")))
+            .alias("right_bytes"),
         )
-        .join(
-            children.alias("r"),
-            (F.col("j.query_id") == F.col("r.query_id"))
-            & (F.col("j.right_child_id") == F.col("r.child_id")),
-        )
-        .select(
-            F.col("j.query_id").alias("query_id"),
-            F.col("j.id").alias("id"),
-            F.col("j.name").alias("name"),
-            F.col("j.join_impl").alias("join_impl"),
-            F.col("j.num_hosts").alias("num_hosts"),
-            F.col("j.avg_time").alias("avg_time"),
-            F.col("l.child_bytes").alias("left_bytes"),
-            F.col("r.child_bytes").alias("right_bytes"),
-        )
+        .filter(F.col("left_bytes").isNotNull() & F.col("right_bytes").isNotNull())
     )
     bcost = F.least("left_bytes", "right_bytes") * F.col("num_hosts")
     pcost = F.col("left_bytes") + F.col("right_bytes")
