@@ -227,7 +227,9 @@ def main() -> int:
     # lineage as a subtree, so benched post-build it would read
     # warm-marginal and stop measuring the IVF-PQ search cold. q1 joined
     # for the same reason when the parsed-feature frame became a shared
-    # build: its live plan EQUALS the build plan.
+    # build (r16 narrowed that build to the consumer columns, so q1's
+    # live 75-column plan no longer equals it; q1 stays here — benching
+    # the full parse cold first is correct either way).
     # dd6 joined when _simhash_pairs became a shared build (r15
     # optimization round): its live plan EQUALS the build plan.
     prebuild = [n for n in ("dd3_minhash_lsh_pairs", "sim1_brute_force_topk",
