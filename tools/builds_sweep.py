@@ -67,7 +67,19 @@ _TAGS = {
     "_shared_minhash_pairs": "minhash_pairs",
     "_shared_components": "cc_labels",
     "_exact_topk_shared": "exact_topk",
+    "_lsh_recall": "lsh_recall",
+    "_ivf_recall": "ivf_recall",
+    "_int8_recall": "int8_recall",
+    "_simhash_pairs": "simhash_pairs",
+    "_ivfpq_ranked": "ivfpq_ranked",
+    "_sql_features": "sql_features",
 }
+
+# builds whose inputs the sf1-equivalent corpus does NOT replicate
+# (sf1_sweep widens documents/events/embeddings only): at "sf1" they
+# would re-read the same profile-derived tables and publish a
+# meaningless alpha — skipped unless named explicitly.
+_NOT_SF1_SCALED = frozenset({"_sql_features"})
 
 
 def main() -> int:
@@ -88,6 +100,8 @@ def main() -> int:
         for table in ("documents", "embeddings"):
             scan_cache_dir(spark, sf_dir, table)  # outside the timed region
         for bname, fn in _builds():
+            if not only and bname in _NOT_SF1_SCALED:
+                continue  # nothing downstream needs it warm either
             if only and bname not in only:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 continue  # unselected builds still run: downstream needs them warm
