@@ -321,3 +321,67 @@ def test_capacity_trend_matches_python(spark, sf_dir):
             assert abs(g["slope_qpm"] - (b * sxy - sx * sy) / den) < 2e-9
         else:
             assert g["slope_qpm"] is None
+
+
+def test_join_audit_matches_reference_n_plus_1(spark, sf_dir):
+    """a9/j2 (r16 unpivot): the one-join child resolution must equal a
+    pure-python recompute of the reference's N+1 find_one semantics
+    (joins.py:51-65) — per join, resolve left/right child rows by
+    (query_id, id); a join with EITHER child unresolvable is out of the
+    audit (the double inner join's semantics the unpivot's
+    both-sides-not-null filter must reproduce); classify with the exact
+    cost model and floor-divide the ms rollup."""
+    from impala_workload_analyzer_spark.operators.join_audit import (
+        join_audit_rollup,
+        join_children,
+    )
+
+    tpch = {
+        r["query_id"]
+        for r in corpus_queries(spark, sf_dir).collect()
+        if r["tag"] == "tpch"
+    }
+    ops = corpus_operators(spark, sf_dir).collect()
+    by_key = {(o["query_id"], o["id"]): o for o in ops}
+    exp_rows = {}
+    rollup: dict[str, list[int]] = {}
+    for o in ops:
+        if o["name"] not in ("HASH JOIN", "CROSS JOIN") or o["query_id"] not in tpch:
+            continue
+        left = by_key.get((o["query_id"], o["left_child_id"]))
+        right = by_key.get((o["query_id"], o["right_child_id"]))
+        if left is None or right is None:
+            continue
+        lb = left["num_rows"] * left["row_size"]
+        rb = right["num_rows"] * right["row_size"]
+        bcost, pcost = min(lb, rb) * o["num_hosts"], lb + rb
+        if bcost == pcost:
+            wrong_impl = False
+        elif bcost < pcost:
+            wrong_impl = o["join_impl"] != "BROADCAST"
+        else:
+            wrong_impl = o["join_impl"] != "PARTITIONED"
+        if wrong_impl:
+            cls = "wrong_impl"
+        elif o["join_impl"] == "BROADCAST" and lb < rb:
+            cls = "wrong_side"
+        else:
+            cls = "correct"
+        exp_rows[(o["query_id"], o["id"])] = (lb, rb, cls)
+        agg = rollup.setdefault(cls, [0, 0])
+        agg[0] += 1
+        agg[1] += o["avg_time"]
+
+    got_rows = {
+        (r["query_id"], r["id"]): (r["left_bytes"], r["right_bytes"],
+                                   r["classification"])
+        for r in join_children(spark, sf_dir).collect()
+    }
+    assert got_rows == exp_rows
+    assert len(got_rows) > 0
+    got_rollup = {
+        r["classification"]: (r["num_joins"], r["total_time_ms"])
+        for r in join_audit_rollup(spark, sf_dir).collect()
+    }
+    want_rollup = {c: (n, t // 1_000_000) for c, (n, t) in rollup.items()}
+    assert got_rollup == want_rollup
